@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + shared determinism helpers.
+  *
+  * Contract (SURVEY.md §7.8): every query reads only
+  * `s"$sfDir/<table>.parquet"` — the driver points the same closures at
+  * sf0.01 (correctness) and sf0.1 (bench).
+  */
+object Tables {
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Money/measure determinism policy (SURVEY.md §7.1): Spark's parallel
+    * double-sum order differs from DuckDB's sequential order, so sums go
+    * through DECIMAL(18,4) — decimal addition is exact and order-free.
+    * The same cast appears verbatim in every oracle SQL.
+    */
+  /** The money columns carry exactly 2 decimals and discount/tax factors
+    * 2 more each, so every money expression in §2 is EXACT at scale 6.
+    * Capturing each row at scale 6 is tie-free (the double sits within
+    * ~1e-11 of the true 6-dp value, never near a 5e-7 boundary), the
+    * decimal sum is then exact and order-free, and we EMIT at scale 6 —
+    * never rounding a decimal down, because the true sums sit exactly on
+    * coarser grids and a final cast to scale 4 becomes a coin-flip tie
+    * between Spark (HALF_UP) and DuckDB rounding. Verified empirically:
+    * scale-4 and scale-10 capture both hash-mismatch; this matches.
+    */
+  val D: DecimalType = DecimalType(28, 6)
+  def dec(c: Column): Column = c.cast(D)
+  /** Exact decimal sum of a money expression, emitted as DECIMAL(28,6). */
+  def dsum(c: Column): Column = sum(dec(c)).cast(D)
+  /** Order-free average: exact decimal sum divided as double, rounded. */
+  def davg(c: Column): Column = round(sum(dec(c)).cast(DoubleType) / count(lit(1)), 4)
+  /** Oracle-side fragments mirroring dec/dsum/davg verbatim. */
+  val oD = "DECIMAL(28,6)"
+  def oSum(e: String): String = s"CAST(sum(CAST($e AS $oD)) AS $oD)"
+  def oAvg(e: String): String = s"round(CAST(sum(CAST($e AS $oD)) AS DOUBLE) / count(*), 4)"
+}
