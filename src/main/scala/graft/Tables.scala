@@ -21,7 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
+    * outright (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanos instead:
+    * exact, and integer ns→µs/ms derivations then match DuckDB's
+    * epoch_us/epoch_ms bit-for-bit (SURVEY.md §7.4). Queries needing a
+    * real timestamp use [[eventsTs]], which adds `ts_t` = µs-precision
+    * TimestampType plus `us` = epoch micros.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+  }
+
+  /** Events with `us` (epoch µs, exact long) and `ts_t` (µs timestamp). */
+  def eventsTs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("us", expr("ts DIV 1000"))
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

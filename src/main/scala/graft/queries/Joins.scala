@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Join suite (SURVEY.md §2c). Scale notes per operator:
+  *
+  * - Dimension sides (region/nation/customer-at-sf) get explicit
+  *   `broadcast()` hints — on a 1000-executor cluster the fact table
+  *   never shuffles for those joins.
+  * - The non-equi joins (theta-range, interval-overlap) are written as
+  *   BANDED joins: both sides bucketed on the range key, one side
+  *   exploded to adjacent buckets, then an equi-join on the bucket +
+  *   exact residual filter. That turns an O(n·m) BNLJ into a shuffle
+  *   hash join whose pair count is bounded by band width — the shape
+  *   that survives 100 TB.
+  * - As-of is the union-and-window form: one shuffle on the key, no
+  *   join explosion at all.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_equi" -> ((s, d) =>
+      orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .filter(col("o_totalprice") > 150000)
+        .orderBy("o_orderkey")),
+
+    "join_multiway_star" -> { (s, d) =>
+      // Flagship-shaped star join: fact lineitem joined through orders to
+      // the broadcast dimension chain. One shuffle (li ⋈ orders);
+      // customer/nation/region ride along broadcast.
+      val li = lineitem(s, d)
+      val o  = orders(s, d)
+      val c  = customer(s, d)
+      val n  = nation(s, d)
+      val r  = region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    "join_left_outer" -> ((s, d) =>
+      customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    "join_right_outer" -> ((s, d) =>
+      orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0))).as("spend"))
+        .orderBy("c_custkey")),
+
+    "join_full_outer" -> { (s, d) =>
+      // Aggregate-then-join keeps the outer join 25-rows-a-side wide and
+      // creates genuine gaps on both sides (filters pick nation subsets).
+      val cs = customer(s, d).filter(col("c_acctbal") < 0)
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+      val ss = supplier(s, d).filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+      cs.join(ss, col("nk_c") === col("nk_s"), "full")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nationkey")
+    },
+
+    "join_left_semi" -> ((s, d) =>
+      customer(s, d).join(
+        orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_left_anti" -> ((s, d) =>
+      customer(s, d).join(orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    "join_broadcast" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("r_name", "n_name")),
+
+    "join_cross" -> ((s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    "join_theta_range" -> { (s, d) =>
+      // Banded theta join: l_quantity BETWEEN p_size-1 AND p_size+1.
+      // Parts replicate to the 3 integer bands they can match; lineitem
+      // maps to floor(l_quantity); equi-join on band + exact residual.
+      val p = part(s, d).filter(col("p_size") <= 3)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .withColumn("band", explode(array(col("p_size") - 1, col("p_size"), col("p_size") + 1)))
+      val l = lineitem(s, d).filter(col("l_quantity") < 4)
+        .select(col("l_quantity"), col("l_extendedprice"))
+        .withColumn("band", floor(col("l_quantity")).cast("int"))
+      l.join(p, Seq("band"))
+        .filter(col("l_quantity").between(col("p_size") - 1, col("p_size") + 1))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("l_extendedprice")).as("value"))
+        .orderBy("p_brand")
+    },
+
+    "join_asof" -> { (s, d) =>
+      // As-of: for each click, the most recent purchase of the same user
+      // at or before it. Union-and-window form: no join, one shuffle on
+      // user_id; `last(_, ignoreNulls)` over the ts-ordered frame.
+      // Timestamps compared/emitted as epoch µs (ns-vs-µs safe, §7.4).
+      val e = eventsTs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+        .withColumn("p_us", when(col("event_type") === "purchase", col("us")))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_purchase_us", last(col("p_us"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "last_purchase_us")
+        .orderBy("event_id")
+    },
+
+    "join_interval_overlap" -> { (s, d) =>
+      // Pairs of same-user events within 5 minutes — banded self-join on
+      // (user_id, 5-min bucket), one side exploded to adjacent buckets,
+      // exact |Δt| residual after the equi-join. Never a BNLJ.
+      val us = eventsTs(s, d).select(col("event_id"), col("user_id"), col("us"))
+      val fiveMinUs = 300000000L
+      val a = us.withColumn("band", floor(col("us") / fiveMinUs))
+        .select(col("event_id").as("id_a"), col("user_id"), col("us").as("us_a"), col("band"))
+      val bBase = us.withColumn("b0", floor(col("us") / fiveMinUs))
+      val b = bBase.withColumn("band_b",
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+        .select(col("event_id").as("id_b"), col("user_id").as("user_b"),
+          col("us").as("us_b"), col("band_b"))
+      a.join(b, col("user_id") === col("user_b") && col("band") === col("band_b") &&
+          col("id_a") < col("id_b") &&
+          abs(col("us_a") - col("us_b")) <= fiveMinUs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 150000 ORDER BY o_orderkey""".stripMargin,
+
+    "join_multiway_star" ->
+      s"""SELECT r_name, n_name,
+        |  ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_right_outer" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  ${oSum("coalesce(o_totalprice, 0)")} AS spend
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT coalesce(nk_c, nk_s) AS nationkey, n_cust, n_supp FROM
+        |  (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer
+        |   WHERE c_acctbal < 0 GROUP BY c_nationkey) cs
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier
+        |   WHERE s_acctbal > 5000 GROUP BY s_nationkey) ss
+        |ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_broadcast" ->
+      s"""SELECT r_name, n_name, count(*) AS n_customers,
+        |  ${oSum("c_acctbal")} AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_theta_range" ->
+      s"""SELECT p_brand, count(*) AS n_pairs, ${oSum("l_extendedprice")} AS value
+        |FROM part, lineitem
+        |WHERE p_size <= 3 AND l_quantity < 4
+        |  AND l_quantity BETWEEN p_size - 1 AND p_size + 1
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, user_id, last_purchase_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "join_interval_overlap" ->
+      """SELECT e1.user_id, count(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+        |  AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 300000000
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin
+  )
+}

@@ -4,18 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
+import graft.functions.Glob
 
-/** Relational core (SURVEY.md §2a/§2b/§2d): scans, projections, filters,
-  * aggregations. All built-in Catalyst-optimized operators — predicate
-  * pushdown / column pruning / partial aggregation come for free because
-  * the plans are declarative (SURVEY.md §4b).
+/** Relational core (SURVEY.md §2a/§2b/§2d/§2f): scans, projections,
+  * filters, aggregations, sorts, set ops. All built-in Catalyst-optimized
+  * operators — predicate pushdown / column pruning / partial (map-side)
+  * aggregation come for free because the plans are declarative
+  * (SURVEY.md §4b). Every query ends in an ORDER BY on a unique key set
+  * and uses the Tables.dsum/davg numeric policy (SURVEY.md §7).
   */
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
   /** TPC-H-Q1-shaped flagship: scan → pushed filter → partial/final hash
-    * agg → sort. Money sums via exact DECIMAL(18,4) (order-free), avgs
-    * as rounded doubles over exact decimal sums (SURVEY.md §7.1).
+    * agg → sort. Money sums via exact DECIMAL (order-free); avgs as
+    * rounded doubles over exact decimal sums (SURVEY.md §7.1).
     */
   def q1(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -47,11 +50,374 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Glob applied to part.p_type — the one genuinely reusable reference
+    * semantic (hh glob matching). Same compiled regex goes to both
+    * engines so Spark rlike and DuckDB regexp_matches agree.
+    */
+  private val typeGlobRegex = Glob.toRegex("{STANDARD,SMALL}*")
+
+  // ---------------------------------------------------------------- 2a scans
   val queries: Map[String, Q] = Map(
-    "agg_groupby" -> (q1 _)
+    "agg_groupby" -> (q1 _),
+
+    "scan_parquet" -> ((s, d) =>
+      part(s, d).orderBy("p_partkey")),
+
+    "scan_projection_pushdown" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .filter(col("l_orderkey") % 10 === 0)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "scan_json_props" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id")),
+
+    "sink_csv_roundtrip" -> { (s, d) =>
+      // Write a projection to CSV, re-read with an explicit schema, and
+      // aggregate — proves the CSV connector both directions. Oracle
+      // omitted (driver does a rows-only check; the filesystem round-trip
+      // is not expressible in DuckDB-over-the-same-parquet).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(tmp)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
+    // ---------------------------------------------------- 2b project/filter
+    "project_compute" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          (col("l_quantity") * 2 + 1).as("qty_scaled"),
+          concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("flags"))
+        .filter(col("l_orderkey") % 20 === 0)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_predicates" -> ((s, d) =>
+      orders(s, d)
+        .filter((col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").between(50000, 200000) &&
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+          !(col("o_orderpriority") === "5-LOW")) ||
+          col("o_totalprice") < 1000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    "filter_like" -> ((s, d) =>
+      part(s, d)
+        .filter(col("p_name").like("%ink%") || col("p_brand").like("Brand#1%"))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")),
+
+    "filter_rlike_glob" -> ((s, d) =>
+      part(s, d)
+        .filter(col("p_type").rlike(typeGlobRegex))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey")),
+
+    "conditional_case" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 3000, "low")
+            .when(col("c_acctbal") < 7000, "mid")
+            .otherwise("high").as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n"))
+        .orderBy("band")),
+
+    // ------------------------------------------------------------- 2d aggs
+    "agg_global" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    "agg_having" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+
+    "agg_count_distinct" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    "agg_approx_distinct" -> ((s, d) =>
+      // Sketch values are engine-specific → no oracle (driver does a
+      // rows-only check); accuracy asserted in ScalaTest vs exact counts.
+      events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    "agg_filtered" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+          dsum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(lit(0))).as("open_value"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    "agg_collect_sorted" -> ((s, d) =>
+      customer(s, d)
+        .filter(col("c_custkey") % 50 === 0)
+        .groupBy("c_nationkey")
+        .agg(sort_array(collect_list(col("c_name"))).as("names"))
+        .orderBy("c_nationkey")),
+
+    "agg_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+        .orderBy("l_returnflag")),
+
+    "agg_percentile" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(col("o_orderstatus"),
+          round(element_at(col("qs"), 1), 4).as("q1"),
+          round(element_at(col("qs"), 2), 4).as("median"),
+          round(element_at(col("qs"), 3), 4).as("q3"))
+        .orderBy("o_orderstatus")),
+
+    "agg_rollup" -> ((s, d) =>
+      customer(s, d)
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))),
+
+    "agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("value"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    "agg_grouping_sets" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("gs_orders")
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  ${oSum("o_totalprice")} AS value
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // ------------------------------------------------- 2f sorts / set ops
+    "sort_multi_key" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 15 === 0)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
+        .orderBy(desc("l_shipdate"), asc("l_returnflag"), desc("l_orderkey"), asc("l_linenumber"))),
+
+    "sort_limit_topk" -> ((s, d) =>
+      // orderBy+limit plans as TakeOrderedAndProject — no full sort.
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)),
+
+    "set_union_all" -> ((s, d) =>
+      customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_name").as("name"), col("c_acctbal").as("bal"))
+        .unionByName(
+          supplier(s, d).filter(col("s_acctbal") > 9000)
+            .select(col("s_name").as("name"), col("s_acctbal").as("bal")))
+        .orderBy("name", "bal")),
+
+    "set_union_distinct" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    "set_intersect" -> ((s, d) =>
+      customer(s, d).filter(col("c_acctbal") < 0).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, d).filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "set_except" -> ((s, d) =>
+      customer(s, d).filter(col("c_acctbal") < 0).select(col("c_nationkey").as("nationkey"))
+        .except(supplier(s, d).filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "distinct_rows" -> ((s, d) =>
+      // Deterministic dedup: raw dropDuplicates keeps an arbitrary
+      // survivor (banned, SURVEY.md §7.5); groupBy+min pins it.
+      customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(min(col("c_custkey")).as("keep_custkey"), count(lit(1)).as("n_dups"))
+        .orderBy("c_nationkey", "c_mktsegment"))
   )
 
+  // -------------------------------------------------------------- oracles
   val oracleSql: Map[String, String] = Map(
-    "agg_groupby" -> q1Oracle
+    "agg_groupby" -> q1Oracle,
+
+    "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
+
+    "scan_projection_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_orderkey % 10 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "scan_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "project_compute" ->
+      s"""SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice * (1 - l_discount) AS $oD) AS revenue,
+        |  l_quantity * 2 + 1 AS qty_scaled,
+        |  l_returnflag || '|' || l_linestatus AS flags
+        |FROM lineitem WHERE l_orderkey % 20 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "filter_predicates" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE (o_orderstatus IN ('O','F')
+        |  AND o_totalprice BETWEEN 50000 AND 200000
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND NOT (o_orderpriority = '5-LOW'))
+        |  OR o_totalprice < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "filter_like" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE '%ink%' OR p_brand LIKE 'Brand#1%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "filter_rlike_glob" ->
+      s"""SELECT p_partkey, p_type FROM part
+        |WHERE regexp_matches(p_type, '$typeGlobRegex')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "conditional_case" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |  WHEN c_acctbal < 3000 THEN 'low'
+        |  WHEN c_acctbal < 7000 THEN 'mid'
+        |  ELSE 'high' END AS band, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "agg_global" ->
+      s"""SELECT count(*) AS n_rows, ${oSum("l_quantity")} AS sum_qty,
+        |  ${oAvg("l_extendedprice")} AS avg_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "agg_having" ->
+      s"""SELECT o_custkey, count(*) AS n_orders, ${oSum("o_totalprice")} AS total_spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_filtered" ->
+      s"""SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  ${oSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_value,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT c_nationkey, list_sort(list(c_name)) AS names
+        |FROM customer WHERE c_custkey % 50 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT c_mktsegment, c_nationkey, count(*) AS n, ${oSum("c_acctbal")} AS bal
+        |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${oSum("o_totalprice")} AS value
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${oSum("o_totalprice")} AS value
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "sort_multi_key" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 15 = 0
+        |ORDER BY l_shipdate DESC, l_returnflag ASC, l_orderkey DESC, l_linenumber ASC""".stripMargin,
+
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT name, bal FROM (
+        |  SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000
+        |  UNION ALL
+        |  SELECT s_name AS name, s_acctbal AS bal FROM supplier WHERE s_acctbal > 9000)
+        |ORDER BY name, bal""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+        |  INTERSECT
+        |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000)
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+        |  EXCEPT
+        |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000)
+        |ORDER BY nationkey""".stripMargin,
+
+    "distinct_rows" ->
+      """SELECT c_nationkey, c_mktsegment, min(c_custkey) AS keep_custkey, count(*) AS n_dups
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
   )
 }
