@@ -82,7 +82,12 @@ object Joins {
         .orderBy("c_custkey")),
 
     "join_left_anti" -> ((s, d) =>
-      customer(s, d).join(orders(s, d),
+      // Customers with no high-value URGENT order (every customer has
+      // SOME order in this data, so the plain NOT EXISTS would be empty
+      // — a weak witness; the predicate keeps the result non-trivial).
+      customer(s, d).join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000),
         col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")),
@@ -201,7 +206,8 @@ object Joins {
 
     "join_left_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT' AND o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
 
     "join_broadcast" ->

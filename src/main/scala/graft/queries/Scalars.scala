@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.functions.Chmod
+
+/** Geometric mean as a typed Aggregator (SURVEY.md §2d UDAF surface).
+  *
+  * Determinism: accumulates `round(ln(x)·1e12)` as exact Longs so the
+  * result is independent of partition merge order (a raw double ln-sum
+  * is not); ties in the 1e12 rounding can't occur because ln of the
+  * input prices never lands on an exact .5 picometer boundary.
+  */
+object GeoMeanAgg extends Aggregator[Double, (Long, Long), Double] {
+  def zero: (Long, Long) = (0L, 0L)
+  def reduce(b: (Long, Long), x: Double): (Long, Long) =
+    (b._1 + math.round(math.log(x) * 1e12), b._2 + 1)
+  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  def finish(b: (Long, Long)): Double =
+    if (b._2 == 0) Double.NaN else math.exp(b._1 / 1e12 / b._2)
+  def bufferEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  def outputEncoder = Encoders.scalaDouble
+}
+
+/** Scalar/generator function families (SURVEY.md §2g) + the UDAF. One
+  * query per family touching many functions; every function used is the
+  * codegen'd builtin, with UDFs only where §2 demands a UDF surface.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Symbolic-chmod UDF (reference semantics; see functions.Chmod). */
+  private val chmodUdf = udf { (expr: String, base: Int) =>
+    Chmod.applyExpr(expr, base, isDir = false).toOption.map(Chmod.toOctal)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("tr"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat_ws("-", col("c_name"), col("c_mktsegment")).as("cw"),
+        length(col("c_name")).as("len"),
+        lpad(col("c_custkey").cast(StringType), 12, "0").as("lp"),
+        regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("rep"),
+        element_at(split(col("c_name"), "#"), 2).as("sp"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("re"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "").as("rr"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
+        .orderBy("c_custkey")),
+
+    "fn_datetime" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        date_add(to_date(col("o_orderdate")), 7).as("plus7"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("days_since"),
+        (unix_millis(col("o_orderdate").cast(TimestampType)) / 1000).cast(LongType).as("epoch_s"),
+        make_date(lit(2020), month(col("o_orderdate")), dayofmonth(col("o_orderdate"))).as("md"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        round(col("p_retailprice"), 1).as("r1"),
+        floor(col("p_retailprice")).cast(LongType).as("fl"),
+        ceil(col("p_retailprice")).cast(LongType).as("cl"),
+        round(abs(col("p_retailprice") - 1000), 4).as("ab"),
+        pmod(col("p_partkey"), lit(7)).as("pm"),
+        round(pow(col("p_size"), 1.5), 6).as("pw"),
+        round(sqrt(col("p_retailprice")), 6).as("sq"),
+        round(log(col("p_retailprice")), 6).as("lg"),
+        round(log10(col("p_retailprice")), 6).as("l10"),
+        signum(col("p_retailprice") - 1000).cast(IntegerType).as("sg"),
+        greatest(col("p_size"), lit(25)).as("gr"),
+        least(col("p_size"), lit(25)).as("ls"))
+        .orderBy("p_partkey")),
+
+    "fn_array" -> ((s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(aggregate(transform(col("embedding"), x => x.cast(DoubleType)),
+          lit(0.0), (a, x) => a + x), 4).as("vsum"),
+        round(array_max(col("embedding")).cast(DoubleType), 4).as("vmax"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        size(array_distinct(col("embedding"))).as("n_uniq"),
+        transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast(DoubleType), 4)).as("first3"))
+        .orderBy("vec_id")),
+
+    "fn_map" -> { (s, d) =>
+      // MapType machinery exercised Spark-side; emitted as sorted
+      // keys/values arrays + one extracted scalar because raw MAP columns
+      // surface differently in every client (decided at t2, SURVEY §2g).
+      val per = events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      per.groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+          .as("m"))
+        .select(
+          col("user_id"),
+          map_keys(col("m")).as("types"),
+          map_values(col("m")).as("counts"),
+          try_element_at(col("m"), lit("click")).as("n_click"))
+        .orderBy("user_id")
+    },
+
+    "fn_json" -> ((s, d) =>
+      events(s, d)
+        .withColumn("parsed", from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_path"),
+          col("parsed.k").as("k_struct"),
+          to_json(struct(col("parsed.k").as("k"))).as("rt"))
+        .orderBy("event_id")),
+
+    "fn_explode" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "word")),
+
+    "udf_chmod_parse" -> { (s, d) =>
+      // Deterministic (expr, base-mode) pairs derived from custkey; the
+      // chmod kernel itself is property-tested in ScalaTest (no DuckDB
+      // analogue → oracle omitted per contract).
+      val exprs = array(lit("u+rwx"), lit("g-w,o=r"), lit("a=rx"),
+        lit("u=rw,g+x,o-rwx"), lit("u+X,g+s,o+t"))
+      customer(s, d).select(
+        col("c_custkey"),
+        element_at(exprs, (col("c_custkey") % 5 + 1).cast(IntegerType)).as("chmod_expr"),
+        (col("c_custkey") % 512).cast(IntegerType).as("base_mode"))
+        .withColumn("result_octal", chmodUdf(col("chmod_expr"), col("base_mode")))
+        .orderBy("c_custkey")
+    },
+
+    "udtf_ngrams" -> { (s, d) =>
+      // Typed flatMap generator (Dataset UDTF surface): character
+      // trigrams per document. Oracle omitted; unit-tested instead.
+      val sp = s
+      import sp.implicits._
+      documents(s, d).select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) => text.sliding(3).map(t => (id, t)) }
+        .toDF("doc_id", "tri")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"), countDistinct(col("tri")).as("n_uniq_tri"))
+        .orderBy("doc_id")
+    },
+
+    "agg_udaf_geomean" -> { (s, d) =>
+      val geo = udaf(GeoMeanAgg)
+      part(s, d).groupBy("p_brand")
+        .agg(round(geo(col("p_retailprice")), 4).as("geomean_price"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  trim('  ' || c_name || '  ') AS tr,
+        |  substring(c_name, 1, 8) AS sub,
+        |  concat_ws('-', c_name, c_mktsegment) AS cw,
+        |  length(c_name) AS len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS lp,
+        |  replace(c_name, 'Customer', 'Cust') AS rep,
+        |  string_split(c_name, '#')[2] AS sp,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS re,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS rr,
+        |  levenshtein(c_mktsegment, 'BUILDING') AS lev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        |  month(o_orderdate) AS mo, day(o_orderdate) AS dy,
+        |  dayofweek(o_orderdate) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS plus7,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  epoch_ms(o_orderdate) // 1000 AS epoch_s,
+        |  make_date(2020, month(o_orderdate), day(o_orderdate)) AS md
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT p_partkey,
+        |  round(p_retailprice, 1) AS r1,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS cl,
+        |  round(abs(p_retailprice - 1000), 4) AS ab,
+        |  p_partkey % 7 AS pm,
+        |  round(pow(p_size, 1.5), 6) AS pw,
+        |  round(sqrt(p_retailprice), 6) AS sq,
+        |  round(ln(p_retailprice), 6) AS lg,
+        |  round(log10(p_retailprice), 6) AS l10,
+        |  CAST(sign(p_retailprice - 1000) AS INTEGER) AS sg,
+        |  greatest(p_size, 25) AS gr, least(p_size, 25) AS ls
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 4) AS vsum,
+        |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS vmax,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  len(list_distinct(embedding)) AS n_uniq,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS first3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_map" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events
+        |  GROUP BY user_id, event_type),
+        |m AS (
+        |  SELECT user_id,
+        |    map(list(event_type ORDER BY event_type), list(cnt ORDER BY event_type)) AS m
+        |  FROM per GROUP BY user_id)
+        |SELECT user_id, map_keys(m) AS types, map_values(m) AS counts,
+        |  map_extract(m, 'click')[1] AS n_click
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+        |  CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS VARCHAR) AS rt
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_explode" ->
+      """SELECT doc_id, word, count(*) AS n FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id % 10 = 0) t
+        |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin,
+
+    "agg_udaf_geomean" ->
+      """SELECT p_brand,
+        |  round(exp(sum(CAST(round(ln(p_retailprice) * 1e12, 0) AS BIGINT)) / 1e12 / count(*)), 4) AS geomean_price,
+        |  count(*) AS n
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  )
+}

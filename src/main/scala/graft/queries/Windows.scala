@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import graft.Tables._
+
+/** Window function suite (SURVEY.md §2e). Every window is partitioned —
+  * never a global unpartitioned window except the bounded top-k — and
+  * every ORDER BY inside a frame ends with a unique key so ties cannot
+  * reorder between engines (SURVEY.md §7).
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "win_row_number" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    "win_rank_dense" -> { (s, d) =>
+      // Banded price → genuine ties; rank/dense_rank depend only on the
+      // band so the values are deterministic despite ties.
+      val banded = orders(s, d)
+        .withColumn("band", floor(col("o_totalprice") / 50000).cast("long"))
+      val w = Window.partitionBy("o_orderstatus").orderBy(desc("band"))
+      banded
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .select("o_orderkey", "o_orderstatus", "band", "rnk", "drnk")
+        .orderBy("o_orderkey")
+    },
+
+    "win_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      eventsTs(s, d)
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .withColumn("gap_us", col("us") - col("prev_us"))
+        .select("event_id", "user_id", "prev_us", "next_us", "gap_us")
+        .orderBy("event_id")
+    },
+
+    "win_running_sum" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast(D))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "win_moving_avg" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(-2, 0)
+      eventsTs(s, d)
+        .withColumn("mavg", round(avg(col("value")).over(w), 4))
+        .select("event_id", "user_id", "mavg")
+        .orderBy("event_id")
+    },
+
+    "win_range_frame" -> { (s, d) =>
+      // RANGE frame over epoch millis: all orders of the same customer
+      // within the 30 days preceding each order.
+      val ms30d = 2592000000L
+      val w = Window.partitionBy("o_custkey").orderBy(col("ms"))
+        .rangeBetween(-ms30d, 0)
+      orders(s, d)
+        // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
+        // cast to TIMESTAMP is identity and unix_millis matches epoch_ms.
+        .withColumn("ms", unix_millis(col("o_orderdate").cast(TimestampType)))
+        .withColumn("spend_30d", sum(dec(col("o_totalprice"))).over(w).cast(D))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .select("o_custkey", "o_orderkey", "spend_30d", "n_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "win_ntile" -> { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .select("c_custkey", "c_mktsegment", "quartile")
+        .orderBy("c_custkey")
+    },
+
+    "win_first_last" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      eventsTs(s, d)
+        .withColumn("first_type", first(col("event_type")).over(w))
+        .withColumn("last_type", last(col("event_type")).over(w))
+        .select("user_id", "first_type", "last_type")
+        .distinct()
+        .orderBy("user_id")
+    },
+
+    "topk_per_group" -> { (s, d) =>
+      val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), col("p_partkey"))
+      part(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("p_brand", "rn", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", "rn")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_row_number" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey, row_number()
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_rank_dense" ->
+      """SELECT o_orderkey, o_orderstatus, band,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM (SELECT *, CAST(floor(o_totalprice / 50000) AS BIGINT) AS band FROM orders) t
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY band DESC)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, prev_us, next_us, us - prev_us AS gap_us FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER w AS prev_us,
+        |    lead(epoch_us(ts), 1) OVER w AS next_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
+        |ORDER BY event_id""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,6)) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_moving_avg" ->
+      """SELECT event_id, user_id, round(avg(value)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DECIMAL(28,6)) AS spend_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM (SELECT *, epoch_ms(o_orderdate) AS ms FROM orders) t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ms
+        |             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_ntile" ->
+      """SELECT c_custkey, c_mktsegment, ntile(4)
+        |  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice, row_number()
+        |    OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin
+  )
+}
