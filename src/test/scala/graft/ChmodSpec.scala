@@ -54,7 +54,7 @@ class ChmodSpec extends AnyFunSuite with PropSupport {
     assert(run("go-r", Integer.parseInt("644", 8)) === Integer.parseInt("600", 8))
     assert(run("a=rx", Integer.parseInt("777", 8)) === Integer.parseInt("555", 8))
     assert(run("u=rw,g+x,o-rwx", Integer.parseInt("777", 8)) === Integer.parseInt("670", 8))
-    assert(run("u=rw,g+x,o-rwx", Integer.parseInt("644", 8)) === Integer.parseInt("654", 8))
+    assert(run("u=rw,g+x,o-rwx", Integer.parseInt("644", 8)) === Integer.parseInt("650", 8))
     // X: only when dir or some x bit already set
     assert(run("a+X", Integer.parseInt("644", 8)) === Integer.parseInt("644", 8))
     assert(run("a+X", Integer.parseInt("644", 8), dir = true) === Integer.parseInt("755", 8))
