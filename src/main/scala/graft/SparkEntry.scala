@@ -22,7 +22,12 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Joins.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.Scalars.queries
+      graft.queries.Scalars.queries ++
+      graft.queries.FsQueries.queries ++
+      graft.queries.TextPipeline.queries ++
+      graft.queries.Vectors.queries ++
+      graft.queries.Multimodal.queries ++
+      graft.queries.StreamingBatch.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -31,5 +36,10 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.Joins.oracleSql ++
       graft.queries.Windows.oracleSql ++
-      graft.queries.Scalars.oracleSql
+      graft.queries.Scalars.oracleSql ++
+      graft.queries.FsQueries.oracleSql ++
+      graft.queries.TextPipeline.oracleSql ++
+      graft.queries.Vectors.oracleSql ++
+      graft.queries.Multimodal.oracleSql ++
+      graft.queries.StreamingBatch.oracleSql
 }

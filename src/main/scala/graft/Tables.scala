@@ -60,10 +60,19 @@ object Tables {
   def dec(c: Column): Column = c.cast(D)
   /** Exact decimal sum of a money expression, emitted as DECIMAL(28,6). */
   def dsum(c: Column): Column = sum(dec(c)).cast(D)
-  /** Order-free average: exact decimal sum divided as double, rounded. */
-  def davg(c: Column): Column = round(sum(dec(c)).cast(DoubleType) / count(lit(1)), 4)
+  /** Order-free average: exact decimal sum divided as double, then
+    * rounded via floor(x·10⁴ + 0.5)/10⁴ — NOT round(x, 4): the decimal
+    * sums are exact, so quotients frequently land exactly on .xxxx5 ties
+    * where Spark (HALF_UP on shortest-repr) and DuckDB disagree; the
+    * floor formula is pure IEEE arithmetic and computes identically on
+    * identical doubles in any engine (observed fixing a real mismatch).
+    */
+  def davg(c: Column): Column =
+    floor(sum(dec(c)).cast(DoubleType) / count(lit(1)) * 10000 + 0.5)
+      .cast(DoubleType) / 10000.0
   /** Oracle-side fragments mirroring dec/dsum/davg verbatim. */
   val oD = "DECIMAL(28,6)"
   def oSum(e: String): String = s"CAST(sum(CAST($e AS $oD)) AS $oD)"
-  def oAvg(e: String): String = s"round(CAST(sum(CAST($e AS $oD)) AS DOUBLE) / count(*), 4)"
+  def oAvg(e: String): String =
+    s"floor(CAST(sum(CAST($e AS $oD)) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0"
 }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Multimodal-column plumbing (north-star layer, SURVEY.md §2i / task
+  * contract): image/audio/video as opaque BINARY columns with typed
+  * metadata, processed per-partition in batches.
+  *
+  * The decode step is STUBBED with a deterministic fake (no codec libs
+  * in this container — the contract says stub the decode, make the
+  * Spark-side plumbing real): `fakeDecode` pretends the blob is a frame
+  * and derives (n_bytes, checksum, width, height) purely from the bytes.
+  * The plumbing IS real: binary column → typed Dataset →
+  * `mapPartitions` (the Scala analogue of a batched Pandas UDF: one
+  * iterator per partition, amortized per-batch setup — a real decoder
+  * would open its codec context once per partition here, exactly where
+  * the stub comment sits).
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  final case class Blob(doc_id: Long, payload: Array[Byte])
+  final case class Frame(doc_id: Long, n_bytes: Int, checksum: Long,
+    width: Int, height: Int)
+
+  /** STUB decoder — deterministic fake in place of a real image/audio
+    * codec. A production build swaps the body for e.g. a JPEG decode;
+    * the signature (bytes → typed metadata) and the call site (inside
+    * mapPartitions, after per-partition init) stay identical.
+    */
+  def fakeDecode(bytes: Array[Byte]): (Int, Long, Int, Int) = {
+    val n = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < math.min(4, n)) { sum += bytes(i) & 0xFF; i += 1 }
+    (n, sum, n % 640, n % 480)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_decode_meta" -> { (s, d) =>
+      val sp = s
+      import sp.implicits._
+      // documents.text stands in for the binary payload (UTF-8 bytes of
+      // ASCII text → n_bytes == n_chars, keeping the oracle exact).
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[Blob]
+        .mapPartitions { blobs =>
+          // per-partition init of the (stubbed) decoder would go here
+          blobs.map { b =>
+            val (n, sum, w, h) = fakeDecode(b.payload)
+            Frame(b.doc_id, n, sum, w, h)
+          }
+        }
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    "mm_frame_sample" -> { (s, d) =>
+      // Frame sampling: pretend each 16-byte window is a frame; sample
+      // every 4th. Exercises the explode-to-frames shape (one blob row →
+      // many frame rows) that video pipelines need.
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[Blob]
+        .flatMap { b =>
+          val frames = b.payload.grouped(16).toIndexedSeq
+          frames.indices.collect {
+            case i if i % 4 == 0 =>
+              (b.doc_id, i, frames(i).length,
+                frames(i).foldLeft(0L)((a, x) => a + (x & 0xFF)))
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_bytes", "frame_sum")
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // ASCII text ⇒ byte values == codepoints, so the stub decode is
+    // SQL-expressible and the plumbing gets a real hash-compare.
+    "mm_decode_meta" ->
+      """SELECT doc_id, n_bytes, checksum, n_bytes % 640 AS width, n_bytes % 480 AS height
+        |FROM (
+        |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+        |    CAST(ord(substring(text, 1, 1)) + ord(substring(text, 2, 1))
+        |       + ord(substring(text, 3, 1)) + ord(substring(text, 4, 1)) AS BIGINT) AS checksum
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(CAST(ceil(length(text) / 16.0) AS BIGINT))) AS i
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |    substring(text, CAST(i * 16 + 1 AS INTEGER), 16) AS frame
+        |  FROM idx)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(frame) AS INTEGER) AS frame_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(frame, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (a, x) -> a + x) AS BIGINT) AS frame_sum
+        |FROM frames WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

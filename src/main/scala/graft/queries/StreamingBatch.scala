@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Batch-equivalent forms of the streaming operators (SURVEY.md §2j).
+  * The oracle is batch DuckDB, so each op ships twice: these DataFrame
+  * queries (hash-compared) + true Structured Streaming forms in
+  * graft.streaming.StreamingOps whose incremental results are asserted
+  * equal to these in StreamingSpec.
+  */
+object StreamingBatch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val hourUs = 3600000000L
+  private val halfHourUs = 1800000000L
+  private val gapUs = 300000000L // 5-minute session gap
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling_counts" -> ((s, d) =>
+      eventsTs(s, d)
+        .groupBy(window(col("ts_t"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .select(col("win.start").cast("timestamp_ntz").as("hour_start"), col("event_type"),
+          col("n"), col("avg_value"))
+        .orderBy("hour_start", "event_type")),
+
+    "stream_sliding_avg" -> ((s, d) =>
+      eventsTs(s, d)
+        .groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .select(col("win.start").cast("timestamp_ntz").as("win_start"), col("n"), col("avg_value"))
+        .orderBy("win_start")),
+
+    "stream_session_windows" -> { (s, d) =>
+      // Gaps-and-islands: session boundary where the gap to the previous
+      // event of the same user exceeds 5 minutes; identical windowed SQL
+      // runs in DuckDB (SURVEY.md §2j pins this form for the oracle).
+      val w1 = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsTs(s, d)
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w1))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(w2))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+        .withColumn("span_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "sess_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      s"""SELECT make_timestamp(epoch_us(ts) // $hourUs * $hourUs) AS hour_start,
+        |  event_type, count(*) AS n, ${oAvg("value")} AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "stream_sliding_avg" ->
+      s"""WITH assigned AS (
+        |  SELECT make_timestamp(epoch_us(ts) // $halfHourUs * $halfHourUs) AS w0, value FROM events
+        |  UNION ALL
+        |  SELECT make_timestamp((epoch_us(ts) // $halfHourUs - 1) * $halfHourUs) AS w0, value FROM events)
+        |SELECT w0 AS win_start, count(*) AS n, ${oAvg("value")} AS avg_value
+        |FROM assigned GROUP BY w0 ORDER BY win_start""".stripMargin,
+
+    "stream_session_windows" ->
+      s"""WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN gap IS NULL OR gap > $gapUs THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |ids AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS span_us
+        |FROM ids GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+  )
+}

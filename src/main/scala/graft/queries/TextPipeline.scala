@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** LLM-training-data pipeline: deduplication + text analysis
+  * (SURVEY.md §2i, north-star layer).
+  *
+  * Scale design: exact dedup is a hash-groupBy (one shuffle on the
+  * fingerprint); the exact Jaccard join is BLOCKED on (lang, source) so
+  * the quadratic term is bounded per block; MinHash+LSH is the 100 TB
+  * path — signatures are one groupBy over exploded tokens, candidate
+  * generation is an equi-join on (band-id, band-hash) buckets, never an
+  * all-pairs comparison.
+  */
+object TextPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  /** MinHash parameters: K signature slots in B bands of R rows.
+    * Hashes are xxhash64 of token+slot-tag — seeded, deterministic. */
+  private val K = 16
+  private val B = 4
+  private val R = K / B
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> { (s, d) =>
+      // The corpus has no exact dups (FIXTURES.md) → self-union first so
+      // the query demonstrably removes something; survivor = min doc_id
+      // per md5(text); emit surviving docs per lang.
+      val docs = documents(s, d).select("doc_id", "text", "lang")
+      val dup = docs.unionByName(docs)
+      dup
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+        .select(col("keep.lang").as("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_unique_docs"))
+        .orderBy("lang")
+    },
+
+    "dedup_jaccard_pairs" -> { (s, d) =>
+      // Exact near-dup pairs, blocked on (lang, source): explode →
+      // self-join on shared token within block → |A∩B| / (|A|+|B|−|A∩B|).
+      val tok = tokens(s, d)
+      val sizes = tok.groupBy(col("doc_id").as("sz_id"))
+        .agg(count(lit(1)).as("n_tok"))
+      val a = tok.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("w"))
+      val b = tok.select(col("doc_id").as("id_b"),
+        col("lang").as("lang_b"), col("source").as("source_b"), col("w").as("w_b"))
+      val inter = a.join(b,
+          col("w") === col("w_b") && col("lang") === col("lang_b") &&
+            col("source") === col("source_b") && col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("sz_id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("sz_id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+        .withColumn("jac", col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "dedup_minhash" -> { (s, d) =>
+      // The scale path: K=16 minhash slots over token sets, banded into
+      // B=4 LSH buckets; candidates = pairs sharing ≥1 (band, hash)
+      // bucket. Engine-specific hashing → no SQL oracle; recall vs the
+      // exact jaccard truth is asserted in TextSpec.
+      val tok = tokens(s, d).select("doc_id", "w")
+      val minCols = (0 until K).map(i =>
+        min(xxhash64(concat(col("w"), lit(s"#$i")))).as(s"m$i"))
+      val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until B).map { j =>
+        val rowCols = (0 until R).map(r => col(s"m${j * R + r}"))
+        struct(lit(j).as("band"), xxhash64(rowCols: _*).as("bh"))
+      }
+      val banded = sigs.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+      banded.alias("x")
+        .join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "text_stats" -> { (s, d) =>
+      // Per-lang corpus stats + top-3 terms (freq desc, term asc).
+      val byLang = documents(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        davg(col("n_chars")).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      val termFreq = documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy("lang").orderBy(desc("freq"), asc("term"))
+      val top = termFreq.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      top.join(byLang, "lang")
+        .select("lang", "rank", "term", "freq", "n_docs", "avg_chars", "min_chars", "max_chars")
+        .orderBy("lang", "rank")
+    },
+
+    "text_tfidf" -> { (s, d) =>
+      // Top TF-IDF term per doc: tf · ln(N/df). Ranked on the ROUNDED
+      // score (term asc tiebreak) so float noise can't reorder engines.
+      val docs = documents(s, d)
+      // Corpus size as a broadcast 1-row DF — no driver-side action.
+      val nDf = docs.agg(count(lit(1)).cast(DoubleType).as("corpus_n"))
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDf))
+        .withColumn("score", round(col("tf") * log(col("corpus_n") / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("score"))
+        .orderBy("doc_id")
+    },
+
+    "text_tokens" -> ((s, d) =>
+      // Token counting: whitespace tokens + a BPE-ish subword regex
+      // (letter-runs/digit-runs/punct as separate tokens) + chars.
+      documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+        length(regexp_replace(col("text"), "[^a-z0-9]", "")).as("n_alnum_chars"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      // Quality scoring: length ratio, stopword ratio, mean word length
+      // — the standard pretraining-filter features.
+      documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("n_stop", size(filter(split(col("text"), " "),
+          x => x.isin("a", "the", "of", "and", "to"))))
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          round(col("n_stop").cast(DoubleType) / col("n_tok"), 6).as("stopword_ratio"),
+          round(col("n_chars").cast(DoubleType) / col("n_tok"), 6).as("mean_tok_len"),
+          (col("n_chars").between(100, 400) && col("n_tok") >= 20).as("passes_filter"))
+        .orderBy("doc_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH dup AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id, text, lang FROM documents),
+        |keep AS (
+        |  SELECT min(doc_id) AS keep_id FROM dup GROUP BY md5(text))
+        |SELECT lang, count(*) AS n_unique_docs
+        |FROM documents JOIN keep ON doc_id = keep_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jac
+        |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) t
+        |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH by_lang AS (
+        |  SELECT lang, count(*) AS n_docs, ${oAvg("n_chars")} AS avg_chars,
+        |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |  FROM documents GROUP BY lang),
+        |tf AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |freqs AS (
+        |  SELECT lang, term, count(*) AS freq FROM tf GROUP BY lang, term),
+        |top AS (
+        |  SELECT lang, term, freq, row_number()
+        |    OVER (PARTITION BY lang ORDER BY freq DESC, term ASC) AS rank
+        |  FROM freqs)
+        |SELECT t.lang, rank, term, freq, n_docs, avg_chars, min_chars, max_chars
+        |FROM top t JOIN by_lang b ON t.lang = b.lang
+        |WHERE rank <= 3 ORDER BY t.lang, rank""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) x
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS n_alnum_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_tok,
+        |  round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+        |  round(CAST(n_chars AS DOUBLE) / n_tok, 6) AS mean_tok_len,
+        |  (n_chars BETWEEN 100 AND 400) AND n_tok >= 20 AS passes_filter
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS n_stop
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin
+  )
+}

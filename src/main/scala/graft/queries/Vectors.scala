@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Similarity search over the embeddings table (SURVEY.md §2i).
+  *
+  * Numeric determinism: every dot product is a LEFT-FOLD over
+  * double-cast floats (Spark `aggregate`, DuckDB `list_reduce`), so both
+  * engines sum in the identical order; results are rounded at 6 digits.
+  *
+  * Scale design: brute-force top-k broadcasts the single query vector
+  * (no shuffle at all — a map-side scan + TakeOrdered); the pairs query
+  * blocks on `label` so the quadratic term is bounded per block; the ANN
+  * variant buckets by random-hyperplane LSH sign bits so candidate
+  * generation is an equi-join on bucket id — the same shape that holds
+  * when the table is 10^9 vectors.
+  */
+object Vectors {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Left-fold dot product of two float-array columns as double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / norm(a) / norm(b)
+
+  /** Deterministic pseudo-hyperplanes: component h[i] of plane p is a
+    * signed hash of (p, i) — reproducible, no RNG (which is banned,
+    * SURVEY.md §7.5). Built as a literal array so the sign test is one
+    * compact zip_with fold, not a 512-term unrolled expression (the
+    * first version blew past the codegen size limits).
+    */
+  private def planeLit(plane: Int, dim: Int): Column =
+    array((0 until dim).map { i =>
+      lit(((plane * 1315423911L + i * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5)
+    }: _*)
+
+  private def hyperplaneSign(emb: Column, plane: Int, dim: Int): Column =
+    (dot(emb, planeLit(plane, dim)) > 0).cast(IntegerType)
+
+  val queries: Map[String, Q] = Map(
+    "sim_cosine_topk" -> { (s, d) =>
+      // Brute-force top-20 cosine neighbors of vec_id 0: broadcast the
+      // query row, map-side dot products, TakeOrdered for the top-k.
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(20)
+    },
+
+    "sim_pairs_threshold" -> { (s, d) =>
+      // All pairs with cosine ≥ 0.3 within a label block.
+      val a = embeddings(s, d).select(col("vec_id").as("id_a"),
+        col("label"), col("embedding").as("emb_a"))
+      val b = embeddings(s, d).select(col("vec_id").as("id_b"),
+        col("label").as("label_b"), col("embedding").as("emb_b"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .filter(col("cos") >= 0.3)
+        .select("label", "id_a", "id_b", "cos")
+        .orderBy("label", "id_a", "id_b")
+    },
+
+    "sim_ann_lsh" -> { (s, d) =>
+      // ANN scale path: 8 sign-bit hyperplane hashes → bucket id;
+      // candidates = vectors in the query's bucket or any bucket at
+      // Hamming distance 1 (multi-probe), exact cosine re-rank on the
+      // candidates only. Recall vs brute force asserted in VectorSpec
+      // (LSH bucketing isn't SQL-oracle-able: no RNG-free equivalent of
+      // the plane family worth maintaining in DuckDB).
+      val emb = embeddings(s, d)
+      val planes = 8
+      val bucket = (0 until planes)
+        .map(p => hyperplaneSign(col("embedding"), p, 64) * (1 << p))
+        .reduce(_ + _)
+      val withBucket = emb.withColumn("bucket", bucket)
+      val probes = (0 until planes).map(p => col("q_bucket").bitwiseXOR(lit(1 << p))) :+
+        col("q_bucket")
+      val q = withBucket.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+        .select(col("q_emb"), explode(array(probes: _*)).as("probe"))
+      withBucket.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("probe"))
+        .select(col("vec_id"), col("bucket"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(20)
+    }
+  )
+
+  private val oCos: String =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list_zip(%A, %B), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+      |      (acc, x) -> acc + x)
+      |    / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(%A, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))
+      |    / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(%B, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(
+        |  ${oCos.replace("%A", "embedding").replace("%B", "q_emb")}, 6) AS cos
+        |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "sim_pairs_threshold" ->
+      s"""SELECT label, id_a, id_b, cos FROM (
+        |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, round(
+        |    ${oCos.replace("%A", "a.embedding").replace("%B", "b.embedding")}, 6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.3 ORDER BY label, id_a, id_b""".stripMargin
+  )
+}

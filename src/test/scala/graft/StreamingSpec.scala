@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+/** Structured Streaming forms equal their batch forms (SURVEY.md §5.4):
+  * events parquet split into several files → readStream → op →
+  * MemorySink → compare with the same logic run in batch. File order is
+  * shuffled to exercise cross-file disorder; the late-data test drives
+  * one file at a time so the watermark actually advances between
+  * triggers and drops a too-late file.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var srcDir: Path = _
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Split events into 8 files, shuffled across time (partitioned by
+    // a hash, so each file spans the whole month — disorder guaranteed).
+    srcDir = Files.createTempDirectory("graft_stream_src")
+    graft.Tables.events(spark, sf)
+      .repartition(8, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir.toString)
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling counts: streaming == batch") {
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val got = runToMemory(StreamingOps.tumblingCounts(stream), "t_tumbling", "complete")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = graft.Tables.eventsTs(spark, sf)
+      .groupBy(window(col("ts_t"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("hour_start"), col("event_type"), col("n"))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(got === want)
+  }
+
+  test("session windows: streaming session_window == batch gaps-and-islands") {
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val got = runToMemory(StreamingOps.sessionCounts(stream), "t_session", "complete")
+      .select("user_id", "n_events")
+      .groupBy("user_id").agg(sum("n_events").as("total"), count(lit(1)).as("n_sessions"))
+      .orderBy("user_id").collect().toSeq
+    // Batch truth from the gaps-and-islands query (same 5-min gap).
+    val want = graft.queries.StreamingBatch.queries("stream_session_windows")(spark, sf)
+      .groupBy("user_id").agg(sum("n_events").as("total"), count(lit(1)).as("n_sessions"))
+      .orderBy("user_id").collect().toSeq
+    assert(got === want)
+  }
+
+  test("watermark dedup drops duplicate event_ids") {
+    // Duplicate the whole source: every event_id appears twice.
+    val dupDir = Files.createTempDirectory("graft_stream_dup")
+    val ev = graft.Tables.events(spark, sf)
+    ev.unionByName(ev).repartition(8, col("event_id"))
+      .write.mode("overwrite").parquet(dupDir.toString)
+    val stream = StreamingOps.readEvents(spark, dupDir.toString)
+    val got = runToMemory(StreamingOps.dedupEvents(stream), "t_dedup", "append")
+    assert(got.count() === ev.count())
+    assert(got.select("event_id").distinct().count() === ev.count())
+  }
+
+  test("flatMapGroupsWithState running totals == batch per-user totals") {
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val mem = runToMemory(StreamingOps.runningTotals(stream).toDF(), "t_state", "update")
+    // Update mode may emit a row per key per batch: keep the final one.
+    val got = mem.groupBy("user_id").agg(max("n").as("n"))
+      .orderBy("user_id").collect().toSeq
+    val want = graft.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().toSeq
+    assert(got === want)
+  }
+
+  test("late data beyond the watermark is dropped") {
+    // Three files, one per trigger: file A carries hours 10 and 23
+    // (advancing event time to 23:00), file B is a bridge (observed:
+    // Spark applies the advanced watermark starting one batch AFTER the
+    // advancing batch), file C replays hour 10 — far beyond the
+    // 1-minute watermark by then, so it must be dropped in append mode.
+    val lateDir = Files.createTempDirectory("graft_stream_late")
+    val spark2 = spark
+    import spark2.implicits._
+    def mkRow(id: Long, hour: Int, minute: Int): (Long, Long, Long, String, Double, String) = {
+      val us = (java.time.Instant.parse("2024-06-01T00:00:00Z").getEpochSecond * 1000000L) +
+        (hour * 3600L + minute * 60L) * 1000000L
+      (id, us * 1000L, id % 3, "click", 1.0, "{}")
+    }
+    val files = Seq(
+      "a.parquet" -> Seq(mkRow(1, 10, 0), mkRow(2, 10, 30), mkRow(3, 23, 0)),
+      "b.parquet" -> Seq(mkRow(4, 22, 0)),  // bridge batch
+      "c.parquet" -> Seq(mkRow(5, 10, 31))) // 12.5h late → dropped
+    val srcFlat = Files.createTempDirectory("graft_stream_late_flat")
+    import java.nio.file.attribute.FileTime
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val sub = s"$lateDir/$name.dir"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = java.nio.file.Paths.get(s"$srcFlat/$name")
+      Files.copy(part.toPath, target)
+      // FileStreamSource orders by modification time: force a < b < c.
+      Files.setLastModifiedTime(target,
+        FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 10000))
+    }
+    val stream = StreamingOps.readEvents(spark, srcFlat.toString, maxFilesPerTrigger = Some(1))
+    val got = runToMemory(
+      StreamingOps.tumblingCounts(stream, watermark = "1 minute"), "t_late", "append")
+    // Hour-10 window closed once the watermark reached 22:59; the late
+    // hour-10 event from file c must not appear: count stays 2.
+    val hour10 = got.filter(col("hour_start") === lit("2024-06-01 10:00:00").cast("timestamp"))
+      .select("n").collect()
+    assert(hour10.length === 1 && hour10(0).getLong(0) === 2L,
+      s"late row leaked into the closed window: ${got.collect().mkString(",")}")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
