@@ -108,17 +108,20 @@ object Joins {
     "join_theta_range" -> { (s, d) =>
       // Banded theta join: l_quantity BETWEEN p_size-1 AND p_size+1.
       // Parts replicate to the 3 integer bands they can match; lineitem
-      // maps to floor(l_quantity); equi-join on band + exact residual.
+      // is PRE-AGGREGATED to (band, quantity) groups first — the pair
+      // explosion then happens on weighted group rows (~100s) instead of
+      // raw lineitems (~10^5), which is what keeps this join viable when
+      // lineitem is 100 TB. Exact residual after a broadcast equi-join.
       val p = part(s, d).filter(col("p_size") <= 3)
-        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .select(col("p_brand"), col("p_size"))
         .withColumn("band", explode(array(col("p_size") - 1, col("p_size"), col("p_size") + 1)))
       val l = lineitem(s, d).filter(col("l_quantity") < 4)
-        .select(col("l_quantity"), col("l_extendedprice"))
-        .withColumn("band", floor(col("l_quantity")).cast("int"))
-      l.join(p, Seq("band"))
+        .groupBy(floor(col("l_quantity")).cast("int").as("band"), col("l_quantity"))
+        .agg(count(lit(1)).as("n_l"), sum(dec(col("l_extendedprice"))).as("price_sum"))
+      l.join(broadcast(p), Seq("band"))
         .filter(col("l_quantity").between(col("p_size") - 1, col("p_size") + 1))
         .groupBy("p_brand")
-        .agg(count(lit(1)).as("n_pairs"), dsum(col("l_extendedprice")).as("value"))
+        .agg(sum(col("n_l")).as("n_pairs"), sum(col("price_sum")).cast(D).as("value"))
         .orderBy("p_brand")
     },
 

@@ -23,6 +23,18 @@ object TextPipeline {
     documents(s, d).select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
 
+  /** Distinct 5-word shingles per doc (docs shorter than 5 words are
+    * excluded — none exist in this corpus, n_chars ≥ 48).
+    */
+  private[queries] def shingles(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    documents(s, d)
+      .filter(size(words) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(words) - 5),
+          i => concat_ws(" ", slice(words, i + 1, lit(5)))))).as("w"))
+  }
+
   /** MinHash parameters: K signature slots in B bands of R rows.
     * Hashes are xxhash64 of token+slot-tag — seeded, deterministic. */
   private val K = 16
@@ -70,11 +82,14 @@ object TextPipeline {
     },
 
     "dedup_minhash" -> { (s, d) =>
-      // The scale path: K=16 minhash slots over token sets, banded into
-      // B=4 LSH buckets; candidates = pairs sharing ≥1 (band, hash)
-      // bucket. Engine-specific hashing → no SQL oracle; recall vs the
-      // exact jaccard truth is asserted in TextSpec.
-      val tok = tokens(s, d).select("doc_id", "w")
+      // The scale path: K=16 minhash slots over 5-word SHINGLE sets,
+      // banded into B=4 LSH buckets; candidates = pairs sharing ≥1
+      // (band, hash) bucket. Shingles (not unigrams) keep buckets sparse
+      // — the 31-word vocabulary makes every unigram token-set nearly
+      // identical, which degenerated LSH into all-pairs (bench-observed).
+      // Engine-specific hashing → no SQL oracle; recall on planted
+      // near-dups is asserted in TextSpec.
+      val tok = shingles(s, d).select("doc_id", "w")
       val minCols = (0 until K).map(i =>
         min(xxhash64(concat(col("w"), lit(s"#$i")))).as(s"m$i"))
       val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -141,6 +156,16 @@ object TextPipeline {
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
         length(regexp_replace(col("text"), "[^a-z0-9]", "")).as("n_alnum_chars"))
         .orderBy("doc_id")),
+
+    "text_fingerprint" -> { (s, d) =>
+      // Rolling-hash fingerprint via the custom codegen'd RollingHash
+      // expression; equals the oracle's ord-fold because the corpus is
+      // ASCII (bytes == codepoints).
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d)
+        .select(col("doc_id"), call_function("graft_fingerprint", col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
 
     "text_quality" -> ((s, d) =>
       // Quality scoring: length ratio, stopword ratio, mean word length
@@ -224,6 +249,12 @@ object TextPipeline {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
         |  length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS n_alnum_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |  (a, x) -> (a * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
+import graft.functions.GraftFunctions
 
 /** Similarity search over the embeddings table (SURVEY.md §2i).
   *
@@ -21,10 +22,13 @@ import graft.Tables._
 object Vectors {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Left-fold dot product of two float-array columns as double. */
+  /** Index-order dot product via the custom codegen'd DotProductF
+    * expression (graft.functions.Expressions) — same accumulation order
+    * as the oracle's left fold, ~10× the interpreted higher-order-
+    * function version that bench flagged.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -39,7 +43,7 @@ object Vectors {
     */
   private def planeLit(plane: Int, dim: Int): Column =
     array((0 until dim).map { i =>
-      lit(((plane * 1315423911L + i * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5)
+      lit((((plane * 1315423911L + i * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5).toFloat)
     }: _*)
 
   private def hyperplaneSign(emb: Column, plane: Int, dim: Int): Column =
@@ -49,6 +53,7 @@ object Vectors {
     "sim_cosine_topk" -> { (s, d) =>
       // Brute-force top-20 cosine neighbors of vec_id 0: broadcast the
       // query row, map-side dot products, TakeOrdered for the top-k.
+      GraftFunctions.register(s)
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
@@ -61,13 +66,19 @@ object Vectors {
     },
 
     "sim_pairs_threshold" -> { (s, d) =>
-      // All pairs with cosine ≥ 0.3 within a label block.
-      val a = embeddings(s, d).select(col("vec_id").as("id_a"),
-        col("label"), col("embedding").as("emb_a"))
-      val b = embeddings(s, d).select(col("vec_id").as("id_b"),
-        col("label").as("label_b"), col("embedding").as("emb_b"))
+      // All pairs with cosine ≥ 0.3 within a label block. Norms are
+      // precomputed once per vector (not once per pair), and the
+      // division shape dot/‖a‖/‖b‖ matches the oracle exactly.
+      GraftFunctions.register(s)
+      val withNorm = embeddings(s, d)
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val a = withNorm.select(col("vec_id").as("id_a"),
+        col("label"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = withNorm.select(col("vec_id").as("id_b"),
+        col("label").as("label_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
       a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .withColumn("cos",
+          round(dot(col("emb_a"), col("emb_b")) / col("nrm_a") / col("nrm_b"), 6))
         .filter(col("cos") >= 0.3)
         .select("label", "id_a", "id_b", "cos")
         .orderBy("label", "id_a", "id_b")
@@ -80,6 +91,7 @@ object Vectors {
       // candidates only. Recall vs brute force asserted in VectorSpec
       // (LSH bucketing isn't SQL-oracle-able: no RNG-free equivalent of
       // the plane family worth maintaining in DuckDB).
+      GraftFunctions.register(s)
       val emb = embeddings(s, d)
       val planes = 8
       val bucket = (0 until planes)
