@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism double-run (SURVEY.md §5.5): every query executed twice
+  * under different shuffle-partition counts must produce byte-identical
+  * rows — catches missing ORDER BYs and float-order instability before
+  * the driver's hash compare does.
+  */
+class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+
+  test("every query is stable across shuffle-partition counts") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val q = SparkEntry.queries(name)
+      val r1 = q(spark, sf).collect().map(_.toString).toSeq
+      val r2 = q(alt, sf).collect().map(_.toString).toSeq
+      if (r1 == r2) None
+      else Some(s"$name (${r1.length} vs ${r2.length} rows, first diff: " +
+        r1.zip(r2).find { case (a, b) => a != b }.orElse(
+          Some((r1.lift(r2.length).getOrElse("-"), r2.lift(r1.length).getOrElse("-")))) + ")")
+    }
+    assert(bad.isEmpty, s"nondeterministic queries:\n${bad.mkString("\n")}")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}

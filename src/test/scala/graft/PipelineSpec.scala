@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-pipeline operators that have no SQL oracle (SURVEY.md §5.2):
+  * minhash recall on planted near-dups, ANN candidate soundness,
+  * approx_count_distinct accuracy, trigram generator counts.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+
+  test("dedup_minhash finds planted near-duplicates") {
+    val sp = spark
+    import sp.implicits._
+    // Plant dups: for each source doc (ids 0..49), a copy with one word
+    // changed → shingle-jaccard stays high; copies get ids 10000+i.
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val planted = docs.map { case (id, text) =>
+      val words = text.split(" ")
+      words(words.length / 2) = "XREPLACEDX"
+      (id + 10000L, words.mkString(" "))
+    }
+    val all = (docs ++ planted).toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_minhash").toString
+    all.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cand = SparkEntry.queries("dedup_minhash")(spark, tmp)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = docs.count { case (id, _) => cand.contains((id, id + 10000L)) }
+    // K=16/B=4/R=4 banding: P(candidate) ≈ 1-(1-j^4)^4 — planted pairs
+    // have shingle-jaccard ≈ 0.9+ → expect ≳85% recall.
+    assert(found >= 40, s"minhash recall too low: $found/50 planted dups found")
+  }
+
+  test("sim_ann_lsh candidates carry exact cosines from the brute-force set") {
+    val sp = spark
+    import sp.implicits._
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .select("vec_id", "cos").as[(Long, Double)].collect()
+    assert(ann.nonEmpty, "ANN returned no candidates")
+    // Each ANN hit's cosine must equal the brute-force cosine for that id
+    // (brute holds top-20 only, so compare where present).
+    ann.foreach { case (id, c) =>
+      brute.get(id).foreach(b => assert(math.abs(b - c) < 1e-9, s"cos mismatch for $id"))
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val got = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact)
+      assert(math.abs(got(k) - e).toDouble / e <= 0.05, s"$k: ${got(k)} vs $e")
+  }
+
+  test("udtf_ngrams counts match sliding-window arithmetic") {
+    val sp = spark
+    import sp.implicits._
+    val row = SparkEntry.queries("udtf_ngrams")(spark, sf)
+      .filter(col("doc_id") === 0).as[(Long, Long, Long)].collect().head
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").as[String].collect().head
+    assert(row._2 === (text.length - 2).toLong) // n_tri = len-2
+    assert(row._3 === text.sliding(3).toSet.size.toLong)
+  }
+
+  test("geomean UDAF equals direct computation") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("agg_udaf_geomean")(spark, sf)
+      .select("p_brand", "geomean_price").as[(String, Double)].collect().toMap
+    val prices = Tables.part(spark, sf).select("p_brand", "p_retailprice")
+      .as[(String, Double)].collect().groupBy(_._1)
+    for ((brand, vs) <- prices) {
+      val expect = math.exp(vs.map(v => math.round(math.log(v._2) * 1e12)).sum / 1e12 / vs.size)
+      assert(math.abs(got(brand) - expect) < 1e-3, s"$brand: ${got(brand)} vs $expect")
+    }
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
