@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions (SURVEY.md §4b, task contract: ".explain
+  * the plan and iterate until it's the plan you'd want"). These pin the
+  * scale-critical properties so a refactor can't silently regress them:
+  * pushdown reaching the parquet scan, broadcast joins staying broadcast,
+  * top-k avoiding the full sort, aggregates doing map-side partials, and
+  * the custom expressions staying inside whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("projection pushdown reaches the parquet scan") {
+    val p = plan("scan_projection_pushdown")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate"),
+      s"scan reads more than the projected columns:\n$p")
+  }
+
+  test("filter predicates are pushed to the orders scan") {
+    val p = plan("filter_predicates")
+    assert(p.contains("PushedFilters: [Or("), s"OR predicate not pushed:\n$p")
+  }
+
+  test("dimension joins broadcast") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan("join_multiway_star")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("group-by does map-side partial aggregation") {
+    val p = plan("agg_groupby")
+    assert(p.contains("HashAggregate") &&
+      "HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("theta-range join broadcasts the banded dimension side") {
+    val p = plan("join_theta_range")
+    assert(p.contains("BroadcastHashJoin"), s"banded join must broadcast parts:\n$p")
+  }
+
+  test("custom dot-product expression stays inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("dotproductf"),
+      "custom expression missing from the plan")
+    // Codegen mode materializes the generated Java: the dot product must
+    // compile into a whole-stage span (a CodegenFallback expression would
+    // leave zero subtrees around it). AQE wraps the plan before execution
+    // and reports zero subtrees, so inspect with AQE off.
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen = SparkEntry.queries("sim_pairs_threshold")(noAqe, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(gen.contains("WholeStageCodegen subtrees"), s"no codegen output:\n${gen.take(500)}")
+    assert(!gen.matches("(?s).*Found 0 WholeStageCodegen.*"), "zero codegen subtrees")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
