@@ -159,6 +159,35 @@ object TextPipeline {
         length(regexp_replace(col("text"), "[^a-z0-9]", "")).as("n_alnum_chars"))
         .orderBy("doc_id")),
 
+    "text_langid" -> { (s, d) =>
+      // Language-ID by character-trigram profiles, self-trained: per-lang
+      // top-20 trigrams (freq desc, trigram asc) form the profile; a doc
+      // is classified as the lang whose profile shares the most distinct
+      // trigrams (ties → lang asc). Emits per-lang accuracy against the
+      // labeled corpus. All-integer scoring → exact oracle.
+      val tris = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(
+          transform(sequence(lit(0), length(col("text")) - 3),
+            i => col("text").substr(i + 1, lit(3))))).as("tri"))
+      val profile = tris
+        .groupBy("lang", "tri").agg(count(lit(1)).as("freq"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("freq"), asc("tri"))))
+        .filter(col("rk") <= 20)
+        .select(col("lang").as("p_lang"), col("tri"))
+      val scored = tris.join(broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(count(lit(1)).as("matches"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("matches"), asc("p_lang"))))
+        .filter(col("rk") === 1)
+      scored
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("p_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy("lang")
+    },
+
     "text_fingerprint" -> { (s, d) =>
       // Rolling-hash fingerprint via the custom codegen'd RollingHash
       // expression; equals the oracle's ord-fold because the corpus is
@@ -252,6 +281,31 @@ object TextPipeline {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
         |  length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS n_alnum_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH tris AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(length(text) - 2), i -> substring(text, CAST(i + 1 AS INTEGER), 3)))) AS tri
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, tri FROM (
+        |    SELECT lang, tri, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, tri ASC) AS rk
+        |    FROM tris GROUP BY lang, tri) t
+        |  WHERE rk <= 20),
+        |scored AS (
+        |  SELECT doc_id, lang, p_lang, count(*) AS matches
+        |  FROM tris JOIN profile USING (tri)
+        |  GROUP BY doc_id, lang, p_lang),
+        |best AS (
+        |  SELECT doc_id, lang, p_lang FROM (
+        |    SELECT doc_id, lang, p_lang, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY matches DESC, p_lang ASC) AS rk
+        |    FROM scored) t
+        |  WHERE rk = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN p_lang = lang THEN 1 ELSE 0 END) AS n_correct
+        |FROM best GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
