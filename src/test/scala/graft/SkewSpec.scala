@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew mitigation patterns for the 100 TB path (SURVEY.md §4b):
+  * salted two-phase aggregation must equal the direct aggregation, and
+  * AQE's skew-join handling stays enabled in the harness sessions.
+  */
+class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val sp = spark
+    import sp.implicits._
+    // Skewed input: 90% of rows share one key (the hot key a real
+    // pipeline salts), exact decimal measure so equality is bitwise.
+    val skewed = spark.range(0, 100000)
+      .select(
+        when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id") % 97)).as("key"),
+        (col("id") % 1000).cast("decimal(18,2)").as("v"))
+
+    val direct = skewed.groupBy("key")
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      .orderBy("key").collect().toSeq
+
+    // Phase 1 partial-aggregates on (key, salt); phase 2 merges per key.
+    // At 100 TB the phase-1 shuffle spreads the hot key over 32 reducers
+    // instead of one.
+    val salted = skewed
+      .withColumn("salt", pmod(hash(col("v")), lit(32)))
+      .groupBy("key", "salt")
+      .agg(sum(col("v")).as("pt"), count(lit(1)).as("pn"))
+      .groupBy("key")
+      .agg(sum(col("pt")).as("total"), sum(col("pn")).as("n"))
+      .orderBy("key").collect().toSeq
+
+    assert(salted === direct)
+  }
+
+  test("AQE and its skew-join handling are on in harness sessions") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
