@@ -224,6 +224,27 @@ object Relational {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    // ------------------------------------------------------- reshaping
+    "reshape_pivot" -> ((s, d) =>
+      // Pivot with an explicit value list (deterministic columns); the
+      // oracle expresses the same reshape as conditional aggregates.
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    "reshape_unpivot" -> ((s, d) =>
+      // Unpivot/melt (Spark 3.4+ native operator) back to long form.
+      customer(s, d)
+        .select(col("c_custkey"),
+          col("c_acctbal").as("acctbal"),
+          col("c_nationkey").cast(DoubleType).as("nationkey_d"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey_d")), "metric", "val")
+        .orderBy("c_custkey", "metric")),
+
     // ------------------------------------------------- 2f sorts / set ops
     "sort_multi_key" -> ((s, d) =>
       lineitem(s, d)
@@ -377,6 +398,22 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "reshape_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "reshape_unpivot" ->
+      """SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey_d' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer)
+        |ORDER BY c_custkey, metric""".stripMargin,
 
     "sort_multi_key" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag
