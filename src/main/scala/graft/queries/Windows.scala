@@ -27,12 +27,25 @@ object Windows {
     "win_rank_dense" -> { (s, d) =>
       // Banded price → genuine ties; rank/dense_rank depend only on the
       // band so the values are deterministic despite ties.
+      //
+      // Scale form: a naive rank() over partitionBy(status) serializes
+      // each status (3 partitions for 100 TB of orders). Since ranks are
+      // a function of the band alone, compute them on the TINY
+      // (status, band) aggregate — rank = 1 + rows in higher bands,
+      // dense_rank = band position — and broadcast-join back. Identical
+      // values, no giant window state.
       val banded = orders(s, d)
         .withColumn("band", floor(col("o_totalprice") / 50000).cast("long"))
       val w = Window.partitionBy("o_orderstatus").orderBy(desc("band"))
-      banded
-        .withColumn("rnk", rank().over(w))
-        .withColumn("drnk", dense_rank().over(w))
+      val bandRanks = banded.groupBy("o_orderstatus", "band")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rnk", (coalesce(sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1).cast("int"))
+        .withColumn("drnk", row_number().over(w))
+        .select(col("o_orderstatus").as("st"), col("band").as("b"),
+          col("rnk"), col("drnk"))
+      banded.join(broadcast(bandRanks),
+          col("o_orderstatus") === col("st") && col("band") === col("b"))
         .select("o_orderkey", "o_orderstatus", "band", "rnk", "drnk")
         .orderBy("o_orderkey")
     },
