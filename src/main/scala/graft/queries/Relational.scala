@@ -224,6 +224,20 @@ object Relational {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "subquery_correlated" -> { (s, d) =>
+      // Correlated scalar subquery — exercises Catalyst's
+      // RewriteCorrelatedScalarSubquery decorrelation (SURVEY.md §4b).
+      // The per-customer average is an exact decimal sum divided as
+      // double, so both engines compare against identical thresholds.
+      orders(s, d).createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM sq_orders o1
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+          |  FROM sq_orders o2 WHERE o2.o_custkey = o1.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ------------------------------------------------------- reshaping
     "reshape_pivot" -> ((s, d) =>
       // Pivot with an explicit value list (deterministic columns); the
@@ -398,6 +412,13 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o1
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "reshape_pivot" ->
       """SELECT user_id,

@@ -60,7 +60,7 @@ object TextPipeline {
     "dedup_jaccard_pairs" -> { (s, d) =>
       // Exact near-dup pairs, blocked on (lang, source): explode →
       // self-join on shared token within block → |A∩B| / (|A|+|B|−|A∩B|).
-      val tok = tokens(s, d)
+      val tok = tokens(s, d).persist() // 3 uses: sizes + both join sides
       val sizes = tok.groupBy(col("doc_id").as("sz_id"))
         .agg(count(lit(1)).as("n_tok"))
       val a = tok.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("w"))
@@ -102,6 +102,8 @@ object TextPipeline {
       val banded = sigs.select(col("doc_id"),
           explode(array(bandStructs: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+        .persist() // self-joined below; uncached it recomputes the whole
+                   // shingle+minhash pipeline for each side
       banded.alias("x")
         .join(banded.alias("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -165,10 +167,13 @@ object TextPipeline {
       // is classified as the lang whose profile shares the most distinct
       // trigrams (ties → lang asc). Emits per-lang accuracy against the
       // labeled corpus. All-integer scoring → exact oracle.
+      // Persisted: the trigram table feeds both the profile aggregation
+      // and the scoring join — without caching the explode runs twice.
       val tris = documents(s, d)
         .select(col("doc_id"), col("lang"), explode(array_distinct(
           transform(sequence(lit(0), length(col("text")) - 3),
             i => col("text").substr(i + 1, lit(3))))).as("tri"))
+        .persist()
       val profile = tris
         .groupBy("lang", "tri").agg(count(lit(1)).as("freq"))
         .withColumn("rk", row_number().over(

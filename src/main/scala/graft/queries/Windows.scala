@@ -95,6 +95,18 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    "win_pct" -> { (s, d) =>
+      // percent_rank/cume_dist with a unique ordering (no ties → both
+      // are exact integer ratios, identical across engines).
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .filter(col("o_custkey") % 25 === 0) // post-window, like QUALIFY
+        .select("o_orderkey", "o_orderstatus", "pr", "cd")
+        .orderBy("o_orderkey")
+    },
+
     "win_ntile" -> { (s, d) =>
       val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
       customer(s, d)
@@ -169,6 +181,14 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY ms
         |             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_pct" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |QUALIFY o_custkey % 25 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "win_ntile" ->
       """SELECT c_custkey, c_mktsegment, ntile(4)
