@@ -224,6 +224,20 @@ object Relational {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "agg_mode_deterministic" -> { (s, d) =>
+      // Most frequent event_type per user with a pinned tie-break
+      // (count desc, type asc) — the builtin mode() picks arbitrary
+      // survivors on ties (banned class, SURVEY.md §7.5).
+      val counts = events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("n"), asc("event_type"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    },
+
     "subquery_correlated" -> { (s, d) =>
       // Correlated scalar subquery — exercises Catalyst's
       // RewriteCorrelatedScalarSubquery decorrelation (SURVEY.md §4b).
@@ -412,6 +426,13 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_mode_deterministic" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, count(*) AS n, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rk
+        |  FROM events GROUP BY user_id, event_type) t
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "subquery_correlated" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o1
