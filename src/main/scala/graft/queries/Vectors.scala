@@ -84,6 +84,38 @@ object Vectors {
         .orderBy("label", "id_a", "id_b")
     },
 
+    "sim_ann_ivf" -> { (s, d) =>
+      // IVF scale path: labels act as the coarse quantizer (each label
+      // block = one inverted list); centroids are per-dimension means
+      // computed via posexplode + exact decimal sums (order-free, so the
+      // determinism double-run holds), the query probes its 2 nearest
+      // centroids, and only those lists are re-ranked exactly. At 10^9
+      // vectors this touches n_probe/n_lists of the data. No SQL oracle
+      // (like LSH) — candidate soundness asserted in PipelineSpec.
+      GraftFunctions.register(s)
+      val emb = embeddings(s, d)
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy("label", "idx")
+        .agg((sum(col("v").cast(D)).cast(DoubleType) / count(lit(1))).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("idx"), col("c")))),
+          x => x.getField("c").cast(FloatType)).as("centroid"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val probes = cent.crossJoin(broadcast(q))
+        .withColumn("csim", cosine(col("centroid"), col("q_emb")))
+        .orderBy(desc("csim"), asc("label"))
+        .limit(2)
+        .select(col("label").as("probe_label"), col("q_emb"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("label") === col("probe_label"))
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(20)
+    },
+
     "sim_ann_lsh" -> { (s, d) =>
       // ANN scale path: 8 sign-bit hyperplane hashes → bucket id;
       // candidates = vectors in the query's bucket or any bucket at

@@ -61,6 +61,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_ann_ivf probes exactly two label lists with exact re-rank cosines") {
+    val sp = spark
+    import sp.implicits._
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+      .select("vec_id", "label", "cos").as[(Long, Int, Double)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.map(_._2).distinct.length <= 2, "IVF must probe <= 2 label lists")
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    ivf.foreach { case (id, _, c) =>
+      brute.get(id).foreach(b => assert(math.abs(b - c) < 1e-9, s"cos mismatch for $id"))
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val got = SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
