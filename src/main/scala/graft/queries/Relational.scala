@@ -93,6 +93,34 @@ object Relational {
         .orderBy("n_regionkey")
     },
 
+    "sink_json_roundtrip" -> { (s, d) =>
+      // JSON connector both directions; the oracle checks the aggregate
+      // against the source table directly (roundtrip must be lossless).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt"
+      customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").json(tmp)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      s.read.schema(schema).json(tmp)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"),
+          min(col("c_name")).as("first_name"))
+        .orderBy("c_mktsegment")
+    },
+
+    "sink_orc_roundtrip" -> { (s, d) =>
+      // ORC connector both directions, same lossless-aggregate oracle.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt"
+      supplier(s, d).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("bal"))
+        .orderBy("s_nationkey")
+    },
+
     // ---------------------------------------------------- 2b project/filter
     "project_compute" -> ((s, d) =>
       lineitem(s, d)
@@ -333,6 +361,15 @@ object Relational {
     "scan_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_json_roundtrip" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${oSum("c_acctbal")} AS bal,
+        |  min(c_name) AS first_name
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "sink_orc_roundtrip" ->
+      s"""SELECT s_nationkey, count(*) AS n, ${oSum("s_acctbal")} AS bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "project_compute" ->
       s"""SELECT l_orderkey, l_linenumber,
