@@ -70,6 +70,6 @@ object FsQueries {
         |ORDER BY name""".stripMargin,
 
     "fs_cat_text" ->
-      "SELECT count(*) AS n_lines, sum(n_chars) AS total_chars FROM documents"
+      "SELECT count(*) AS n_lines, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents"
   )
 }

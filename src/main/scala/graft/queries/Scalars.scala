@@ -179,23 +179,23 @@ object Scalars {
         |  trim('  ' || c_name || '  ') AS tr,
         |  substring(c_name, 1, 8) AS sub,
         |  concat_ws('-', c_name, c_mktsegment) AS cw,
-        |  length(c_name) AS len,
+        |  CAST(length(c_name) AS INTEGER) AS len,
         |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS lp,
         |  replace(c_name, 'Customer', 'Cust') AS rep,
         |  string_split(c_name, '#')[2] AS sp,
         |  regexp_extract(c_name, '([0-9]+)$', 1) AS re,
         |  regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS rr,
-        |  levenshtein(c_mktsegment, 'BUILDING') AS lev
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_datetime" ->
       """SELECT o_orderkey,
-        |  year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-        |  month(o_orderdate) AS mo, day(o_orderdate) AS dy,
-        |  dayofweek(o_orderdate) AS dow,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(day(o_orderdate) AS INTEGER) AS dy,
+        |  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         |  CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS plus7,
-        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
         |  epoch_ms(o_orderdate) // 1000 AS epoch_s,
         |  make_date(2020, month(o_orderdate), day(o_orderdate)) AS md
         |FROM orders ORDER BY o_orderkey""".stripMargin,
@@ -212,17 +212,17 @@ object Scalars {
         |  round(ln(p_retailprice), 6) AS lg,
         |  round(log10(p_retailprice), 6) AS l10,
         |  CAST(sign(p_retailprice - 1000) AS INTEGER) AS sg,
-        |  greatest(p_size, 25) AS gr, least(p_size, 25) AS ls
+        |  CAST(greatest(p_size, 25) AS INTEGER) AS gr, CAST(least(p_size, 25) AS INTEGER) AS ls
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_array" ->
       """SELECT vec_id,
-        |  len(embedding) AS dim,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 4) AS vsum,
         |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS vmax,
-        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
-        |  len(list_distinct(embedding)) AS n_uniq,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  CAST(len(list_distinct(embedding)) AS INTEGER) AS n_uniq,
         |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS first3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 

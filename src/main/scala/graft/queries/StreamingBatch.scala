@@ -81,8 +81,8 @@ object StreamingBatch {
         |  FROM g),
         |ids AS (
         |  SELECT user_id, us,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM flagged)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us,

@@ -259,7 +259,7 @@ object TextPipeline {
         |  SELECT lang, term, freq, row_number()
         |    OVER (PARTITION BY lang ORDER BY freq DESC, term ASC) AS rank
         |  FROM freqs)
-        |SELECT t.lang, rank, term, freq, n_docs, avg_chars, min_chars, max_chars
+        |SELECT t.lang, CAST(rank AS INTEGER) AS rank, term, freq, n_docs, avg_chars, min_chars, max_chars
         |FROM top t JOIN by_lang b ON t.lang = b.lang
         |WHERE rank <= 3 ORDER BY t.lang, rank""".stripMargin,
 
@@ -282,9 +282,9 @@ object TextPipeline {
 
     "text_tokens" ->
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_ws_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-        |  length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS n_alnum_chars
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS INTEGER) AS n_alnum_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
@@ -309,7 +309,7 @@ object TextPipeline {
         |    FROM scored) t
         |  WHERE rk = 1)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(CASE WHEN p_lang = lang THEN 1 ELSE 0 END) AS n_correct
+        |  CAST(sum(CASE WHEN p_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM best GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_fingerprint" ->
@@ -325,7 +325,7 @@ object TextPipeline {
         |  (n_chars BETWEEN 100 AND 400) AND n_tok >= 20 AS passes_filter
         |FROM (
         |  SELECT doc_id, n_chars,
-        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
         |    len(list_filter(string_split(text, ' '),
         |      x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS n_stop
         |  FROM documents) t

@@ -139,14 +139,14 @@ object Windows {
   val oracleSql: Map[String, String] = Map(
     "win_row_number" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
-        |  SELECT o_custkey, o_orderkey, row_number()
-        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  SELECT o_custkey, o_orderkey, CAST(row_number()
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
     "win_rank_dense" ->
       """SELECT o_orderkey, o_orderstatus, band,
-        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |  CAST(rank() OVER w AS INTEGER) AS rnk, CAST(dense_rank() OVER w AS INTEGER) AS drnk
         |FROM (SELECT *, CAST(floor(o_totalprice / 50000) AS BIGINT) AS band FROM orders) t
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY band DESC)
         |ORDER BY o_orderkey""".stripMargin,
@@ -191,8 +191,8 @@ object Windows {
         |ORDER BY o_orderkey""".stripMargin,
 
     "win_ntile" ->
-      """SELECT c_custkey, c_mktsegment, ntile(4)
-        |  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+      """SELECT c_custkey, c_mktsegment, CAST(ntile(4)
+        |  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "win_first_last" ->
@@ -206,8 +206,8 @@ object Windows {
 
     "topk_per_group" ->
       """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
-        |  SELECT p_brand, p_partkey, p_retailprice, row_number()
-        |    OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  SELECT p_brand, p_partkey, p_retailprice, CAST(row_number()
+        |    OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
         |  FROM part) t
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin
   )

@@ -42,8 +42,9 @@ def fetch_sorted(con, sql):
     rel = con.sql(sql)
     cols = sorted(rel.columns)
     idx = [rel.columns.index(c) for c in cols]
+    types = [str(rel.types[i]) for i in idx]
     rows = rel.fetchall()
-    return cols, [tuple(norm(r[i]) for i in idx) for r in rows]
+    return cols, types, [tuple(norm(r[i]) for i in idx) for r in rows]
 
 
 def main():
@@ -59,7 +60,7 @@ def main():
         if only and name not in only:
             continue
         try:
-            wcols, want = fetch_sorted(con, oracle[name])
+            wcols, wtypes, want = fetch_sorted(con, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -70,7 +71,7 @@ def main():
             n_fail += 1
             continue
         try:
-            gcols, got = fetch_sorted(
+            gcols, gtypes, got = fetch_sorted(
                 con, f"SELECT * FROM read_parquet({files!r})")
         except Exception as e:
             print(f"FAIL {name}: spark read error: {e}")
@@ -80,6 +81,9 @@ def main():
             print(f"FAIL {name}: columns spark={gcols} oracle={wcols}")
             n_fail += 1
             continue
+        mism = [(c, g, w) for c, g, w in zip(wcols, gtypes, wtypes) if g != w]
+        if mism:
+            print(f"TYPE {name}: {mism}")  # informational; values still compared
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
             n_fail += 1
