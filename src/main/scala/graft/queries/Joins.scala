@@ -141,6 +141,21 @@ object Joins {
         .orderBy("event_id")
     },
 
+    "join_asof_custom" -> { (s, d) =>
+      // Same as-of semantics as join_asof, but through the custom
+      // AsOfJoinExec physical operator (graft.plans.AsOfJoin): one
+      // sort-merge pass instead of union+window. Shares join_asof's
+      // oracle SQL — the two implementations must agree with DuckDB and
+      // therefore with each other.
+      val clicks = eventsTs(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val purchases = eventsTs(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("us").as("p_us"))
+      graft.plans.AsOfJoin(clicks, "user_id", "us", purchases, "p_user", "p_us")
+        .select(col("event_id"), col("user_id"), col("p_us").as("last_purchase_us"))
+        .orderBy("event_id")
+    },
+
     "join_interval_overlap" -> { (s, d) =>
       // Pairs of same-user events within 5 minutes — banded self-join on
       // (user_id, 5-min bucket), one side exploded to adjacent buckets,
@@ -233,6 +248,15 @@ object Joins {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "join_asof" ->
+      """SELECT event_id, user_id, last_purchase_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "join_asof_custom" ->
       """SELECT event_id, user_id, last_purchase_us FROM (
         |  SELECT event_id, user_id, event_type,
         |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)

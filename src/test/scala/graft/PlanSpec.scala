@@ -67,6 +67,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"banded join must broadcast parts:\n$p")
   }
 
+  test("custom as-of join plans as AsOfJoinExec with sorted co-clustered children") {
+    val p = plan("join_asof_custom")
+    assert(p.contains("AsOfJoin"), s"custom operator missing:\n$p")
+    assert(p.contains("Sort ["), s"children must be sorted for the merge:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"children must be hash-clustered on the key:\n$p")
+    // and it agrees with the union-window formulation of the same op
+    val custom = SparkEntry.queries("join_asof_custom")(spark, sf).collect().map(_.toString)
+    val window = SparkEntry.queries("join_asof")(spark, sf).collect().map(_.toString)
+    assert(custom.toSeq === window.toSeq)
+  }
+
   test("custom dot-product expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.execution.ExplainMode
     val df = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
