@@ -111,5 +111,7 @@ object GraftFunctions {
       exprs => DotProductF(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash16",
+      exprs => MinHashAgg(exprs.head, 16), "built-in")
   }
 }

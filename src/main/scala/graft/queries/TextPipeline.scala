@@ -89,14 +89,16 @@ object TextPipeline {
       // identical, which degenerated LSH into all-pairs (bench-observed).
       // Engine-specific hashing → no SQL oracle; recall on planted
       // near-dups is asserted in TextSpec.
+      graft.functions.GraftFunctions.register(s)
       val tok = shingles(s, d).select("doc_id", "w")
-      // Slot hashes via multi-arg xxhash64(w, slot) — no per-slot string
-      // concat (16 allocations/row at 500k shingle rows showed in bench).
-      val minCols = (0 until K).map(i =>
-        min(xxhash64(col("w"), lit(i))).as(s"m$i"))
-      val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      // One-pass K-slot signature via the MinHashAgg sketch
+      // (TypedImperativeAggregate) — bit-identical to K separate
+      // min(xxhash64(w, i)) columns (PipelineSpec asserts it), one
+      // mutable buffer instead of K aggregate states.
+      val sigs = tok.groupBy("doc_id")
+        .agg(call_function("graft_minhash16", col("w")).as("sig"))
       val bandStructs = (0 until B).map { j =>
-        val rowCols = (0 until R).map(r => col(s"m${j * R + r}"))
+        val rowCols = (0 until R).map(r => element_at(col("sig"), j * R + r + 1))
         struct(lit(j).as("band"), xxhash64(rowCols: _*).as("bh"))
       }
       val banded = sigs.select(col("doc_id"),

@@ -61,6 +61,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MinHashAgg sketch equals the per-slot min(xxhash64) column form") {
+    graft.functions.GraftFunctions.register(spark)
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val viaSketch = tok.groupBy("doc_id")
+      .agg(call_function("graft_minhash16", col("w")).as("sig"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+    val minCols = (0 until 16).map(i => min(xxhash64(col("w"), lit(i))).as(s"m$i"))
+    val viaCols = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toSeq)
+    assert(viaSketch.toSeq === viaCols.toSeq)
+  }
+
   test("sim_ann_ivf probes exactly two label lists with exact re-rank cosines") {
     val sp = spark
     import sp.implicits._
