@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProductF, MinHashAgg, RollingHash}
+import graft.plans.AsOfJoinStrategy
+
+/** Canonical registration of every engine extension point
+  * (SparkSessionExtensions): the as-of join planner strategy and the
+  * custom expressions/aggregate, so a session built with
+  * `.withExtensions(new GraftExtensions)` (as Verify/Bench do) — or
+  * `spark.sql.extensions=graft.GraftExtensions` — has the whole engine
+  * surface without any per-query registration. Query closures still
+  * self-register idempotently so they also work on a vanilla session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_fingerprint"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash16"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash16"),
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head, 16)))
+  }
+}
