@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProductF, MinHashAgg, RollingHash}
-import graft.plans.AsOfJoinStrategy
+import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** Canonical registration of every engine extension point
   * (SparkSessionExtensions): the as-of join planner strategy and the
@@ -17,6 +17,7 @@ import graft.plans.AsOfJoinStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -67,9 +67,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
     val rightArity = right.output.size
+    val outputAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
+      // Operators downstream (exchanges, sorts) require UnsafeRow.
+      val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       new Iterator[InternalRow] {
         private var rNext: InternalRow = advanceRight()
         private var lastMatch: InternalRow = _
@@ -94,7 +97,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             } else continue = false
           }
           val m = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
-          joined(l, m)
+          toUnsafe(joined(l, m))
         }
       }
     }
