@@ -93,6 +93,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    // Clicks joined to same-user purchases within the preceding hour —
+    // the canonical watermarked stream-stream join.
+    def side(tpe: String, k: String, t: String, id: String) =
+      StreamingOps.readEvents(spark, srcDir.toString)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(k), col("ts_t").as(t), col("event_id").as(id))
+        .withWatermark(t, "10 minutes")
+    val joined = side("click", "c_user", "c_ts", "c_id")
+      .join(side("purchase", "p_user", "p_ts", "p_id"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"))
+    val got = runToMemory(joined.select("c_id", "p_id"), "t_ssjoin", "append")
+      .orderBy("c_id", "p_id").collect().toSeq
+    val ev = graft.Tables.eventsTs(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"), col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"), col("event_id").as("p_id"))
+    val want = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_us") >= col("c_us") - 3600000000L && col("p_us") <= col("c_us"))
+      .select("c_id", "p_id").orderBy("c_id", "p_id").collect().toSeq
+    assert(got === want)
+  }
+
   test("late data beyond the watermark is dropped") {
     // Three files, one per trigger: file A carries hours 10 and 23
     // (advancing event time to 23:00), file B is a bridge (observed:
