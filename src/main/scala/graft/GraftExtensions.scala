@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductF, MinHashAgg, RollingHash}
+import graft.functions.{DotProductF, MinHashAgg, RollingHash, SimHashAgg}
 import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** Canonical registration of every engine extension point
@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash16"),
       (exprs: Seq[Expression]) => MinHashAgg(exprs.head, 16)))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
   }
 }

@@ -113,5 +113,7 @@ object GraftFunctions {
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash16",
       exprs => MinHashAgg(exprs.head, 16), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHashAgg(exprs.head), "built-in")
   }
 }

@@ -59,6 +59,46 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    "mm_resize" -> { (s, d) =>
+      // "Resize" stub: stride-sample the payload down to a fixed
+      // 16-byte thumbnail (the real op would be a pixel resample; the
+      // batch shape — fixed-size output per variable-size blob — is what
+      // the pipeline plumbing cares about).
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[Blob]
+        .mapPartitions { blobs =>
+          blobs.map { b =>
+            val n = b.payload.length
+            val thumb = (0 until 16).map(i => b.payload(i * n / 16) & 0xFF)
+            (b.doc_id, n, thumb.sum.toLong, thumb.max)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "thumb_sum", "thumb_max")
+        .orderBy("doc_id")
+    },
+
+    "mm_feature_extract" -> { (s, d) =>
+      // "Feature extraction" stub: 8-bin byte-value histogram per blob —
+      // the fixed-length-vector-per-blob shape of a real embedding step.
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[Blob]
+        .mapPartitions { blobs =>
+          blobs.map { b =>
+            val hist = new Array[Long](8)
+            b.payload.foreach(x => hist((x & 0xFF) % 8) += 1)
+            (b.doc_id, hist.toSeq)
+          }
+        }
+        .toDF("doc_id", "byte_hist")
+        .orderBy("doc_id")
+    },
+
     "mm_frame_sample" -> { (s, d) =>
       // Frame sampling: pretend each 16-byte window is a frame; sample
       // every 4th. Exercises the explode-to-frames shape (one blob row →
@@ -92,6 +132,27 @@ object Multimodal {
         |       + ord(substring(text, 3, 1)) + ord(substring(text, 4, 1)) AS BIGINT) AS checksum
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+        |    list_transform(range(16),
+        |      i -> ord(substring(text, CAST(i * length(text) // 16 + 1 AS INTEGER), 1))) AS thumb
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(thumb, x -> CAST(x AS BIGINT))), (a, x) -> a + x) AS BIGINT) AS thumb_sum,
+        |  CAST(list_aggregate(thumb, 'max') AS INTEGER) AS thumb_max
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "mm_feature_extract" ->
+      """WITH cp AS (
+        |  SELECT doc_id, list_transform(string_split_regex(text, ''),
+        |    c -> ord(c) % 8) AS bins
+        |  FROM documents)
+        |SELECT doc_id, list_transform(range(8),
+        |  k -> CAST(len(list_filter(bins, b -> b = k)) AS BIGINT)) AS byte_hist
+        |FROM cp ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH idx AS (

@@ -115,6 +115,33 @@ object TextPipeline {
         .orderBy("id_a", "id_b")
     },
 
+    "dedup_simhash" -> { (s, d) =>
+      // SimHash near-dup candidates: 64-bit sign-vote signature per doc
+      // (SimHashAgg, order-free), banded into 8×8-bit blocks (a one-word
+      // edit on a short doc flips ~10 bits of a shingle-based signature,
+      // so wide 16-bit bands rarely stay clean — observed 34% recall);
+      // candidates share ≥1 identical block, then an exact Hamming
+      // re-check ≤ 16. Engine-specific hashing → no oracle; planted-dup
+      // recall in PipelineSpec.
+      graft.functions.GraftFunctions.register(s)
+      val sigs = shingles(s, d)
+        .groupBy("doc_id")
+        .agg(call_function("graft_simhash", col("w")).as("sig"))
+      val bandCols = array((0 until 8).map(j =>
+        shiftrightunsigned(col("sig"), j * 8).bitwiseAND(lit(0xFFL))): _*)
+      val banded = sigs
+        .select(col("doc_id"), col("sig"), posexplode(bandCols).as(Seq("bidx", "bval")))
+        .persist() // self-joined below
+      banded.alias("x").join(banded.alias("y"),
+          col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 16)
+        .orderBy("id_a", "id_b")
+    },
+
     "text_stats" -> { (s, d) =>
       // Per-lang corpus stats + top-3 terms (freq desc, term asc).
       val byLang = documents(s, d).groupBy("lang").agg(

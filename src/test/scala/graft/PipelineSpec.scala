@@ -61,6 +61,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_simhash finds planted near-duplicates") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val planted = docs.map { case (id, text) =>
+      val words = text.split(" ")
+      words(words.length / 2) = "XREPLACEDX"
+      (id + 10000L, words.mkString(" "))
+    }
+    val all = (docs ++ planted).toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simhash").toString
+    all.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cand = SparkEntry.queries("dedup_simhash")(spark, tmp)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = docs.count { case (id, _) => cand.contains((id, id + 10000L)) }
+    assert(found >= 40, s"simhash recall too low: $found/50 planted dups found")
+  }
+
   test("MinHashAgg sketch equals the per-slot min(xxhash64) column form") {
     graft.functions.GraftFunctions.register(spark)
     val tok = Tables.documents(spark, sf)
