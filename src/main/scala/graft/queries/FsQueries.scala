@@ -49,7 +49,7 @@ object FsQueries {
       // hh cat: byte/line-stream read. Round-trips documents.text
       // through a plain-text export; the oracle cross-checks the
       // line/char totals straight off the documents table.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_cat_text"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_cat_text_${d.hashCode.toHexString}"
       documents(s, d).select("text").write.mode("overwrite").text(tmp)
       s.read.text(tmp)
         .agg(count(lit(1)).as("n_lines"),

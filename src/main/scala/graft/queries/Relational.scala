@@ -80,7 +80,7 @@ object Relational {
       // aggregate — proves the CSV connector both directions. Oracle
       // omitted (driver does a rows-only check; the filesystem round-trip
       // is not expressible in DuckDB-over-the-same-parquet).
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${d.hashCode.toHexString}"
       nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite").option("header", "true").csv(tmp)
       val schema = StructType(Seq(
@@ -96,7 +96,7 @@ object Relational {
     "sink_json_roundtrip" -> { (s, d) =>
       // JSON connector both directions; the oracle checks the aggregate
       // against the source table directly (roundtrip must be lossless).
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt_${d.hashCode.toHexString}"
       customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
         .write.mode("overwrite").json(tmp)
       val schema = StructType(Seq(
@@ -113,7 +113,7 @@ object Relational {
 
     "sink_orc_roundtrip" -> { (s, d) =>
       // ORC connector both directions, same lossless-aggregate oracle.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt_${d.hashCode.toHexString}"
       supplier(s, d).write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .groupBy("s_nationkey")
