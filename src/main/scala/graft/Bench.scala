@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON metric line. Round-1 fix: the driver failed to parse the
+  * line out of sbt's stdout noise, so the line is now (a) printed LAST,
+  * after spark.stop(), (b) duplicated to `bench_result.json` in the cwd and
+  * to `$SPARK_GRAFT_BENCH_OUT` when set, and (c) per-query failures are
+  * marked with value -1 plus an "errors" list instead of timing a throw.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,15 +28,33 @@ object Bench {
     // Untimed warm-up: absorbs session/JIT/codegen/scan init so the
     // first timed query isn't charged ~5s of one-time cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => failed ::= name; false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Drop per-query persist()ed blocks so caches (LSH bands etc.)
+      // don't accumulate memory pressure across the 90+ query run.
+      spark.catalog.clearCache()
+      name -> (if (ok) secs else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val outPaths = "bench_result.json" :: sys.env.get("SPARK_GRAFT_BENCH_OUT").toList
+    outPaths.foreach { p =>
+      try Files.write(Paths.get(p), (line + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => }
+    }
     spark.stop()
+    // Absolute last stdout: nothing (not even spark shutdown chatter) may
+    // print after this, so a tail-grep for "metric" can't miss it.
+    println(line)
+    System.out.flush()
   }
 }

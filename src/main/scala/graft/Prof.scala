@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling main: time one or more named queries in isolation.
+  * Usage: runMain graft.Prof <sfDir> <q1,q2,...> [reps]
+  * Prints per-rep wall time and the formatted plan on the last rep.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warm-up
+    for (name <- names; fn = SparkEntry.queries(name); r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"PROF $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+      if (r == reps && sys.env.contains("SPARK_GRAFT_PROF_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -58,8 +58,15 @@ object Tables {
     */
   val D: DecimalType = DecimalType(28, 6)
   def dec(c: Column): Column = c.cast(D)
-  /** Exact decimal sum of a money expression, emitted as DECIMAL(28,6). */
-  def dsum(c: Column): Column = sum(dec(c)).cast(D)
+  /** Exact decimal sum of a money expression. The ACCUMULATION is decimal
+    * (order-free); the EMISSION is DOUBLE: the scale-6 sum is exact, and
+    * decimal→double is the same correctly-rounded conversion in Spark and
+    * DuckDB, so the emitted doubles are bit-identical — whereas the
+    * driver's hash-comparator disagreed on DECIMAL(28,6) *representation*
+    * between the two engines (round-1 finding: 16 hash mismatches, every
+    * one a decimal output column; every double output matched).
+    */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
   /** Order-free average: exact decimal sum divided as double, then
     * rounded via floor(x·10⁴ + 0.5)/10⁴ — NOT round(x, 4): the decimal
     * sums are exact, so quotients frequently land exactly on .xxxx5 ties
@@ -72,7 +79,7 @@ object Tables {
       .cast(DoubleType) / 10000.0
   /** Oracle-side fragments mirroring dec/dsum/davg verbatim. */
   val oD = "DECIMAL(28,6)"
-  def oSum(e: String): String = s"CAST(sum(CAST($e AS $oD)) AS $oD)"
+  def oSum(e: String): String = s"CAST(sum(CAST($e AS $oD)) AS DOUBLE)"
   def oAvg(e: String): String =
     s"floor(CAST(sum(CAST($e AS $oD)) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0"
 }

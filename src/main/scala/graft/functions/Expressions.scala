@@ -115,5 +115,9 @@ object GraftFunctions {
       exprs => MinHashAgg(exprs.head, 16), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHashAgg(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_trigrams",
+      exprs => CharNGrams(exprs.head, 3), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => WordShingles(exprs.head, 5), "built-in")
   }
 }

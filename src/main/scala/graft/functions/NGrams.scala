@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct n-gram extraction kernels, shared by the interpreted and the
+  * generated code paths (codegen calls the static forwarders).
+  *
+  * Why these exist (SURVEY.md §4b escalation rule): the equivalent
+  * DataFrame form — `array_distinct(transform(sequence(...), substr ...))`
+  * — is a higher-order-function chain, which Spark evaluates INTERPRETED
+  * per element (CodegenFallback). At sf0.1 that one expression cost ~2 s
+  * per corpus pass and dominated text_langid / dedup_minhash /
+  * dedup_simhash. A tight JVM loop is >10× faster and keeps the
+  * surrounding projection inside whole-stage codegen.
+  *
+  * Both kernels preserve first-occurrence order, matching
+  * `array_distinct`'s contract (order is not semantically load-bearing
+  * downstream — profiles groupBy, signatures min-fold — but bit-parity
+  * with the old form keeps plan diffs trivial to audit).
+  *
+  * Char positions are Java-char based; the corpus is ASCII (TESTDATA.md)
+  * so this equals Spark's code-point `substr` everywhere it's used.
+  */
+object NGramKernels {
+  /** Distinct character n-grams of `s`, first-occurrence order; empty
+    * array when the string is shorter than n.
+    */
+  def charNGrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](math.min(len, 1024))
+    var i = 0
+    while (i <= len - n) { seen.add(str.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct n-word shingles (single-space tokenization, shingle words
+    * re-joined with a single space), first-occurrence order; empty array
+    * for docs with fewer than n words. Tokenization matches
+    * `split(text, " ")` with Spark's keep-trailing-empties limit = -1.
+    */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_trigrams(text)` → array<string>: distinct char 3-grams. */
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_trigrams expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NGramKernels.charNGrams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NGramKernels.charNGrams($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): CharNGrams = copy(child = c)
+}
+
+/** `graft_shingles(text)` → array<string>: distinct 5-word shingles. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingles expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NGramKernels.wordShingles(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NGramKernels.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}

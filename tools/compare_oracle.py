@@ -84,6 +84,18 @@ def main():
         mism = [(c, g, w) for c, g, w in zip(wcols, gtypes, wtypes) if g != w]
         if mism:
             print(f"TYPE {name}: {mism}")  # informational; values still compared
+        # Round-1 lesson: the DRIVER hash-compares, and its comparator
+        # (a) disagrees on DECIMAL representation between engines and
+        # (b) crashes on array/map cells. Value-equality here is NOT
+        # enough for those types — fail loudly so they can't ship.
+        unhashable = [(c, t)
+                      for c, t in list(zip(wcols, gtypes)) + list(zip(wcols, wtypes))
+                      if "DECIMAL" in t or "[]" in t or t.startswith(("MAP", "STRUCT"))]
+        if unhashable:
+            print(f"FAIL {name}: driver-unhashable output types {sorted(set(unhashable))} "
+                  f"(emit DOUBLE / ','-joined strings instead)")
+            n_fail += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
             n_fail += 1
