@@ -43,7 +43,11 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      // fs oracles need literal paths for DuckDB glob()/read_blob();
+      // substitute the tier actually verified (queries.FsQueries doc).
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(queries.FsQueries.SfDirToken, sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -9,16 +9,18 @@ import graft.sources.FsOps
 /** Reference-surface fs operators (SURVEY.md §2h): the `hh` layer over
   * the local filesystem (same Hadoop FileSystem API as hdfs://).
   *
-  * Oracle note: the `glob()` DuckDB table function needs a literal path,
-  * so fs_ls/fs_find_glob hardcode the t2 directory (the driver verifies
-  * at sf0.01 per TESTDATA.md); the Spark side still lists the sfDir it
-  * was handed, so bench runs list sf0.1 — file NAMES are identical
-  * across tiers, which is what these queries emit.
+  * Oracle note: the DuckDB `glob()`/`read_blob()` table functions need a
+  * literal path, so these oracles carry the `GRAFT_SF_DIR` placeholder,
+  * which Verify substitutes with the sfDir it was actually handed when
+  * it dumps oracle_sql.json — the oracle always inspects the same tier
+  * the Spark side listed (round-1 hardcoded sf0.01; silently wrong if
+  * the driver ever verified elsewhere).
   */
 object FsQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val t2Dir = "/root/testdata/sf0.01"
+  /** Replaced with the runtime sfDir by Verify when dumping oracle SQL. */
+  val SfDirToken = "GRAFT_SF_DIR"
   private val parquetGlobRegex = Glob.toRegex("*.parquet")
 
   val queries: Map[String, Q] = Map(
@@ -54,22 +56,42 @@ object FsQueries {
       s.read.text(tmp)
         .agg(count(lit(1)).as("n_lines"),
           sum(length(col("value"))).as("total_chars"))
-    }
+    },
+
+    "fs_cat_binary" -> ((s, d) =>
+      // hh get/cat for opaque content: the distributed `binaryFile`
+      // source streams whole files as (path, length, content) rows —
+      // one task per file, no driver materialization; 100 TB of blobs
+      // reads like any other scan. Emits a first-16-byte hex digest the
+      // oracle recomputes via read_blob (whole-content md5 is not
+      // blob-expressible in the oracle engine; full-content equality is
+      // covered by length + header in practice for these files).
+      s.read.format("binaryFile").load(s"$d/*.parquet")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("name"),
+          col("length"),
+          hex(substring(col("content"), 1, 16)).as("head_hex"))
+        .orderBy("name"))
   )
 
   val oracleSql: Map[String, String] = Map(
     "fs_ls" ->
       s"""SELECT list_extract(string_split(file, '/'), -1) AS name
-        |FROM glob('$t2Dir/*') ORDER BY name""".stripMargin,
+        |FROM glob('$SfDirToken/*') ORDER BY name""".stripMargin,
 
     "fs_find_glob" ->
       s"""SELECT name FROM (
         |  SELECT list_extract(string_split(file, '/'), -1) AS name
-        |  FROM glob('$t2Dir/**')) t
+        |  FROM glob('$SfDirToken/**')) t
         |WHERE regexp_matches(name, '$parquetGlobRegex')
         |ORDER BY name""".stripMargin,
 
     "fs_cat_text" ->
-      "SELECT count(*) AS n_lines, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents"
+      "SELECT count(*) AS n_lines, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents",
+
+    "fs_cat_binary" ->
+      s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,
+        |  size AS length, substring(hex(content), 1, 32) AS head_hex
+        |FROM read_blob('$SfDirToken/*.parquet') ORDER BY name""".stripMargin
   )
 }

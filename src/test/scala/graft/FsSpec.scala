@@ -39,6 +39,51 @@ class FsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.contains("lineitem.parquet") && names.length === 10)
   }
 
+  test("find streams a deep synthetic tree with executor-side listing") {
+    // 4 top-level subtrees × depth 6 × 3 files per level + root-level
+    // files: exercises the ship-subtree-paths-to-executors shape (the
+    // driver holds only the 6 top-level paths; every subtree's
+    // RemoteIterator runs inside a task).
+    val scratch = Files.createTempDirectory("graft_fs_deep").toString
+    var expect = 0
+    for (t <- 1 to 4) {
+      var dir = new java.io.File(s"$scratch/top$t")
+      for (level <- 1 to 6) {
+        dir = new java.io.File(dir, s"d$level")
+        dir.mkdirs()
+        for (f <- 1 to 3) {
+          val file = new java.io.File(dir, s"f$f.txt")
+          Files.write(file.toPath, s"t$t-l$level-f$f".getBytes)
+          expect += 1
+        }
+      }
+    }
+    for (f <- 1 to 2) { // files directly under the root
+      Files.write(new java.io.File(scratch, s"root$f.bin").toPath, Array[Byte](1, 2))
+      expect += 1
+    }
+    val listed = FsOps.find(spark, scratch)
+    assert(listed.rdd.getNumPartitions > 1, "find must fan subtrees across tasks")
+    assert(listed.count() === expect.toLong)
+    val walked = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f) else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      walk(new java.io.File(scratch)).map(_.getAbsolutePath).sorted
+    }
+    assert(listed.orderBy("path").collect().map(_.getString(0)).toSeq === walked)
+  }
+
+  test("fs_cat_binary head_hex matches raw file bytes") {
+    val rows = SparkEntry.queries("fs_cat_binary")(spark, sf).collect()
+    assert(rows.length === 10)
+    for (r <- rows) {
+      val raw = Files.readAllBytes(new java.io.File(s"$sf/${r.getString(0)}").toPath)
+      assert(r.getLong(1) === raw.length.toLong)
+      val want = raw.take(16).map("%02X".format(_)).mkString
+      assert(r.getString(2) === want, s"head_hex mismatch for ${r.getString(0)}")
+    }
+  }
+
   test("hh metadata ops: mkdirs / rename / setPermission(chmod) / delete") {
     val scratch = Files.createTempDirectory("graft_fs_meta").toString
     val fs = new Path(scratch).getFileSystem(spark.sparkContext.hadoopConfiguration)
