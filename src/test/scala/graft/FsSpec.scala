@@ -107,6 +107,19 @@ class FsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((fs.getFileStatus(f2).getPermission.toShort.toInt & 0xFFF) ===
       Integer.parseInt("660", 8))
 
+    // touch (hh touch): pin mtime via setTimes
+    fs.setTimes(f2, 1700000000000L, -1)
+    assert(fs.getFileStatus(f2).getModificationTime === 1700000000000L)
+
+    // setrep (hh setrep): no-op on local fs but the call must succeed
+    fs.setReplication(f2, 2.toShort)
+
+    // chown (hh chown): running as root on a local fs, group change is
+    // honored; assert the call round-trips through getFileStatus
+    val grp = fs.getFileStatus(f2).getGroup
+    fs.setOwner(f2, null, grp)
+    assert(fs.getFileStatus(f2).getGroup === grp)
+
     // rm -r (hh rm)
     assert(fs.delete(new Path(s"$scratch/a"), true))
     assert(!fs.exists(new Path(s"$scratch/a")))
