@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductF, MinHashAgg, RollingHash, SimHashAgg}
+import graft.functions.{CharNGrams, DotProductF, MinHashAgg, RollingHash, SimHashAgg, WordShingles}
 import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** Canonical registration of every engine extension point
@@ -30,5 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_trigrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "graft_trigrams"),
+      (exprs: Seq[Expression]) => CharNGrams(exprs.head, 3)))
+    e.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, 5)))
   }
 }

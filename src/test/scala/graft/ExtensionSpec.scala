@@ -32,6 +32,41 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(1) === 2.0)
   }
 
+  test("NGram kernels are bit-identical to the HOF forms they replaced") {
+    val sp = spark
+    import sp.implicits._
+    // Real corpus text + adversarial shapes: short strings, repeated
+    // trigrams/shingles, multi-space (empty tokens), exact boundaries.
+    val edge = Seq("", "ab", "abc", "aaaa", "x y", "a b c d e",
+      "a b c d e f", "a  b c d e f", "w w w w w w w w")
+    val docs = Tables.documents(spark, sf).select("text").as[String]
+      .collect().take(50).toSeq ++ edge
+    val df = docs.toDF("text")
+    val tri = df.select(
+      call_function("graft_trigrams", col("text")).as("k"),
+      array_distinct(transform(sequence(lit(0),
+        greatest(length(col("text")) - 3, lit(-1))),
+        i => col("text").substr(i + 1, lit(3)))).as("h"),
+      length(col("text")).as("len"))
+      .collect()
+    for (r <- tri) {
+      val hof = if (r.getInt(2) < 3) Seq.empty else r.getSeq[String](1)
+      assert(r.getSeq[String](0) === hof, s"trigram mismatch at len=${r.getInt(2)}")
+    }
+    val words = split(col("text"), " ")
+    val sh = df.filter(size(words) >= 5).select(
+      call_function("graft_shingles", col("text")).as("k"),
+      array_distinct(transform(sequence(lit(0), size(words) - 5),
+        i => concat_ws(" ", slice(words, i + 1, lit(5))))).as("h"))
+      .collect()
+    assert(sh.nonEmpty)
+    for (r <- sh) assert(r.getSeq[String](0) === r.getSeq[String](1))
+    // and <5-word docs yield empty shingle arrays
+    val short = df.filter(size(words) < 5)
+      .select(call_function("graft_shingles", col("text")).as("k")).collect()
+    assert(short.forall(_.getSeq[String](0).isEmpty))
+  }
+
   test("injected rule pushes left-only filters through AsOfJoinNode to the scan") {
     val clicks = Tables.eventsTs(spark, sf).filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("us"))

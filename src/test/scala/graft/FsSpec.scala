@@ -126,5 +126,20 @@ class FsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FsOps.ls(spark, scratch).count() === 0)
   }
 
+  test("FsSession cd/pwd resolves relative paths like a shell") {
+    val sess = new graft.sources.FsSession("/")
+    assert(sess.pwd === "/")
+    assert(sess.cd("/root/testdata") === "/root/testdata")
+    assert(sess.cd("sf0.001") === "/root/testdata/sf0.001")
+    assert(sess.resolve("lineitem.parquet") === "/root/testdata/sf0.001/lineitem.parquet")
+    assert(sess.cd("..") === "/root/testdata")
+    assert(sess.cd("./sf0.001/../sf0.01") === "/root/testdata/sf0.01")
+    assert(sess.cd("../../..") === "/")
+    assert(sess.cd("../..") === "/") // can't climb past root
+    // session state feeds straight into the listing layer
+    sess.cd(sf)
+    assert(FsOps.ls(spark, sess.pwd).count() === 10)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
