@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharNGrams, DotProductF, MinHashAgg, RollingHash, SimHashAgg, WordShingles}
+import graft.functions.{CharNGrams, DotProductF, MinHashAgg, RollingHash, SimHashAgg, SortedIntersectSize, WordShingles}
 import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** Canonical registration of every engine extension point
@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head, 5)))
+    e.injectFunction((FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
   }
 }

@@ -119,5 +119,7 @@ object GraftFunctions {
       exprs => CharNGrams(exprs.head, 3), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => WordShingles(exprs.head, 5), "built-in")
+    reg.createOrReplaceTempFunction("graft_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -72,6 +72,54 @@ object NGramKernels {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** |A ∩ B| for two sorted-ascending UTF8String arrays (two-pointer). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** `graft_intersect_size(a, b)` → int: |A ∩ B| for two SORTED-ascending
+  * string arrays (each already a set), via a linear two-pointer merge —
+  * no per-row hash set like the generic `array_intersect`, which
+  * dominated the exact-Jaccard verify step (~4 s for 113 k pairs at
+  * sf0.1; the merge is ~10× cheaper). Sortedness is the caller's
+  * contract (`sort_array` uses the same UTF8String binary order the
+  * merge compares with).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_intersect_size expects array<string> args, got ${l.sql} / ${r.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NGramKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NGramKernels.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
 }
 
 /** `graft_trigrams(text)` → array<string>: distinct char 3-grams. */

@@ -82,6 +82,66 @@ object TextPipeline {
         .orderBy("id_a", "id_b")
     },
 
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      // EXACT character-trigram Jaccard ≥ 0.6, via PREFIX FILTERING (the
+      // canonical exact set-similarity join): order every doc's trigrams
+      // by (global df asc, trigram asc); any pair with jac ≥ t must
+      // share a token within the first ⌊(1−t)·n⌋+1 tokens of that order,
+      // so the candidate join runs on those short prefixes of RARE
+      // tokens only — the frequent-trigram blowup ("the" joining every
+      // doc to every doc) never happens. Candidates are then verified
+      // exactly on the full trigram sets. The oracle computes the
+      // UNFILTERED within-block brute force: a hash match proves the
+      // prefix filter lost nothing.
+      graft.functions.GraftFunctions.register(s)
+      val t = 0.6
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+        call_function("graft_trigrams", col("text")).as("tris"))
+      val tris = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("tris")).as("tri"))
+      val dfreq = tris.groupBy("tri").agg(count(lit(1)).as("df"))
+      // Per-doc set sizes as a broadcast join (one small row per doc)
+      // rather than a second window pass over every exploded token.
+      val sizes = docs.select(col("doc_id").as("sz_id"), size(col("tris")).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("tri"))
+      // +1e-7 guards the binary-inexact (1−t)·n against rounding BELOW
+      // the theoretical prefix bound (shorter prefix = lost pairs; a
+      // hair longer only adds candidates the verify step rejects).
+      val prefix = tris.join(dfreq, "tri")
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(sizes), col("doc_id") === col("sz_id"))
+        .filter(col("rn") <= floor(col("n") * (1 - t) + 1e-7) + 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("tri"), col("n"), col("rn"))
+      // Candidate join with the two classic prunes evaluated on ints
+      // BEFORE any pair reaches the shuffle:
+      //  - LENGTH: jac ≥ t forces min(n)/max(n) ≥ t;
+      //  - POSITION (ppjoin): sharing token at positions (rn_a, rn_b)
+      //    bounds overlap by 1 + min(n_a−rn_a, n_b−rn_b), which must
+      //    reach the minimum overlap t/(1+t)·(n_a+n_b).
+      val cand = prefix.alias("a").join(prefix.alias("b"),
+          col("a.tri") === col("b.tri") && col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t &&
+            lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
+              ceil((col("a.n") + col("b.n")) * (t / (1 + t)) - 1e-9))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
+      // Verify on SORTED sets with the codegen'd two-pointer merge —
+      // array_intersect's per-row hash set was the hot spot here.
+      val sideA = docs.select(col("doc_id").as("id_a"),
+        sort_array(col("tris")).as("tris_a"))
+      val sideB = docs.select(col("doc_id").as("id_b"),
+        sort_array(col("tris")).as("tris_b"))
+      cand.join(sideA, "id_a").join(sideB, "id_b")
+        .withColumn("n_i",
+          call_function("graft_intersect_size", col("tris_a"), col("tris_b")))
+        .withColumn("jac", col("n_i").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_i")))
+        .filter(col("jac") >= t)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
     "dedup_minhash" -> { (s, d) =>
       // The scale path: K=16 minhash slots over 5-word SHINGLE sets,
       // banded into B=4 LSH buckets; candidates = pairs sharing ≥1
@@ -288,6 +348,25 @@ object TextPipeline {
         |    CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jac
         |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) t
         |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force within-block trigram Jaccard — no prefix filter: the
+    // hash compare against the Spark side proves the filter is lossless.
+    "dedup_ngram_jaccard" ->
+      """WITH tris AS (
+        |  SELECT doc_id, lang, source, unnest(list_distinct(list_transform(
+        |    range(length(text) - 2), i -> substring(text, CAST(i + 1 AS INTEGER), 3)))) AS tri
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tris GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i
+        |  FROM tris a JOIN tris b ON a.tri = b.tri AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(n_i AS DOUBLE) / (sa.n + sb.n - n_i) AS jac
+        |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) t
+        |WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     "text_stats" ->
       s"""WITH by_lang AS (
