@@ -79,6 +79,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(custom.toSeq === window.toSeq)
   }
 
+  test("fs listing plans as a column-pruned DSv2 BatchScan") {
+    val p = plan("fs_ls")
+    assert(p.contains("BatchScan fslist"), s"expected the DSv2 listing scan:\n$p")
+    assert(p.contains("cols=name,is_dir"),
+      s"fs_ls must prune the listing to (name, is_dir):\n$p")
+  }
+
+  test("prefix-filtered jaccard never plans a cartesian or nested-loop join") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"cartesian in exact-jaccard plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in exact-jaccard plan:\n$p")
+    assert(p.contains("graft_intersect_size") || p.contains("sortedintersectsize"),
+      s"verify step must use the sorted-merge kernel:\n$p")
+  }
+
   test("custom dot-product expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.execution.ExplainMode
     val df = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
