@@ -296,6 +296,36 @@ object TextPipeline {
         .orderBy("lang")
     },
 
+    "split_train_test" -> { (s, d) =>
+      // Deterministic train/val/test assignment by hashed id — the
+      // standard reproducible-split shape for a training corpus:
+      // map-only (zero shuffle at any scale), stable under reruns and
+      // repartitioning, engine-portable (md5 is md5 everywhere, unlike
+      // xxhash64/rand seeds). 80/10/10 on a salted-md5 bucket.
+      val bucket = (conv(substring(
+          md5(concat(lit("graft-split:"), col("doc_id").cast(StringType))), 1, 8),
+          16, 10).cast(LongType) % 100).as("bucket")
+      documents(s, d)
+        .select(col("doc_id"), bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    },
+
+    "text_normalize" -> { (s, d) =>
+      // Cleaning stage: strip non-alphanumerics, collapse whitespace
+      // runs, trim. Emits md5 of the cleaned text (not the text) so the
+      // full transform is hash-verified with a 1-row-per-doc output.
+      documents(s, d)
+        .withColumn("clean", trim(regexp_replace(
+          regexp_replace(col("text"), "[^a-z0-9 ]", ""), " +", " ")))
+        .select(col("doc_id"), length(col("clean")).as("n_clean_chars"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     "text_fingerprint" -> { (s, d) =>
       // Rolling-hash fingerprint via the custom codegen'd RollingHash
       // expression; equals the oracle's ord-fold because the corpus is
@@ -433,6 +463,26 @@ object TextPipeline {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN p_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM best GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "split_train_test" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(clean) AS INTEGER) AS n_clean_chars,
+        |  md5(clean) AS clean_md5
+        |FROM (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
