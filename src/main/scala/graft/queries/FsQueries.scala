@@ -58,6 +58,28 @@ object FsQueries {
           sum(length(col("value"))).as("total_chars"))
     },
 
+    "fs_compact" -> { (s, d) =>
+      // Small-files compaction — the standing maintenance op of any
+      // 100 TB parquet estate: read a fragmented layout, rewrite at the
+      // target file count, prove zero row loss. Seeds an 8-file layout
+      // (round-robin repartition fills all 8 at every sf tier), compacts
+      // to 2, and emits (files in/out, rows, distinct keys) with the
+      // file counts taken from the actual directory listings.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${d.hashCode.toHexString}"
+      documents(s, d).select("doc_id", "lang", "n_chars")
+        .repartition(8).write.mode("overwrite").parquet(s"$tmp/in")
+      s.read.parquet(s"$tmp/in")
+        .repartition(2).write.mode("overwrite").parquet(s"$tmp/out")
+      def nParquet(dir: String): Long = FsOps.ls(s, dir)
+        .filter(col("name").rlike("^part-.*\\.parquet$")).count()
+      s.read.parquet(s"$tmp/out")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .withColumn("n_files_in", lit(nParquet(s"$tmp/in")))
+        .withColumn("n_files_out", lit(nParquet(s"$tmp/out")))
+        .select("n_files_in", "n_files_out", "n_rows", "n_docs")
+    },
+
     "fs_cat_binary" -> ((s, d) =>
       // hh get/cat for opaque content: the distributed `binaryFile`
       // source streams whole files as (path, length, content) rows —
@@ -99,6 +121,11 @@ object FsQueries {
         |  UNION ALL
         |  SELECT '<TOTAL>', CAST(sum(size) AS BIGINT), count(*) FROM f) t
         |ORDER BY entry""".stripMargin,
+
+    "fs_compact" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files_in, CAST(2 AS BIGINT) AS n_files_out,
+        |  count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
+        |FROM documents""".stripMargin,
 
     "fs_cat_binary" ->
       s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,

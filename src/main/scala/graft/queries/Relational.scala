@@ -282,6 +282,28 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    "merge_latest_per_key" -> { (s, d) =>
+      // CDC-style upsert resolution: base snapshot (version 0) unioned
+      // with an update batch (version 1, every 10th order repriced);
+      // keep the highest version per key via one window — the
+      // latest-wins merge every incremental 100 TB table needs, with a
+      // single shuffle on the merge key. Emits the affected keys so the
+      // oracle checks updates actually won.
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), lit(0L).as("version"))
+      val updates = orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("o_totalprice"),
+          lit(1L).as("version"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey").orderBy(desc("version"))
+      base.unionByName(updates)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("version"))
+        .orderBy("o_orderkey")
+    },
+
     // ------------------------------------------------------- reshaping
     "reshape_pivot" -> ((s, d) =>
       // Pivot with an explicit value list (deterministic columns); the
@@ -376,6 +398,11 @@ object Relational {
     "sink_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "merge_latest_per_key" ->
+      """SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, CAST(1 AS BIGINT) AS version
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "project_compute" ->
       s"""SELECT l_orderkey, l_linenumber,
