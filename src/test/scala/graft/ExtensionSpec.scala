@@ -32,6 +32,26 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(1) === 2.0)
   }
 
+  test("spark.sql.extensions config string wires the whole engine (no code)") {
+    // The cluster-deployment path: spark-submit --conf
+    // spark.sql.extensions=graft.GraftExtensions and nothing else.
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-config")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // NOTE: no s2.stop() — local sessions share one SparkContext and
+    // stopping it would kill every later suite in this JVM.
+    val r = s2.sql(
+      "SELECT graft_fingerprint('abc') AS fp, size(graft_trigrams('abcd')) AS nt, " +
+        "graft_intersect_size(array('a','b'), array('b','c')) AS ni").collect().head
+    assert(r.getLong(0) === ((97L * 31 + 98) * 31 + 99))
+    assert(r.getInt(1) === 2)
+    assert(r.getInt(2) === 1)
+  }
+
   test("NGram kernels are bit-identical to the HOF forms they replaced") {
     val sp = spark
     import sp.implicits._
