@@ -25,6 +25,10 @@ object Prof {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"PROF $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+      // Mirror Bench: persist()ed blocks must not leak between reps or
+      // queries, or rep 2+ reports cache-served times (codegen/JIT stay
+      // warm — that's the intended rep-2 signal).
+      spark.catalog.clearCache()
       if (r == reps && sys.env.contains("SPARK_GRAFT_PROF_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")
     }

@@ -28,15 +28,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NGramKernels {
   /** Distinct character n-grams of `s`, first-occurrence order; empty
-    * array when the string is shorter than n.
+    * array when the string is shorter than n. Counts CODE POINTS like
+    * Spark's `substr` and the DuckDB oracles do — the fast path indexes
+    * UTF-16 chars directly and is taken whenever the string has no
+    * surrogate pairs (always, for the ASCII corpus); astral-plane chars
+    * fall back to a code-point offset table instead of silently
+    * splitting surrogates.
     */
   def charNGrams(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
     val len = str.length
-    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val nCp = str.codePointCount(0, len)
+    if (nCp < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](math.min(len, 1024))
-    var i = 0
-    while (i <= len - n) { seen.add(str.substring(i, i + n)); i += 1 }
+    if (nCp == len) { // no surrogates: char index == code-point index
+      var i = 0
+      while (i <= len - n) { seen.add(str.substring(i, i + n)); i += 1 }
+    } else {
+      val off = new Array[Int](nCp + 1)
+      var ci = 0
+      var cp = 0
+      while (ci < len) { off(cp) = ci; ci = str.offsetByCodePoints(ci, 1); cp += 1 }
+      off(nCp) = len
+      var i = 0
+      while (i <= nCp - n) { seen.add(str.substring(off(i), off(i + n))); i += 1 }
+    }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0

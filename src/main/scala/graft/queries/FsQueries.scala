@@ -37,11 +37,15 @@ object FsQueries {
         .orderBy("name")),
 
     "fs_du" -> ((s, d) =>
-      // hh du: subtree rollup per top-level entry + grand total. Sizes
-      // cross-checked three ways: DuckDB read_blob() oracle here plus
-      // java.io.File lengths in FsSpec.
+      // hh du: subtree rollup per TOP-LEVEL entry + grand total. The
+      // entry is the first path segment under the root (so files nested
+      // anywhere in a subtree roll up to that subtree, like du), not the
+      // file basename — the two only coincide on flat directories.
+      // Sizes cross-checked by the read_blob() oracle (flat tier) and,
+      // for a genuinely nested tree, against java.io walks in FsSpec.
       FsOps.find(s, d)
-        .withColumn("entry", element_at(split(col("path"), "/"), -1))
+        .withColumn("entry", element_at(
+          split(expr(s"substring(path, ${d.stripSuffix("/").length + 2})"), "/"), 1))
         .rollup("entry")
         .agg(sum(col("length")).as("bytes"), count(lit(1)).as("n_files"))
         .withColumn("entry", coalesce(col("entry"), lit("<TOTAL>")))

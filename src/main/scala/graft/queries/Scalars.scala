@@ -159,10 +159,14 @@ object Scalars {
 
     "udtf_ngrams" -> { (s, d) =>
       // Typed flatMap generator (Dataset UDTF surface): character
-      // trigrams per document.
+      // trigrams per document. Docs shorter than 3 chars are excluded
+      // in BOTH engines — Scala's sliding(3) would emit the whole short
+      // string once while the oracle's range() emits nothing (none
+      // exist in this corpus, but the guard keeps the op corpus-proof).
       val sp = s
       import sp.implicits._
-      documents(s, d).select("doc_id", "text").as[(Long, String)]
+      documents(s, d).filter(length(col("text")) >= 3)
+        .select("doc_id", "text").as[(Long, String)]
         .flatMap { case (id, text) => text.sliding(3).map(t => (id, t)) }
         .toDF("doc_id", "tri")
         .groupBy("doc_id")
@@ -290,7 +294,7 @@ object Scalars {
         |  CAST(length(text) - 2 AS BIGINT) AS n_tri,
         |  CAST(len(list_distinct(list_transform(range(length(text) - 2),
         |    i -> substring(text, CAST(i + 1 AS INTEGER), 3)))) AS BIGINT) AS n_uniq_tri
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE length(text) >= 3 ORDER BY doc_id""".stripMargin,
 
     "agg_udaf_geomean" ->
       """SELECT p_brand,

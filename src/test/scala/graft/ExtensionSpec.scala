@@ -32,25 +32,14 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(1) === 2.0)
   }
 
-  test("spark.sql.extensions config string wires the whole engine (no code)") {
-    // The cluster-deployment path: spark-submit --conf
-    // spark.sql.extensions=graft.GraftExtensions and nothing else.
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-config")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    // NOTE: no s2.stop() — local sessions share one SparkContext and
-    // stopping it would kill every later suite in this JVM.
-    val r = s2.sql(
-      "SELECT graft_fingerprint('abc') AS fp, size(graft_trigrams('abcd')) AS nt, " +
-        "graft_intersect_size(array('a','b'), array('b','c')) AS ni").collect().head
-    assert(r.getLong(0) === ((97L * 31 + 98) * 31 + 99))
-    assert(r.getInt(1) === 2)
-    assert(r.getInt(2) === 1)
-  }
+  // NOTE deliberately NOT tested here: the `--conf
+  // spark.sql.extensions=graft.GraftExtensions` deployment path. That
+  // static conf is only read when the SparkContext is created, and the
+  // test JVM's context already exists — a builder-config "test" gets the
+  // pre-extended session back and asserts nothing (verified empirically:
+  // a fresh session on the existing context does NOT see the functions).
+  // The class itself is exercised via .withExtensions in every
+  // Verify/Bench/spec session; the conf plumbing is Spark's own.
 
   test("NGram kernels are bit-identical to the HOF forms they replaced") {
     val sp = spark
@@ -58,7 +47,12 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Real corpus text + adversarial shapes: short strings, repeated
     // trigrams/shingles, multi-space (empty tokens), exact boundaries.
     val edge = Seq("", "ab", "abc", "aaaa", "x y", "a b c d e",
-      "a b c d e f", "a  b c d e f", "w w w w w w w w")
+      "a b c d e f", "a  b c d e f", "w w w w w w w w",
+      // non-ASCII: multi-byte BMP chars and astral-plane (surrogate
+      // pair) code points — substr/length count code points, the
+      // kernel must agree (surrogate-offset fallback path)
+      "héllo wörld", "日本語のテキスト", "a😀b😀c d e f g",
+      "😀😁", "😀😁😂😃")
     val docs = Tables.documents(spark, sf).select("text").as[String]
       .collect().take(50).toSeq ++ edge
     val df = docs.toDF("text")

@@ -71,6 +71,21 @@ class FsSpec extends AnyFunSuite with BeforeAndAfterAll {
       walk(new java.io.File(scratch)).map(_.getAbsolutePath).sorted
     }
     assert(listed.orderBy("path").collect().map(_.getString(0)).toSeq === walked)
+
+    // fs_du on the NESTED tree: nested files must roll up to their
+    // TOP-LEVEL subtree (du semantics), not to file basenames.
+    val du = SparkEntry.queries("fs_du")(spark, scratch).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (t <- 1 to 4) {
+      def walkSz(f: java.io.File): Seq[Long] =
+        if (f.isFile) Seq(f.length())
+        else Option(f.listFiles()).toSeq.flatten.flatMap(walkSz)
+      val sizes = walkSz(new java.io.File(s"$scratch/top$t"))
+      assert(du(s"top$t") === ((sizes.sum, sizes.length.toLong)),
+        s"du rollup wrong for top$t")
+    }
+    assert(du("root1.bin") === ((2L, 1L)) && du("root2.bin") === ((2L, 1L)))
+    assert(du("<TOTAL>")._2 === expect.toLong)
   }
 
   test("fs_cat_binary head_hex matches raw file bytes") {
