@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize K× tiers from sf0.1 for scaling measurements
+  * (no oracle at these tiers — they exist to observe how each
+  * operator's wall time grows with input size).
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <k>
+  *
+  * Each copy c>0 offsets every key by c×(a tier-wide stride) so joins
+  * stay consistent within a copy and keys never collide across copies.
+  * Document text is perturbed per copy (an appended copy-tag word, with
+  * n_chars updated) so cross-copy docs are NOT near-duplicates — the
+  * dedup families' candidate structure scales like a real corpus K×
+  * rather than exploding on K mutual copies of every doc.
+  */
+object ScaleGen {
+  private val Stride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, kStr) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(c => shift(df, c)).reduce(_ unionByName _)
+
+    def off(c: Int) = lit(c * Stride)
+
+    // Dimensions stay 1x (they broadcast; scaling them would only
+    // break key references): region, nation, customer, supplier, part.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      Tables.table(spark, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    copies(Tables.orders(spark, src)) { (df, c) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + off(c))
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    copies(Tables.lineitem(spark, src)) { (df, c) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + off(c))
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    copies(Tables.events(spark, src)) { (df, c) =>
+      df.withColumn("event_id", col("event_id") + off(c))
+        .withColumn("user_id", col("user_id") + off(c))
+    }.write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    copies(Tables.documents(spark, src)) { (df, c) =>
+      val txt = if (c == 0) col("text")
+        else concat(col("text"), lit(s" xcopytag$c xmark${c}a xmark${c}b"))
+      df.withColumn("doc_id", col("doc_id") + off(c))
+        .withColumn("text", txt)
+        .withColumn("n_chars", length(txt))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    copies(Tables.embeddings(spark, src)) { (df, c) =>
+      df.withColumn("vec_id", col("vec_id") + off(c))
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"SCALEGEN wrote ${k}x tier at $out")
+    spark.stop()
+  }
+}
