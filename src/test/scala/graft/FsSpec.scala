@@ -141,6 +141,24 @@ class FsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FsOps.ls(spark, scratch).count() === 0)
   }
 
+  test("listing metadata columns match filesystem truth") {
+    val scratch = Files.createTempDirectory("graft_fs_meta_cols").toString
+    val f = new java.io.File(scratch, "probe.dat")
+    Files.write(f.toPath, Array.fill[Byte](1234)(7))
+    val fs = new Path(scratch).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setPermission(new Path(f.getPath),
+      new FsPermission(Integer.parseInt("640", 8).toShort))
+    fs.setTimes(new Path(f.getPath), 1700000000000L, -1)
+    val r = FsOps.ls(spark, scratch).collect().head
+    assert(r.getAs[String]("name") === "probe.dat")
+    assert(!r.getAs[Boolean]("is_dir"))
+    assert(r.getAs[Long]("length") === 1234L)
+    assert(r.getAs[Long]("mtime_ms") === 1700000000000L)
+    assert(r.getAs[String]("perm_octal") === "0640")
+    assert(r.getAs[String]("owner") === System.getProperty("user.name"))
+    assert(r.getAs[Long]("block_size") > 0)
+  }
+
   test("FsSession cd/pwd resolves relative paths like a shell") {
     val sess = new graft.sources.FsSession("/")
     assert(sess.pwd === "/")
