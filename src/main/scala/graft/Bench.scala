@@ -4,11 +4,13 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * emits ONE JSON metric line. Round-1 fix: the driver failed to parse the
-  * line out of sbt's stdout noise, so the line is now (a) printed LAST,
-  * after spark.stop(), (b) duplicated to `bench_result.json` in the cwd and
-  * to `$SPARK_GRAFT_BENCH_OUT` when set, and (c) per-query failures are
-  * marked with value -1 plus an "errors" list instead of timing a throw.
+  * emits ONE JSON metric line. The stdout line must stay TINY: the driver
+  * captures only the tail of stdout, and round 1/2 proved a ~3 KB line
+  * (98 per-query timings) gets its head clipped there, leaving `"value":`
+  * unparseable. So stdout carries only {metric,value,unit,errors,sf} —
+  * the full per-query timing map goes solely to `bench_result.json` and
+  * `$SPARK_GRAFT_BENCH_OUT`. Per-query failures are marked with value -1
+  * plus an "errors" list instead of timing a throw.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,17 +46,21 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val totalR = math.round(total * 1000) / 1000.0
+    // Compact line for stdout (fits any tail buffer); full map for files.
+    val shortLine =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","errors":$errs,"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     val outPaths = "bench_result.json" :: sys.env.get("SPARK_GRAFT_BENCH_OUT").toList
     outPaths.foreach { p =>
-      try Files.write(Paths.get(p), (line + "\n").getBytes(StandardCharsets.UTF_8))
+      try Files.write(Paths.get(p), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => }
     }
     spark.stop()
     // Absolute last stdout: nothing (not even spark shutdown chatter) may
     // print after this, so a tail-grep for "metric" can't miss it.
-    println(line)
+    println(shortLine)
     System.out.flush()
   }
 }

@@ -97,6 +97,8 @@ object TextPipeline {
       val t = 0.6
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
         call_function("graft_trigrams", col("text")).as("tris"))
+        .persist() // 4 consumers (tris, sizes, sideA, sideB) — uncached,
+                   // each re-runs the full-corpus trigram scan
       val tris = docs.select(col("doc_id"), col("lang"), col("source"),
         explode(col("tris")).as("tri"))
       val dfreq = tris.groupBy("tri").agg(count(lit(1)).as("df"))
@@ -112,6 +114,8 @@ object TextPipeline {
         .join(broadcast(sizes), col("doc_id") === col("sz_id"))
         .filter(col("rn") <= floor(col("n") * (1 - t) + 1e-7) + 1)
         .select(col("doc_id"), col("lang"), col("source"), col("tri"), col("n"), col("rn"))
+        .persist() // self-joined below (alias a/b): the df-rank window +
+                   // dfreq groupBy would otherwise execute once per side
       // Candidate join with the two classic prunes evaluated on ints
       // BEFORE any pair reaches the shuffle:
       //  - LENGTH: jac ≥ t forces min(n)/max(n) ≥ t;
@@ -231,6 +235,9 @@ object TextPipeline {
       val nDf = docs.agg(count(lit(1)).cast(DoubleType).as("corpus_n"))
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist() // 2 consumers: df derivation + the tf⋈df join — uncached
+                   // the explode+groupBy corpus pass runs twice (r2 bench
+                   // measured it at 2× the query's cost)
       val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
       tf.join(df, "term")
