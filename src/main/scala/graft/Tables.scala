@@ -14,6 +14,15 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir for queries that write before they read (sink
+    * roundtrips, compaction). Keyed by the data dir AND the Spark
+    * applicationId: the driver runs Verify and Bench concurrently on the
+    * same tier, and two sessions sharing a hashCode-only path race on
+    * overwrite (wrong file counts, torn reads).
+    */
+  def scratch(s: SparkSession, tag: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${d.hashCode.toHexString}_${s.sparkContext.applicationId}"
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

@@ -36,26 +36,57 @@ object FsQueries {
         .select("name")
         .orderBy("name")),
 
-    "fs_du" -> ((s, d) =>
+    "fs_ls_long" -> { (s, d) =>
+      // hh ls -l: the formatted long listing — `drwxr-xr-x`-style perm
+      // string (type char + three rwx triples rendered from the octal
+      // mode), owner, group, size, name. Pure column arithmetic over the
+      // DSv2 listing, so it stays executor-side and codegen'd. No DuckDB
+      // oracle exists for stat() data (glob()/read_blob() expose names
+      // and sizes only) — rows-only at the gate; FsSpec asserts the
+      // rendered perm/owner/length against java.nio filesystem truth.
+      val triples = array(
+        Seq("---", "--x", "-w-", "-wx", "r--", "r-x", "rw-", "rwx").map(lit): _*)
+      def tri(pos: Int) = element_at(
+        triples, substring(col("perm_octal"), pos, 1).cast("int") + 1)
+      FsOps.ls(s, d)
+        .withColumn("perm", concat(
+          when(col("is_dir"), lit("d")).otherwise(lit("-")),
+          tri(2), tri(3), tri(4)))
+        .select("perm", "owner", "grp", "length", "name")
+        .orderBy("name")
+    },
+
+    "fs_du" -> { (s, d) =>
       // hh du: subtree rollup per TOP-LEVEL entry + grand total. The
       // entry is the first path segment under the root (so files nested
       // anywhere in a subtree roll up to that subtree, like du), not the
       // file basename — the two only coincide on flat directories.
       // Sizes cross-checked by the read_blob() oracle (flat tier) and,
       // for a genuinely nested tree, against java.io walks in FsSpec.
+      //
+      // FsListSource emits scheme-less absolute paths (toUri.getPath),
+      // so the stripped prefix must be normalized the same way: qualify
+      // `d` through its FileSystem first, else a scheme-qualified
+      // (hdfs://nn/data) or relative sfDir shifts every substring and
+      // silently mis-assigns all rollups.
+      val root = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .makeQualified(new org.apache.hadoop.fs.Path(d))
+        .toUri.getPath.stripSuffix("/")
       FsOps.find(s, d)
         .withColumn("entry", element_at(
-          split(expr(s"substring(path, ${d.stripSuffix("/").length + 2})"), "/"), 1))
+          split(expr(s"substring(path, ${root.length + 2})"), "/"), 1))
         .rollup("entry")
         .agg(sum(col("length")).as("bytes"), count(lit(1)).as("n_files"))
         .withColumn("entry", coalesce(col("entry"), lit("<TOTAL>")))
-        .orderBy("entry")),
+        .orderBy("entry")
+    },
 
     "fs_cat_text" -> { (s, d) =>
       // hh cat: byte/line-stream read. Round-trips documents.text
       // through a plain-text export; the oracle cross-checks the
       // line/char totals straight off the documents table.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_cat_text_${d.hashCode.toHexString}"
+      val tmp = scratch(s, "cat_text", d)
       documents(s, d).select("text").write.mode("overwrite").text(tmp)
       s.read.text(tmp)
         .agg(count(lit(1)).as("n_lines"),
@@ -69,7 +100,7 @@ object FsQueries {
       // (round-robin repartition fills all 8 at every sf tier), compacts
       // to 2, and emits (files in/out, rows, distinct keys) with the
       // file counts taken from the actual directory listings.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${d.hashCode.toHexString}"
+      val tmp = scratch(s, "compact", d)
       documents(s, d).select("doc_id", "lang", "n_chars")
         .repartition(8).write.mode("overwrite").parquet(s"$tmp/in")
       s.read.parquet(s"$tmp/in")
@@ -84,7 +115,7 @@ object FsQueries {
         .select("n_files_in", "n_files_out", "n_rows", "n_docs")
     },
 
-    "fs_cat_binary" -> ((s, d) =>
+    "fs_cat_binary" -> { (s, d) =>
       // hh get/cat for opaque content: the distributed `binaryFile`
       // source streams whole files as (path, length, content) rows —
       // one task per file, no driver materialization; 100 TB of blobs
@@ -92,12 +123,21 @@ object FsQueries {
       // oracle recomputes via read_blob (whole-content md5 is not
       // blob-expressible in the oracle engine; full-content equality is
       // covered by length + header in practice for these files).
+      //
+      // Existence guard: binaryFile.load on an empty glob throws a deep
+      // AnalysisException out of query *construction* (round-3's bench
+      // tail showed exactly that trace from a transiently-empty dir);
+      // check up front so the failure is one clear, caught line instead.
+      val hp = new org.apache.hadoop.fs.Path(s"$d/*.parquet")
+      val matches = hp.getFileSystem(s.sparkContext.hadoopConfiguration).globStatus(hp)
+      require(matches != null && matches.nonEmpty, s"fs_cat_binary: no *.parquet under $d")
       s.read.format("binaryFile").load(s"$d/*.parquet")
         .select(
           element_at(split(col("path"), "/"), -1).as("name"),
           col("length"),
           hex(substring(col("content"), 1, 16)).as("head_hex"))
-        .orderBy("name"))
+        .orderBy("name")
+    }
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -81,7 +81,7 @@ object Relational {
       // projection is int/string only (CSV-lossless), so the oracle is
       // the same aggregate straight off the nation table: any round-trip
       // corruption shows up as a value mismatch.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${d.hashCode.toHexString}"
+      val tmp = scratch(s, "csv_rt", d)
       nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite").option("header", "true").csv(tmp)
       val schema = StructType(Seq(
@@ -97,7 +97,7 @@ object Relational {
     "sink_json_roundtrip" -> { (s, d) =>
       // JSON connector both directions; the oracle checks the aggregate
       // against the source table directly (roundtrip must be lossless).
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt_${d.hashCode.toHexString}"
+      val tmp = scratch(s, "json_rt", d)
       customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
         .write.mode("overwrite").json(tmp)
       val schema = StructType(Seq(
@@ -114,7 +114,7 @@ object Relational {
 
     "sink_orc_roundtrip" -> { (s, d) =>
       // ORC connector both directions, same lossless-aggregate oracle.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt_${d.hashCode.toHexString}"
+      val tmp = scratch(s, "orc_rt", d)
       supplier(s, d).write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .groupBy("s_nationkey")
