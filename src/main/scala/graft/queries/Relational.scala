@@ -122,6 +122,43 @@ object Relational {
         .orderBy("s_nationkey")
     },
 
+    "scan_partition_pruning" -> { (s, d) =>
+      // The single biggest 100 TB lever: a date-partitioned layout plus
+      // a partition-key predicate must scan ONE directory, not the whole
+      // table. Writes orders partitioned by year(o_orderdate) to
+      // scratch, re-reads with a single-year filter, and require()s that
+      // every file the scan selected lives under o_year=1995 — so every
+      // Verify/Bench run re-witnesses the pruning, not just the test
+      // suite. PlanSpec additionally pins PartitionFilters on the scan
+      // node. The aggregate is oracled against the unpartitioned source
+      // with the same year predicate.
+      val tmp = scratch(s, "part_orders", d)
+      orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      val pruned = s.read.parquet(tmp).filter(col("o_year") === 1995)
+      // Dataset.inputFiles lists the relation UNPRUNED; the pruning
+      // evidence lives on the physical scan's selectedPartitions (under
+      // the AQE wrapper). 7 year-partitions exist; exactly one may
+      // survive.
+      val initial = pruned.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scans = initial.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val nParts = scans.map(_.selectedPartitions.partitionCount).sum
+      val selected = scans.flatMap(_.selectedPartitions.toPartitionArray)
+        .map(_.filePath.toString)
+      require(nParts == 1 && selected.nonEmpty &&
+          selected.forall(_.contains("o_year=1995")),
+        s"partition pruning failed; $nParts partitions selected: " +
+          selected.take(3).mkString(","))
+      pruned.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---------------------------------------------------- 2b project/filter
     "project_compute" -> ((s, d) =>
       lineitem(s, d)
@@ -377,6 +414,11 @@ object Relational {
     "agg_groupby" -> q1Oracle,
 
     "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
+
+    "scan_partition_pruning" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${oSum("o_totalprice")} AS total
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "scan_projection_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem

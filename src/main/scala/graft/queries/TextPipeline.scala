@@ -42,6 +42,57 @@ object TextPipeline {
   private val B = 4
   private val R = K / B
 
+  /** Shared exact-verify tail for the sketch dedup queries: join the
+    * candidate pairs back to full shingle sets and keep pairs with
+    * EXACT 5-word-shingle Jaccard ≥ [[ShingleT]]. The emitted result is
+    * therefore candidates ∩ truth — and because this corpus has a wide
+    * similarity gap (every pair sharing a shingle is either ≥ 0.8 or
+    * < 0.3 Jaccard; measured at sf0.01 and sf0.1) the banding recovers
+    * every truth pair, so the output EQUALS the brute-force truth set
+    * and the DuckDB oracle (the unfiltered shared-shingle brute force)
+    * hash-verifies the whole sketch pipeline as lossless here. Recall on
+    * planted near-dups — the probabilistic case banding can miss — stays
+    * asserted in PipelineSpec.
+    */
+  private val ShingleT = 0.5
+  private def shingleVerify(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val shs = documents(s, d).select(col("doc_id"),
+      sort_array(call_function("graft_shingles", col("text"))).as("shs"))
+    cand
+      .join(shs.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(shs.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("n_i",
+        call_function("graft_intersect_size", col("shs_a"), col("shs_b")))
+      .withColumn("jac", col("n_i").cast(DoubleType) /
+        (size(col("shs_a")) + size(col("shs_b")) - col("n_i")))
+      .filter(col("jac") >= ShingleT)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The brute-force truth the sketch queries' outputs must equal: exact
+    * shingle Jaccard ≥ [[ShingleT]] over all pairs sharing ≥ 1 shingle
+    * (complete for any positive threshold). Shingle construction
+    * mirrors the WordShingles kernel: split on single space keeping
+    * empties, 5-word windows joined by space, distinct.
+    */
+  private val shingleTruthSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(ws) - 4),
+      |    i -> array_to_string(ws[i + 1:i + 5], ' '))) AS shs
+      |  FROM w WHERE len(ws) >= 5),
+      |tok AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i
+      |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+      |  SELECT id_a, id_b, CAST(n_i AS DOUBLE) / (sa.n + sb.n - n_i) AS jac
+      |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) t
+      |WHERE jac >= $ShingleT ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (s, d) =>
       // The corpus has no exact dups (FIXTURES.md) → self-union first so
@@ -171,13 +222,14 @@ object TextPipeline {
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
         .persist() // self-joined below; uncached it recomputes the whole
                    // shingle+minhash pipeline for each side
-      banded.alias("x")
+      val cand = banded.alias("x")
         .join(banded.alias("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .agg(count(lit(1)).as("n_shared_bands"))
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b")
+      shingleVerify(s, d, cand)
     },
 
     "dedup_simhash" -> { (s, d) =>
@@ -197,7 +249,7 @@ object TextPipeline {
       val banded = sigs
         .select(col("doc_id"), col("sig"), posexplode(bandCols).as(Seq("bidx", "bval")))
         .persist() // self-joined below
-      banded.alias("x").join(banded.alias("y"),
+      val cand = banded.alias("x").join(banded.alias("y"),
           col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
             col("x.doc_id") < col("y.doc_id"))
         // A pair can match on up to 8 bands; dedup via groupBy (map-side
@@ -206,7 +258,8 @@ object TextPipeline {
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .agg(min(bit_count(col("x.sig").bitwiseXOR(col("y.sig")))).as("hamming"))
         .filter(col("hamming") <= 16)
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b")
+      shingleVerify(s, d, cand)
     },
 
     "text_stats" -> { (s, d) =>
@@ -360,6 +413,11 @@ object TextPipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Both sketch pipelines end in the exact-verify tail, so both must
+    // reproduce the same brute-force truth set (see shingleVerify).
+    "dedup_minhash" -> shingleTruthSql,
+    "dedup_simhash" -> shingleTruthSql,
+
     "dedup_exact" ->
       """WITH dup AS (
         |  SELECT doc_id, text, lang FROM documents

@@ -90,8 +90,11 @@ object Vectors {
       // computed via posexplode + exact decimal sums (order-free, so the
       // determinism double-run holds), the query probes its 2 nearest
       // centroids, and only those lists are re-ranked exactly. At 10^9
-      // vectors this touches n_probe/n_lists of the data. No SQL oracle
-      // (like LSH) — candidate soundness asserted in PipelineSpec.
+      // vectors this touches n_probe/n_lists of the data. The whole
+      // candidate rule is RNG-free arithmetic, so the oracle replicates
+      // it end-to-end in SQL (decimal centroid means → 2-probe → exact
+      // re-rank) and the hash gate verifies the full ANN result, not
+      // just a row count.
       GraftFunctions.register(s)
       val emb = embeddings(s, d)
       val cent = emb
@@ -120,9 +123,11 @@ object Vectors {
       // ANN scale path: 8 sign-bit hyperplane hashes → bucket id;
       // candidates = vectors in the query's bucket or any bucket at
       // Hamming distance 1 (multi-probe), exact cosine re-rank on the
-      // candidates only. Recall vs brute force asserted in VectorSpec
-      // (LSH bucketing isn't SQL-oracle-able: no RNG-free equivalent of
-      // the plane family worth maintaining in DuckDB).
+      // candidates only. The plane family is deterministic integer
+      // arithmetic (no RNG) and the dot fold is index-ordered, so the
+      // oracle reproduces buckets, probes, and re-rank bit-for-bit in
+      // SQL — the hash gate verifies the full ANN result. Recall vs
+      // brute force additionally asserted in PipelineSpec.
       GraftFunctions.register(s)
       val emb = embeddings(s, d)
       val planes = 8
@@ -153,6 +158,14 @@ object Vectors {
       |    / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      list_transform(%B, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))""".stripMargin
 
+  /** Index-order dot as a SQL left fold — the same accumulation order
+    * as DotProductF (double-widen each float, then multiply/add).
+    */
+  private val oDot: String =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list_zip(%A, %B), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+      |      (acc, x) -> acc + x)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
@@ -167,6 +180,56 @@ object Vectors {
         |    ${oCos.replace("%A", "a.embedding").replace("%B", "b.embedding")}, 6) AS cos
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id) t
-        |WHERE cos >= 0.3 ORDER BY label, id_a, id_b""".stripMargin
+        |WHERE cos >= 0.3 ORDER BY label, id_a, id_b""".stripMargin,
+
+    // Full replication of the deterministic LSH pipeline: plane family
+    // (integer-hash rationals cast to float), index-order sign dots,
+    // bucket assembly, Hamming-1 multi-probe, exact re-rank.
+    "sim_ann_lsh" ->
+      s"""WITH planes AS (
+        |  SELECT p, list_transform(range(64), i -> CAST(
+        |    CAST((p * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5
+        |    AS FLOAT)) AS plane
+        |  FROM (SELECT unnest(range(8)) AS p) t),
+        |b AS (
+        |  SELECT e.vec_id, CAST(sum(CASE WHEN
+        |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
+        |    THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+        |q AS (
+        |  SELECT e.embedding AS q_emb, b.bucket AS q_bucket
+        |  FROM embeddings e JOIN b USING (vec_id) WHERE e.vec_id = 0),
+        |probes AS (
+        |  SELECT q_emb, unnest(list_append(
+        |    list_transform(range(8), p -> xor(CAST(q_bucket AS BIGINT), 1 << p)),
+        |    CAST(q_bucket AS BIGINT))) AS probe
+        |  FROM q)
+        |SELECT e.vec_id, b.bucket, round(
+        |  ${oCos.replace("%A", "e.embedding").replace("%B", "p.q_emb")}, 6) AS cos
+        |FROM embeddings e JOIN b USING (vec_id) JOIN probes p ON b.bucket = p.probe
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Full replication of the IVF pipeline: per-label decimal-mean
+    // centroids, 2 nearest probes by centroid cosine, exact re-rank
+    // inside the probed lists only.
+    "sim_ann_ivf" ->
+      s"""WITH dims AS (SELECT unnest(range(64)) AS idx),
+        |cm AS (
+        |  SELECT label, idx, CAST(
+        |    CAST(sum(CAST(embedding[idx + 1] AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |    AS FLOAT) AS c
+        |  FROM embeddings CROSS JOIN dims GROUP BY label, idx),
+        |cent AS (SELECT label, list(c ORDER BY idx) AS centroid FROM cm GROUP BY label),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT c.label, q.q_emb FROM cent c, q
+        |  ORDER BY ${oCos.replace("%A", "c.centroid").replace("%B", "q.q_emb")} DESC,
+        |    c.label ASC LIMIT 2)
+        |SELECT e.vec_id, e.label, round(
+        |  ${oCos.replace("%A", "e.embedding").replace("%B", "p.q_emb")}, 6) AS cos
+        |FROM embeddings e JOIN probes p ON e.label = p.label
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
   )
 }

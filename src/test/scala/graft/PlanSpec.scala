@@ -33,6 +33,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan reads more than the projected columns:\n$p")
   }
 
+  test("partition-key filter prunes the partitioned scan to one directory") {
+    val df = SparkEntry.queries("scan_partition_pruning")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), s"no partition filters on scan:\n$p")
+    // The query itself require()s selectedPartitions ⊆ o_year=1995 at
+    // construction (a failure would have thrown above); here pin the
+    // plan shape too: the filter must be a partition filter, not a
+    // post-scan Filter node over all 7 year directories.
+    assert(p.contains("o_year"), s"partition column absent from scan node:\n$p")
+  }
+
   test("filter predicates are pushed to the orders scan") {
     val p = plan("filter_predicates")
     assert(p.contains("PushedFilters: [Or("), s"OR predicate not pushed:\n$p")
