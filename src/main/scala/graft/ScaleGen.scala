@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Each copy c>0 offsets every key by c×(a tier-wide stride) so joins
   * stay consistent within a copy and keys never collide across copies.
-  * Document text is perturbed per copy (an appended copy-tag word, with
-  * n_chars updated) so cross-copy docs are NOT near-duplicates — the
-  * dedup families' candidate structure scales like a real corpus K×
-  * rather than exploding on K mutual copies of every doc.
+  * Document text is perturbed per copy by one appended copy-tag word
+  * (n_chars updated). That breaks EXACT duplication only: a single
+  * extra word leaves trigram/shingle Jaccard high, so a doc's K copies
+  * remain mutual NEAR-duplicates and the dedup families' candidate
+  * OUTPUT grows ~K² by construction (measured in SCALING.md: minhash
+  * 255→31 812 pairs at 4×) while wall time stays sub-quadratic — the
+  * K× tiers stress-test prune/bucket structure under heavy dup load,
+  * they do not model a dedup-light real corpus.
   */
 object ScaleGen {
   private val Stride = 100000000L

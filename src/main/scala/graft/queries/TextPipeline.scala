@@ -187,7 +187,12 @@ object TextPipeline {
         sort_array(col("tris")).as("tris_a"))
       val sideB = docs.select(col("doc_id").as("id_b"),
         sort_array(col("tris")).as("tris_b"))
-      cand.join(sideA, "id_a").join(sideB, "id_b")
+      // Broadcasting the doc→sorted-set sides turns the verify into two
+      // map-side hash joins (no shuffle of the candidate pairs at all);
+      // the side is one small row per doc. At 100 TB the sides outgrow a
+      // broadcast and these degrade gracefully to shuffle joins — drop
+      // the hint, same plan semantics.
+      cand.join(broadcast(sideA), "id_a").join(broadcast(sideB), "id_b")
         .withColumn("n_i",
           call_function("graft_intersect_size", col("tris_a"), col("tris_b")))
         .withColumn("jac", col("n_i").cast(DoubleType) /

@@ -28,6 +28,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       val q = SparkEntry.queries(name)
       val r1 = q(spark, sf).collect().map(_.toString).toSeq
       val r2 = q(alt, sf).collect().map(_.toString).toSeq
+      // The persist()ing queries (ngram/minhash/simhash/tfidf) would
+      // otherwise accumulate cached blocks across the ~100-query sweep
+      // in this shared JVM (both sessions share one cache).
+      spark.catalog.clearCache()
       if (r1 == r2) None
       else Some(s"$name (${r1.length} vs ${r2.length} rows, first diff: " +
         r1.zip(r2).find { case (a, b) => a != b }.orElse(
