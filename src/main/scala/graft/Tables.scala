@@ -38,6 +38,10 @@ object Tables {
     * TimestampType plus `us` = epoch micros.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Session-conf mutation at query-build time is deliberate: Spark 4
+    // exposes no per-read option for this (verified — ParquetOptions has
+    // no nanosAsLong key), the set is idempotent, and no other table
+    // carries a nanos column, so the widened scope changes nothing else.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
   }

@@ -72,8 +72,14 @@ object Multimodal {
         .mapPartitions { blobs =>
           blobs.map { b =>
             val n = b.payload.length
-            val thumb = (0 until 16).map(i => b.payload(i * n / 16) & 0xFF)
-            (b.doc_id, n, thumb.sum.toLong, thumb.max)
+            // Empty payloads (none in this corpus, but any real blob
+            // column has them) get an all-zero thumbnail instead of an
+            // out-of-bounds stride read.
+            if (n == 0) (b.doc_id, 0, 0L, 0)
+            else {
+              val thumb = (0 until 16).map(i => b.payload(i * n / 16) & 0xFF)
+              (b.doc_id, n, thumb.sum.toLong, thumb.max)
+            }
           }
         }
         .toDF("doc_id", "n_bytes", "thumb_sum", "thumb_max")

@@ -361,6 +361,54 @@ object TextPipeline {
         .orderBy("lang")
     },
 
+    "pipeline_clean_corpus" -> { (s, d) =>
+      // The end-to-end training-corpus cleaning pipeline, composed from
+      // the standalone stages: normalize → exact-dedup (min doc_id per
+      // content hash) → near-dedup (drop the greater id of every blocked
+      // word-Jaccard ≥ 0.8 pair) → quality floor (≥ 5 words) → salted
+      // 80/10/10 split → per-(split, lang) rollup. One hash-verified
+      // query proves the stages compose, not just work alone. The
+      // near-dedup stage uses the exact blocked form so the oracle stays
+      // SQL-replicable; at 100 TB swap in dedup_minhash's banding —
+      // same pairs→drop-id_b interface, sketch candidates instead of
+      // the blocked quadratic.
+      val norm = documents(s, d)
+        .withColumn("clean", trim(regexp_replace(
+          regexp_replace(col("text"), "[^a-z0-9 ]", ""), " +", " ")))
+        .select(col("doc_id"), col("lang"), col("source"), col("clean"))
+      val surv = norm
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("clean")))))
+        .filter(col("doc_id") === col("keep_id"))
+        .drop("keep_id")
+        .persist() // 4 consumers: both pair-join sides, sizes, final anti-join
+      val tok = surv.select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("clean"), " "))).as("w"))
+      val sizes = tok.groupBy(col("doc_id").as("sz_id")).agg(count(lit(1)).as("n_tok"))
+      val dropIds = tok.alias("a").join(tok.alias("b"),
+          col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_i"))
+        .join(sizes.withColumnRenamed("sz_id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("sz_id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+        .filter(col("n_i").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_i")) >= 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val bucket = (conv(substring(
+          md5(concat(lit("graft-split:"), col("doc_id").cast(StringType))), 1, 8),
+          16, 10).cast(LongType) % 100)
+      surv.join(dropIds, Seq("doc_id"), "left_anti")
+        .withColumn("n_words", size(split(col("clean"), " ")))
+        .filter(col("n_words") >= 5)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words").cast(LongType)).as("total_words"))
+        .orderBy("split", "lang")
+    },
+
     "split_train_test" -> { (s, d) =>
       // Deterministic train/val/test assignment by hashed id — the
       // standard reproducible-split shape for a training corpus:
@@ -533,6 +581,39 @@ object TextPipeline {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN p_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM best GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, source, trim(regexp_replace(
+        |    regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM documents),
+        |surv AS (
+        |  SELECT doc_id, lang, source, clean FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(clean)) AS keep_id FROM norm) t
+        |  WHERE doc_id = keep_id),
+        |tok AS (
+        |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(clean, ' '))) AS w
+        |  FROM surv),
+        |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |drop_ids AS (
+        |  SELECT DISTINCT id_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_i AS DOUBLE) / (sa.n_tok + sb.n_tok - n_i) >= 0.8),
+        |kept AS (
+        |  SELECT *, len(string_split(clean, ' ')) AS n_words,
+        |    CAST(('0x' || substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM surv
+        |  WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
+        |    AND len(string_split(clean, ' ')) >= 5)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |    ELSE 'test' END AS split, lang,
+        |  count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
+        |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     "split_train_test" ->
       """SELECT doc_id, bucket,
