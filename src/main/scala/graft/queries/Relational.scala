@@ -159,6 +159,31 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    "scan_dynamic_pruning" -> { (s, d) =>
+      // Dynamic partition pruning — the JOIN-time analogue of
+      // scan_partition_pruning: the fact side is partitioned by year,
+      // the pruning year is only known after filtering a dimension
+      // (region → one derived year), so Catalyst must inject a
+      // DynamicPruningSubquery into the fact scan at planning and skip
+      // 6 of 7 year directories at runtime. At 100 TB this is the lever
+      // that turns dim-filtered fact joins from full scans into
+      // single-partition reads. PlanSpec pins the dynamicpruning
+      // expression on the scan node.
+      val tmp = scratch(s, "part_orders_dpp", d)
+      orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      val fact = s.read.parquet(tmp)
+      // EUROPE → r_regionkey 3 → derived year 1995: one dim row, known
+      // only at runtime from the dimension scan.
+      val dim = region(s, d)
+        .filter(col("r_name") === "EUROPE")
+        .select((lit(1992) + col("r_regionkey")).as("y"))
+      fact.join(broadcast(dim), fact("o_year") === dim("y"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---------------------------------------------------- 2b project/filter
     "project_compute" -> ((s, d) =>
       lineitem(s, d)
@@ -418,6 +443,13 @@ object Relational {
     "scan_partition_pruning" ->
       s"""SELECT o_orderpriority, count(*) AS n, ${oSum("o_totalprice")} AS total
         |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "scan_dynamic_pruning" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${oSum("o_totalprice")} AS total
+        |FROM orders JOIN (
+        |  SELECT 1992 + r_regionkey AS y FROM region WHERE r_name = 'EUROPE') dim
+        |  ON year(o_orderdate) = dim.y
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "scan_projection_pushdown" ->

@@ -44,6 +44,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("o_year"), s"partition column absent from scan node:\n$p")
   }
 
+  test("dim-filtered join injects dynamic partition pruning into the fact scan") {
+    val df = SparkEntry.queries("scan_dynamic_pruning")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression on the partitioned fact scan:\n$p")
+  }
+
   test("filter predicates are pushed to the orders scan") {
     val p = plan("filter_predicates")
     assert(p.contains("PushedFilters: [Or("), s"OR predicate not pushed:\n$p")
