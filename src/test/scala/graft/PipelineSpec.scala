@@ -82,6 +82,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found >= 40, s"simhash recall too low: $found/50 planted dups found")
   }
 
+  test("pipeline_clean_corpus removes planted exact and near duplicates") {
+    val sp = spark
+    import sp.implicits._
+    val base = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source").as[(Long, String, String, String)]
+      .collect()
+    // Plant: an exact copy of doc 0 (dies at exact-dedup), a one-word
+    // edit of doc 1 (word-jaccard stays ≥ 0.8 within the block → dies at
+    // near-dedup), and a 3-word junk doc (dies at the quality floor).
+    val (id0, t0, l0, s0) = base(0)
+    val (id1, t1, l1, s1) = base(1)
+    val edited = { val w = t1.split(" "); w(0) = "xplanted"; w.mkString(" ") }
+    val planted = Seq(
+      (90001L, t0, l0, s0), (90002L, edited, l1, s1),
+      (90003L, "tiny junk doc", l0, s0))
+    val all = (base.toSeq ++ planted).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    all.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def totalDocs(dir: String): Long =
+      SparkEntry.queries("pipeline_clean_corpus")(spark, dir)
+        .agg(sum("n_docs")).collect()(0).getLong(0)
+    val withPlants = totalDocs(tmp)
+    val baseline = totalDocs(sf)
+    // All three planted docs must be filtered out; the baseline corpus
+    // itself passes through whatever its own dedup structure removes,
+    // identically in both runs.
+    assert(withPlants === baseline,
+      s"planted docs leaked through the pipeline: $withPlants vs $baseline")
+  }
+
   test("MinHashAgg sketch equals the per-slot min(xxhash64) column form") {
     graft.functions.GraftFunctions.register(spark)
     val tok = Tables.documents(spark, sf)
