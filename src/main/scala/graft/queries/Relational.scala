@@ -251,11 +251,20 @@ object Relational {
         .orderBy("event_type")),
 
     "agg_approx_distinct" -> ((s, d) =>
-      // Sketch values are engine-specific → no oracle (driver does a
-      // rows-only check); accuracy asserted in ScalaTest vs exact counts.
+      // The HLL sketch value is engine-specific, so the oracle can't
+      // match it directly; instead emit the exact distinct count (oracle
+      // value-matches it) plus a computed within-5%-of-exact flag the
+      // oracle pins to TRUE — the hash gate then verifies the sketch's
+      // accuracy claim, not just a row count. Raw accuracy additionally
+      // asserted in PipelineSpec.
       events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.05)
+            .as("approx_within_5pct"))
         .orderBy("event_type")),
 
     "agg_filtered" -> ((s, d) =>
@@ -526,6 +535,11 @@ object Relational {
 
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_filtered" ->

