@@ -184,6 +184,39 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    "join_bucketed_colocated" -> { (s, d) =>
+      // Bucketing: the co-location contract that removes the shuffle
+      // from every future join on the key — at 100 TB you bucket the
+      // fact ONCE and every daily join stops paying the exchange. Both
+      // sides are written bucketed(8) + sorted on the join key as
+      // external tables (explicit path → no warehouse dependence,
+      // app-suffixed names → concurrent sessions never collide), then
+      // merge-joined: the require() proves the join subplan has NO
+      // shuffle exchange — the 8 sorted buckets stream straight into
+      // the SortMergeJoin. Oracled against the same join on the raw
+      // (unbucketed) tables.
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val (to, tc) = (s"graft_orders_bkt_$app", s"graft_cust_bkt_$app")
+      orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .option("path", scratch(s, "bkt_orders", d))
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+      customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").format("parquet")
+        .option("path", scratch(s, "bkt_cust", d))
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+      // hint("merge") keeps the witness an SMJ even where the dim is
+      // broadcast-sized; co-located buckets make that SMJ exchange-free.
+      val joined = s.table(to)
+        .join(s.table(tc).hint("merge"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join is not exchange-free:\n$plan")
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     // ---------------------------------------------------- 2b project/filter
     "project_compute" -> ((s, d) =>
       lineitem(s, d)
@@ -460,6 +493,11 @@ object Relational {
         |  SELECT 1992 + r_regionkey AS y FROM region WHERE r_name = 'EUROPE') dim
         |  ON year(o_orderdate) = dim.y
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_bucketed_colocated" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${oSum("o_totalprice")} AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "scan_projection_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
