@@ -300,6 +300,28 @@ object Relational {
             .as("approx_within_5pct"))
         .orderBy("event_type")),
 
+    "agg_skew_salted" -> { (s, d) =>
+      // Skew mitigation at the gate: ~90% of lineitem rows collapse to
+      // one hot key, and the two-phase (key, salt) partial → key merge
+      // spreads that key over 32 reducers instead of one — the pattern
+      // a 100 TB group-by needs when AQE can't see the skew (e.g.
+      // pre-aggregated inputs). Decimal partials keep the re-association
+      // exact, so the result is bitwise equal to the direct group-by —
+      // which is exactly what the oracle computes.
+      val keyed = lineitem(s, d).select(
+        when(col("l_orderkey") % 10 =!= 0, lit("hot"))
+          .otherwise(concat(lit("k"), col("l_orderkey") % 97)).as("key"),
+        col("l_quantity"))
+      keyed
+        .withColumn("salt", pmod(hash(col("l_quantity")), lit(32)))
+        .groupBy("key", "salt")
+        .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
+        .groupBy("key")
+        .agg(sum(col("pq")).cast(DoubleType).as("sum_qty"),
+          sum(col("pn")).as("n"))
+        .orderBy("key")
+    },
+
     "agg_filtered" -> ((s, d) =>
       orders(s, d)
         .groupBy("o_orderpriority")
@@ -579,6 +601,14 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_skew_salted" ->
+      s"""SELECT key, ${oSum("l_quantity")} AS sum_qty, count(*) AS n
+        |FROM (
+        |  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
+        |    ELSE 'k' || CAST(l_orderkey % 97 AS VARCHAR) END AS key, l_quantity
+        |  FROM lineitem) t
+        |GROUP BY key ORDER BY key""".stripMargin,
 
     "agg_filtered" ->
       s"""SELECT o_orderpriority,
