@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * extra word leaves trigram/shingle Jaccard high, so a doc's K copies
   * remain mutual NEAR-duplicates and the dedup families' candidate
   * OUTPUT grows ~K² by construction (measured in SCALING.md: minhash
-  * 255→31 812 pairs at 4×) while wall time stays sub-quadratic — the
+  * 255→31 805 verified pairs at 4×; the r2 pre-verify candidate count
+  * was 31 812) while wall time stays sub-quadratic — the
   * K× tiers stress-test prune/bucket structure under heavy dup load,
   * they do not model a dedup-light real corpus.
   */

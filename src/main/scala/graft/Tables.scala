@@ -18,10 +18,26 @@ object Tables {
     * roundtrips, compaction). Keyed by the data dir AND the Spark
     * applicationId: the driver runs Verify and Bench concurrently on the
     * same tier, and two sessions sharing a hashCode-only path race on
-    * overwrite (wrong file counts, torn reads).
+    * overwrite (wrong file counts, torn reads). App-unique paths never
+    * get reused across JVMs, so each is registered for recursive delete
+    * at JVM exit — otherwise every run leaks its table copies into /tmp.
     */
-  def scratch(s: SparkSession, tag: String, d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${d.hashCode.toHexString}_${s.sparkContext.applicationId}"
+  def scratch(s: SparkSession, tag: String, d: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${d.hashCode.toHexString}_${s.sparkContext.applicationId}"
+    registerCleanup(p)
+    p
+  }
+
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(path: String): Unit =
+    if (cleanupRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -36,6 +36,18 @@ object TextPipeline {
         explode(call_function("graft_shingles", col("text"))).as("w"))
   }
 
+  /** The 80/10/10 split contract shared by split_train_test and
+    * pipeline_clean_corpus: salted-md5 bucket in [0, 100), engine-
+    * portable (md5 is md5 everywhere, unlike xxhash64/rand seeds).
+    */
+  private def splitBucket: org.apache.spark.sql.Column =
+    conv(substring(
+      md5(concat(lit("graft-split:"), col("doc_id").cast(StringType))), 1, 8),
+      16, 10).cast(LongType) % 100
+
+  private def splitName(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
   /** MinHash parameters: K signature slots in B bands of R rows.
     * Hashes are xxhash64 of token+slot-tag — seeded, deterministic. */
   private val K = 16
@@ -58,9 +70,12 @@ object TextPipeline {
   private def shingleVerify(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val shs = documents(s, d).select(col("doc_id"),
       sort_array(call_function("graft_shingles", col("text"))).as("shs"))
+    // Broadcast the one-row-per-doc sides: the verify becomes two
+    // map-side hash joins with no shuffle of the candidate pairs (same
+    // shape as dedup_ngram_jaccard's verify tail).
     cand
-      .join(shs.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(shs.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .join(broadcast(shs.select(col("doc_id").as("id_a"), col("shs").as("shs_a"))), "id_a")
+      .join(broadcast(shs.select(col("doc_id").as("id_b"), col("shs").as("shs_b"))), "id_b")
       .withColumn("n_i",
         call_function("graft_intersect_size", col("shs_a"), col("shs_b")))
       .withColumn("jac", col("n_i").cast(DoubleType) /
@@ -395,14 +410,10 @@ object TextPipeline {
         .filter(col("n_i").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_i")) >= 0.8)
         .select(col("id_b").as("doc_id")).distinct()
-      val bucket = (conv(substring(
-          md5(concat(lit("graft-split:"), col("doc_id").cast(StringType))), 1, 8),
-          16, 10).cast(LongType) % 100)
       surv.join(dropIds, Seq("doc_id"), "left_anti")
         .withColumn("n_words", size(split(col("clean"), " ")))
         .filter(col("n_words") >= 5)
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .withColumn("split", splitName(splitBucket))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words").cast(LongType)).as("total_words"))
@@ -414,16 +425,10 @@ object TextPipeline {
       // standard reproducible-split shape for a training corpus:
       // map-only (zero shuffle at any scale), stable under reruns and
       // repartitioning, engine-portable (md5 is md5 everywhere, unlike
-      // xxhash64/rand seeds). 80/10/10 on a salted-md5 bucket.
-      val bucket = (conv(substring(
-          md5(concat(lit("graft-split:"), col("doc_id").cast(StringType))), 1, 8),
-          16, 10).cast(LongType) % 100).as("bucket")
+      // xxhash64/rand seeds). 80/10/10 on the shared salted-md5 bucket.
       documents(s, d)
-        .select(col("doc_id"), bucket)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
+        .select(col("doc_id"), splitBucket.as("bucket"))
+        .withColumn("split", splitName(col("bucket")))
         .orderBy("doc_id")
     },
 

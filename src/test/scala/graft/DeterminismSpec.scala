@@ -27,10 +27,13 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val q = SparkEntry.queries(name)
       val r1 = q(spark, sf).collect().map(_.toString).toSeq
+      // Clear BETWEEN the two runs, not just after: both sessions share
+      // one CacheManager, so without this the alt-session run would be
+      // served the partitions=4 cached blocks for the persist()ing
+      // queries instead of recomputing under partitions=7 — exactly the
+      // configuration difference this spec exists to exercise.
+      spark.catalog.clearCache()
       val r2 = q(alt, sf).collect().map(_.toString).toSeq
-      // The persist()ing queries (ngram/minhash/simhash/tfidf) would
-      // otherwise accumulate cached blocks across the ~100-query sweep
-      // in this shared JVM (both sessions share one cache).
       spark.catalog.clearCache()
       if (r1 == r2) None
       else Some(s"$name (${r1.length} vs ${r2.length} rows, first diff: " +
