@@ -29,8 +29,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: absorbs session/JIT/codegen/scan init so the
-    // first timed query isn't charged ~5s of one-time cost.
+    // first timed query isn't charged ~5s of one-time cost. The
+    // partition-pruning run also writes the shared _SUCCESS-guarded
+    // year-partitioned layout, so every TIMED repeat of both pruning
+    // witnesses measures the same cached-layout read — without this,
+    // repeat 1 pays a one-time write the other repeats don't, and
+    // min-of-N would compare non-uniform work (see BASELINE.md: layout
+    // writes are one-time maintenance, excluded from the timed region;
+    // roundtrip writes are the op's semantics, timed in every repeat).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try SparkEntry.queries("scan_partition_pruning")(spark, sfDir).count()
+    catch { case _: Throwable => }
     // Round 3's driver-recorded total (113.7 s) vs the same commit on a
     // quiet box (48.2 s) proved machine load alone can fabricate a >2×
     // swing. Min-of-N per query filters that contention noise out;

@@ -23,6 +23,34 @@ object FsQueries {
   val SfDirToken = "GRAFT_SF_DIR"
   private val parquetGlobRegex = Glob.toRegex("*.parquet")
 
+  /** Renders the ls -l permission string (nine rwx chars) from a %04o
+    * octal mode column, including the POSIX special bits carried by
+    * digit 1: setuid(4)/setgid(2) map the user/group execute slot to
+    * s (execute set) or S (not), sticky(1) maps the other slot to t/T.
+    * Pure column arithmetic — executor-side, codegen'd. Note Hadoop's
+    * FsPermission models only the sticky bit (toShort strips
+    * setuid/setgid), so through the FileSystem API digit 1 is 0 or 1;
+    * the full mapping is still rendered so any richer mode source
+    * (or direct octal input) formats correctly. Unit-tested on literal
+    * modes in FsSpec.
+    */
+  def permString(octal: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val triples = array(
+      Seq("---", "--x", "-w-", "-wx", "r--", "r-x", "rw-", "rwx").map(lit): _*)
+    val special = substring(octal, 1, 1).cast("int")
+    // One rwx triple, with the execute slot overridden when the
+    // corresponding special bit is set in digit 1.
+    def tri(pos: Int, bit: Int, ch: String) = {
+      val digit = substring(octal, pos, 1).cast("int")
+      val base = element_at(triples, digit + 1)
+      when(special.bitwiseAND(lit(bit)) =!= 0,
+        concat(substring(base, 1, 2),
+          when(digit % 2 === 1, lit(ch)).otherwise(lit(ch.toUpperCase))))
+        .otherwise(base)
+    }
+    concat(tri(2, 4, "s"), tri(3, 2, "s"), tri(4, 1, "t"))
+  }
+
   val queries: Map[String, Q] = Map(
     "fs_ls" -> ((s, d) =>
       FsOps.ls(s, d)
@@ -38,20 +66,21 @@ object FsQueries {
 
     "fs_ls_long" -> { (s, d) =>
       // hh ls -l: the formatted long listing — `drwxr-xr-x`-style perm
-      // string (type char + three rwx triples rendered from the octal
-      // mode), owner, group, size, name. Pure column arithmetic over the
-      // DSv2 listing, so it stays executor-side and codegen'd. No DuckDB
+      // string (type char + three rwx triples incl. setuid/setgid/sticky
+      // rendering, see permString), owner, group, size, name. Pure
+      // column arithmetic over the DSv2 listing, so it stays
+      // executor-side and codegen'd. Type char is dir-vs-file only: the
+      // Hadoop FileSystem API resolves symlinks during listing (and
+      // FsPermission carries no link bit), so 'l' can never reach this
+      // query — documented limitation, not a rendering gap. No DuckDB
       // oracle exists for stat() data (glob()/read_blob() expose names
       // and sizes only) — rows-only at the gate; FsSpec asserts the
-      // rendered perm/owner/length against java.nio filesystem truth.
-      val triples = array(
-        Seq("---", "--x", "-w-", "-wx", "r--", "r-x", "rw-", "rwx").map(lit): _*)
-      def tri(pos: Int) = element_at(
-        triples, substring(col("perm_octal"), pos, 1).cast("int") + 1)
+      // rendered perm/owner/length against java.nio filesystem truth
+      // and the special-bit mapping against literal modes.
       FsOps.ls(s, d)
         .withColumn("perm", concat(
           when(col("is_dir"), lit("d")).otherwise(lit("-")),
-          tri(2), tri(3), tri(4)))
+          permString(col("perm_octal"))))
         .select("perm", "owner", "grp", "length", "name")
         .orderBy("name")
     },

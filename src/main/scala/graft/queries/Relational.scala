@@ -62,7 +62,11 @@ object Relational {
     * repeats — the data is a pure function of the tier, and the
     * app-unique scratch path can't be a stale leftover.
     */
-  private def partitionedOrders(s: SparkSession, d: String): String = {
+  private val layoutLock = new Object
+  private def partitionedOrders(s: SparkSession, d: String): String = layoutLock.synchronized {
+    // synchronized: the two pruning witnesses share this layout, and the
+    // check-then-write below must not race if a harness ever runs them
+    // concurrently in one JVM (same appId → same scratch path).
     val tmp = scratch(s, "part_orders", d)
     if (!new java.io.File(tmp, "_SUCCESS").exists())
       orders(s, d).withColumn("o_year", year(col("o_orderdate")))
@@ -218,12 +222,32 @@ object Relational {
       // broadcast-sized; co-located buckets make that SMJ exchange-free.
       val joined = s.table(to)
         .join(s.table(tc).hint("merge"), col("o_custkey") === col("c_custkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      require(plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
-        s"bucketed join is not exchange-free:\n$plan")
-      joined.groupBy("c_mktsegment")
+      // Assert on plan NODE TYPES, not plan-string matching: collect the
+      // actual SortMergeJoinExec / ShuffleExchangeExec nodes under the
+      // AQE wrapper's initial plan.
+      val initial = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val smjs = initial.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      val shuffles = initial.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      require(smjs.nonEmpty && shuffles.isEmpty,
+        s"bucketed join is not an exchange-free SMJ " +
+          s"(${smjs.size} SMJ, ${shuffles.size} shuffle):\n$initial")
+      val result = joined.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("c_mktsegment")
+      // Catalog hygiene: the result plan above is fully analyzed and its
+      // relations pin the external files directly, so the catalog
+      // entries can be dropped now — a long-lived shared session doesn't
+      // accumulate graft_*_bkt_* tables. DROP on an external table
+      // leaves the scratch data in place (cleaned by the shutdown hook).
+      Seq(to, tc).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      result
     },
 
     // ---------------------------------------------------- 2b project/filter

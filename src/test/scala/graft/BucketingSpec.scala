@@ -51,6 +51,18 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       rawLi.join(rawO, rawLi("l_orderkey") === rawO("o_orderkey")).count())
   }
 
+  test("join_bucketed_colocated executes after dropping its catalog entries") {
+    // The query drops its app-scoped graft_*_bkt_* tables as soon as the
+    // result plan is analyzed (catalog hygiene for long-lived sessions);
+    // the resolved relations must keep pinning the external files, so
+    // execution after the DROP has to still produce rows — and the
+    // session must be left with no graft_* tables behind.
+    val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf)
+    assert(df.collect().nonEmpty)
+    assert(!spark.catalog.listTables().collect().exists(_.name.startsWith("graft_")),
+      "join_bucketed_colocated leaked catalog tables")
+  }
+
   override def afterAll(): Unit = {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")

@@ -66,6 +66,32 @@ class FsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("permString renders setuid/setgid/sticky from octal digit 1") {
+    // The FileSystem API can only surface the sticky bit (FsPermission
+    // strips setuid/setgid), so the full POSIX special-bit mapping is
+    // pinned here on literal modes instead of real files.
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "0644" -> "rw-r--r--",
+      "0755" -> "rwxr-xr-x",
+      "4755" -> "rwsr-xr-x", // setuid + user-x → s
+      "4644" -> "rwSr--r--", // setuid, no user-x → S
+      "2755" -> "rwxr-sr-x", // setgid + group-x → s
+      "2745" -> "rwxr-Sr-x", // setgid, no group-x → S
+      "1777" -> "rwxrwxrwt", // sticky + other-x → t
+      "1776" -> "rwxrwxrwT", // sticky, no other-x → T
+      "6755" -> "rwsr-sr-x", // setuid+setgid together
+      "7000" -> "--S--S--T") // all three, no execute anywhere
+    val got = cases.map(_._1).toDF("perm_octal")
+      .select(col("perm_octal"),
+        graft.queries.FsQueries.permString(col("perm_octal")).as("perm"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((octal, expect) <- cases)
+      assert(got(octal) === expect, s"mode $octal")
+  }
+
   test("fs_ls lists exactly the table files") {
     val names = SparkEntry.queries("fs_ls")(spark, sf).collect().map(_.getString(0))
     assert(names.toSeq === names.toSeq.sorted)

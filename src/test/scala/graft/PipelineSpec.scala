@@ -82,6 +82,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found >= 40, s"simhash recall too low: $found/50 planted dups found")
   }
 
+  test("fixture similarity gap: no shared-shingle pair in [0.3, 0.8) jaccard") {
+    // The dedup_minhash/dedup_simhash oracles rely on a corpus-wide
+    // similarity GAP: every pair sharing a 5-word shingle is either
+    // near-identical (jaccard ≥ 0.8 — banding recovers it) or far apart
+    // (< 0.3 — the exact-verify tail drops it), so sketch candidates ∩
+    // exact-truth EQUALS brute-force truth. A fixture edit that plants a
+    // borderline-similarity pair would break those hash gates opaquely;
+    // this test pins the assumption at the fixture layer so the failure
+    // lands here, with a readable message, at both the test tier and the
+    // driver's verify tier.
+    graft.functions.GraftFunctions.register(spark)
+    for (tier <- Seq(sf, "/root/testdata/sf0.01")) {
+      val shs = spark.read.parquet(s"$tier/documents.parquet")
+        .select(col("doc_id"), call_function("graft_shingles", col("text")).as("shs"))
+        .filter(size(col("shs")) > 0)
+      val tok = shs.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val inter = tok.as("a")
+        .join(tok.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_i"))
+      val sizes = shs.select(col("doc_id"), size(col("shs")).as("n"))
+      val jac = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .select((col("n_i").cast("double") /
+          (col("n_a") + col("n_b") - col("n_i"))).as("jac"))
+      val inGap = jac.filter(col("jac") >= 0.3 && col("jac") < 0.8).count()
+      assert(inGap == 0,
+        s"$tier: $inGap shared-shingle pairs fall inside the [0.3, 0.8) " +
+          "similarity gap the sketch oracles assume — re-derive the " +
+          "dedup_minhash/dedup_simhash oracle strategy before shipping this fixture")
+      // The gap must be non-vacuous: pairs exist on both sides of it.
+      assert(jac.filter(col("jac") >= 0.8).count() > 0, s"$tier: no near-dup pairs")
+      assert(jac.filter(col("jac") < 0.3).count() > 0, s"$tier: no far pairs")
+    }
+  }
+
   test("pipeline_clean_corpus removes planted exact and near duplicates") {
     val sp = spark
     import sp.implicits._
