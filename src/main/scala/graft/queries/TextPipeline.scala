@@ -432,6 +432,82 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    "decontaminate_ngram" -> { (s, d) =>
+      // Train/eval DECONTAMINATION — the benchmark-hygiene pass every
+      // serious LLM training set runs: drop any training doc that shares
+      // an n-gram (5-word shingle here, 13-gram in the published
+      // recipes) with the held-out eval split. Shape for 100 TB: the
+      // eval side is tiny by construction (a benchmark suite), so its
+      // distinct shingle set BROADCASTS and the train side is a map-only
+      // semi-join probe — the full training corpus is never shuffled;
+      // the only exchanges are the distinct on the (small) eval shingles
+      // and the final per-lang rollup. Emits per-lang counts: train
+      // docs, contaminated, surviving.
+      graft.functions.GraftFunctions.register(s)
+      val docs = documents(s, d).withColumn("bucket", splitBucket)
+      val evalShingles = docs.filter(col("bucket") >= 80)
+        .select(explode(call_function("graft_shingles", col("text"))).as("sh"))
+        .distinct()
+      val train = docs.filter(col("bucket") < 80)
+      val contaminated = train
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", col("text"))).as("sh"))
+        .join(broadcast(evalShingles), "sh")
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(1))
+      train.join(contaminated, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_train"),
+          count(col("hit")).as("n_contaminated"),
+          (count(lit(1)) - count(col("hit"))).as("n_clean"))
+        .orderBy("lang")
+    },
+
+    "sample_stratified" -> { (s, d) =>
+      // Stratified downsampling with per-stratum rates (the data-mixing
+      // knob of a training pipeline: e.g. keep 50% of English, 20% of
+      // everything else). Selection is a salted-md5 threshold on the doc
+      // id — deterministic, seed-free, reproducible across reruns and
+      // repartitioning, and map-only: zero shuffle at any corpus size
+      // (contrast df.sampleBy, which is rand()-seeded per partition and
+      // unstable under repartitioning). Emits the selected rows
+      // themselves so the gate hash-verifies the exact sample.
+      val bucket = conv(substring(
+        md5(concat(lit("graft-sample:"), col("doc_id").cast(StringType))), 1, 8),
+        16, 10).cast(LongType) % 100
+      documents(s, d)
+        .withColumn("bucket", bucket)
+        .withColumn("rate", when(col("lang") === "en", 50).otherwise(20))
+        .filter(col("bucket") < col("rate"))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    },
+
+    "pack_sequences" -> { (s, d) =>
+      // Sequence packing — concat-and-chunk batching for training: docs
+      // are concatenated in deterministic (doc_id) order and cut every
+      // 2048 tokens; a doc belongs to the bin its first token lands in.
+      // Scale shape: the running sum is windowed per (lang, shard) where
+      // shard buckets 1000 consecutive doc_ids, so no window partition
+      // ever exceeds 1000 rows — packing a 100 TB corpus stays
+      // embarrassingly parallel instead of serializing on one global
+      // cumulative sum (bins are local to a shard, matching how packing
+      // workers operate on corpus slices in practice). Emits per-bin
+      // occupancy: docs and tokens.
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") / 1000).cast(LongType).as("shard"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("start_off", coalesce(
+          sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("bin", (col("start_off") / 2048).cast(LongType))
+        .groupBy("lang", "shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("lang", "shard", "bin")
+    },
+
     "text_normalize" -> { (s, d) =>
       // Cleaning stage: strip non-alphanumerics, collapse whitespace
       // runs, trim. Emits md5 of the cleaned text (not the text) so the
@@ -629,6 +705,49 @@ object TextPipeline {
         |    CAST(('0x' || substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_ngram" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(('0x' || substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, bucket, string_split(text, ' ') AS ws FROM b),
+        |sh AS (
+        |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+        |    range(len(ws) - 4), i -> array_to_string(ws[i + 1:i + 5], ' ')))) AS s
+        |  FROM w WHERE len(ws) >= 5),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE bucket >= 80),
+        |cont AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.s = ev.s
+        |  WHERE sh.bucket < 80)
+        |SELECT lang, count(*) AS n_train, count(cont.doc_id) AS n_contaminated,
+        |  count(*) - count(cont.doc_id) AS n_clean
+        |FROM b LEFT JOIN cont ON b.doc_id = cont.doc_id
+        |WHERE b.bucket < 80
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS rate
+        |  FROM documents) t
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, doc_id // 1000 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |offs AS (
+        |  SELECT lang, shard, n_tok, coalesce(sum(n_tok) OVER (
+        |    PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM toks)
+        |SELECT lang, shard, CAST(start_off AS BIGINT) // 2048 AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM offs GROUP BY lang, shard, bin
+        |ORDER BY lang, shard, bin""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,
