@@ -144,6 +144,44 @@ object FsQueries {
         .select("n_files_in", "n_files_out", "n_rows", "n_docs")
     },
 
+    "fs_distcp" -> { (s, d) =>
+      // hh get/put at estate scale == distcp: parallelize the FILE LIST
+      // (not the bytes) and stream each file's copy through Hadoop
+      // FileSystem I/O inside an executor task — one task per file, no
+      // driver materialization, no shuffle; 100 TB copies at aggregate
+      // disk/network bandwidth exactly like the real DistCp. The gate
+      // then reads the COPIES back through the distributed binaryFile
+      // source and emits a full-content digest per file, while the
+      // oracle computes the same digest from the SOURCE files — any
+      // dropped or corrupted byte anywhere in the copy fails the hash
+      // compare. (Digest is md5 over the hex rendering: DuckDB's md5
+      // can't take a raw BLOB, and hex equality across the two engines
+      // is already pinned by fs_cat_binary.)
+      val dst = scratch(s, "distcp", d)
+      import s.implicits._
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      FsOps.ls(s, d)
+        .filter(!col("is_dir") && col("name").rlike(parquetGlobRegex))
+        .select("path").as[String]
+        .foreachPartition { (it: Iterator[String]) =>
+          val c = hconf.value
+          it.foreach { p =>
+            val src = new org.apache.hadoop.fs.Path(p)
+            val out = new org.apache.hadoop.fs.Path(dst, src.getName)
+            org.apache.hadoop.fs.FileUtil.copy(
+              src.getFileSystem(c), src, out.getFileSystem(c), out,
+              false /* deleteSource */, true /* overwrite */, c)
+          }
+        }
+      s.read.format("binaryFile").load(s"$dst/*.parquet")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("name"),
+          col("length"),
+          md5(hex(col("content"))).as("content_md5"))
+        .orderBy("name")
+    },
+
     "fs_cat_binary" -> { (s, d) =>
       // hh get/cat for opaque content: the distributed `binaryFile`
       // source streams whole files as (path, length, content) rows —
@@ -203,6 +241,13 @@ object FsQueries {
     "fs_cat_binary" ->
       s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,
         |  size AS length, substring(hex(content), 1, 32) AS head_hex
+        |FROM read_blob('$SfDirToken/*.parquet') ORDER BY name""".stripMargin,
+
+    // Digest of the SOURCE files; the Spark side digests the COPIES —
+    // equality proves the distributed copy byte-lossless end to end.
+    "fs_distcp" ->
+      s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,
+        |  size AS length, md5(hex(content)) AS content_md5
         |FROM read_blob('$SfDirToken/*.parquet') ORDER BY name""".stripMargin
   )
 }
