@@ -34,6 +34,29 @@ object StreamingBatch {
         .select(col("win.start").cast("timestamp_ntz").as("win_start"), col("n"), col("avg_value"))
         .orderBy("win_start")),
 
+    "stream_stream_join" -> { (s, d) =>
+      // Batch twin of StreamingSpec's watermarked stream-stream interval
+      // join: clicks joined to same-user purchases within the preceding
+      // hour. Equi-key (user_id) + time-range predicate, so this plans
+      // as a hash/merge join on the user key with the range as a join
+      // filter — never a BNLJ; at 100 TB each side shuffles once on
+      // user_id and per-key time runs merge locally. The incremental
+      // form (watermark state eviction, append-mode emission) is
+      // asserted equal to this in StreamingSpec.
+      val ev = eventsTs(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"),
+          col("event_id").as("c_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("us").as("p_us"),
+          col("event_id").as("p_id"))
+      clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_us") >= col("c_us") - hourUs && col("p_us") <= col("c_us"))
+        .select(col("c_id"), col("p_id"))
+        .orderBy("c_id", "p_id")
+    },
+
     "stream_session_windows" -> { (s, d) =>
       // Gaps-and-islands: session boundary where the gap to the previous
       // event of the same user exceeds 5 minutes; identical windowed SQL
@@ -68,6 +91,17 @@ object StreamingBatch {
         |  SELECT make_timestamp((epoch_us(ts) // $halfHourUs - 1) * $halfHourUs) AS w0, value FROM events)
         |SELECT w0 AS win_start, count(*) AS n, ${oAvg("value")} AS avg_value
         |FROM assigned GROUP BY w0 ORDER BY win_start""".stripMargin,
+
+    "stream_stream_join" ->
+      s"""WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c_id, p_id FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p_us >= c_us - $hourUs AND p_us <= c_us
+        |ORDER BY c_id, p_id""".stripMargin,
 
     "stream_session_windows" ->
       s"""WITH g AS (
