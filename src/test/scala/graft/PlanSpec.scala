@@ -113,6 +113,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"verify step must use the sorted-merge kernel:\n$p")
   }
 
+  test("decontamination probes the training corpus via broadcast, never shuffling it") {
+    // The eval shingle set must be the broadcast side; the training
+    // corpus' only exchanges are the eval distinct + final rollup.
+    val p = plan("decontaminate_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"training corpus is being shuffled through the contamination join:\n$p")
+  }
+
+  test("stratified sampling is map-only up to its output sort") {
+    // Salted-md5 threshold selection must not shuffle: the only
+    // exchange in the plan is the rangepartitioning for the final
+    // deterministic orderBy.
+    val p = plan("sample_stratified")
+    val exchanges = "Exchange [a-z]+".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"sampling shuffled beyond the output sort: $exchanges\n$p")
+  }
+
+  test("stream-stream join batch twin plans a keyed join, never a BNLJ") {
+    val p = plan("stream_stream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n$p")
+  }
+
   test("custom dot-product expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.execution.ExplainMode
     val df = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
