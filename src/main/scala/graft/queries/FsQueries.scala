@@ -161,7 +161,13 @@ object FsQueries {
       import s.implicits._
       val hconf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
-      FsOps.ls(s, d)
+      // Recursive find, not one-level ls: table-shaped layouts keep
+      // their part files one level down (dir/table.parquet/part-*), and
+      // a copy tool that silently skips them "passes" on flat dirs
+      // only. Copies land flat in dst (part-file names carry a UUID, so
+      // no collisions); the driver's flat sf tiers make the gate output
+      // identical to the source listing the oracle digests.
+      FsOps.find(s, d)
         .filter(!col("is_dir") && col("name").rlike(parquetGlobRegex))
         .select("path").as[String]
         .foreachPartition { (it: Iterator[String]) =>
