@@ -119,6 +119,75 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontaminate_ngram flags a training doc planted from the eval split") {
+    val sp = spark
+    import sp.implicits._
+    // Pick a real doc that lands in eval (bucket >= 80 under the
+    // md5 split), then plant a train-bucketed copy of its text. The
+    // copy shares every shingle with the eval doc → must be counted
+    // contaminated. Bucket membership is pinned by recomputing the
+    // md5 arithmetic here, not assumed.
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-split:$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 100
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect()
+    val evalDoc = docs.find(d => bucket(d._1) >= 80).get
+    val plantedId = (100000L to 100100L).find(bucket(_) < 80).get
+    val all = (docs :+ ((plantedId, evalDoc._2, evalDoc._3))).toSeq
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    all.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val tmpBase = java.nio.file.Files.createTempDirectory("graft_decon0").toString
+    all.filter(col("doc_id") =!= plantedId).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmpBase/documents.parquet")
+    val without = SparkEntry.queries("decontaminate_ngram")(spark, tmpBase)
+      .filter(col("lang") === evalDoc._3)
+      .select("n_contaminated").as[Long].head()
+    val withPlant = SparkEntry.queries("decontaminate_ngram")(spark, tmp)
+      .filter(col("lang") === evalDoc._3)
+      .select("n_contaminated").as[Long].head()
+    assert(withPlant === without + 1,
+      s"planted train copy of an eval doc not flagged ($without -> $withPlant)")
+  }
+
+  test("pack_sequences bins are contiguous and conserve tokens") {
+    val sp = spark
+    import sp.implicits._
+    val bins = SparkEntry.queries("pack_sequences")(spark, sf)
+      .select("lang", "shard", "bin", "n_docs", "n_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long")).as[Long]
+      .collect().sum
+    assert(bins.map(_._5).sum === totalTokens, "packing lost or duplicated tokens")
+    for (((_, _), group) <- bins.groupBy(b => (b._1, b._2))) {
+      val ids = group.map(_._3).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray.map(identity),
+        s"bins not contiguous from 0: ${ids.mkString(",")}")
+    }
+  }
+
+  test("sample_stratified is deterministic and respects per-stratum rates") {
+    val a = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    val b = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "sample changed between runs")
+    // Loose rate check: en strata keep ~50%, others ~20% (md5 buckets
+    // are uniform; at fixture size allow wide tolerance).
+    val byLang = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    for ((lang, n) <- sampled) {
+      val rate = n.toDouble / byLang(lang)
+      val want = if (lang == "en") 0.5 else 0.2
+      assert(math.abs(rate - want) < 0.15,
+        s"$lang sampled at $rate, wanted ~$want")
+    }
+  }
+
   test("pipeline_clean_corpus removes planted exact and near duplicates") {
     val sp = spark
     import sp.implicits._
