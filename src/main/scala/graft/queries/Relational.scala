@@ -140,6 +140,50 @@ object Relational {
         .orderBy("s_nationkey")
     },
 
+    "scan_schema_evolution" -> { (s, d) =>
+      // Schema drift — the standing reality of a 100 TB estate where
+      // old files predate new columns. Two generations are written
+      // with different-but-overlapping schemas; mergeSchema reconciles
+      // them at read (old-generation rows null-fill the new column),
+      // and the aggregate proves rows from BOTH generations and the
+      // drifted column survive the merge. The oracle reconstructs the
+      // same two generations from the source table with UNION ALL.
+      val tmp = scratch(s, "schevo", d)
+      val docs = documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/gen=0")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(coalesce(col("n_chars"), lit(0))).cast(LongType).as("chars"))
+        .orderBy("lang")
+    },
+
+    "agg_approx_percentile" -> ((s, d) =>
+      // Sketch family, bar-flag pattern (cf. agg_approx_distinct): the
+      // digest behind approx_percentile is engine-specific, so emit the
+      // EXACT p50/p95 plus a flag that the sketch landed within 1% of
+      // them; the oracle pins the exact values and TRUE. The sketch is
+      // the 100 TB path — exact percentile materializes every value per
+      // group, the sketch merges bounded summaries map-side (accuracy
+      // 10000 → rank error ≤ 0.01%, far inside the 1% value bar here).
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, array(0.5D, 0.95D))").as("exact"),
+          expr("approx_percentile(o_totalprice, array(0.5D, 0.95D), 10000)").as("apx"))
+        .select(col("o_orderstatus"),
+          round(element_at(col("exact"), 1), 4).as("p50"),
+          round(element_at(col("exact"), 2), 4).as("p95"),
+          (abs(element_at(col("apx"), 1) - element_at(col("exact"), 1)) <=
+            element_at(col("exact"), 1) * 0.01 &&
+            abs(element_at(col("apx"), 2) - element_at(col("exact"), 2)) <=
+              element_at(col("exact"), 2) * 0.01).as("approx_within_1pct"))
+        .orderBy("o_orderstatus")),
+
     "scan_partition_pruning" -> { (s, d) =>
       // The single biggest 100 TB lever: a date-partitioned layout plus
       // a partition-key predicate must scan ONE directory, not the whole
@@ -662,6 +706,22 @@ object Relational {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "scan_schema_evolution" ->
+      """SELECT lang, count(*) AS n, count(n_chars) AS n_with_chars,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars
+        |FROM (
+        |  SELECT lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "agg_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  TRUE AS approx_within_1pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,
