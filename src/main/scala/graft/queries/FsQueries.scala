@@ -180,11 +180,21 @@ object FsQueries {
               false /* deleteSource */, true /* overwrite */, c)
           }
         }
-      s.read.format("binaryFile").load(s"$dst/*.parquet")
-        .select(
-          element_at(split(col("path"), "/"), -1).as("name"),
-          col("length"),
-          md5(hex(col("content"))).as("content_md5"))
+      // Manifest from the LISTING of the copies, digests from the
+      // binaryFile re-read: binaryFile silently yields no row for a
+      // zero-byte file, and real estates do hold empty part/marker
+      // files — a manifest driven by the content scan alone would
+      // silently drop them from the gate. Empty files take md5 of the
+      // empty string (= md5(hex(<empty content>)), same digest rule).
+      val copied = FsOps.ls(s, dst)
+        .filter(!col("is_dir") && col("name").rlike(parquetGlobRegex))
+        .select(col("name"), col("length"))
+      val digests = s.read.format("binaryFile").load(s"$dst/*.parquet")
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          md5(hex(col("content"))).as("bin_md5"))
+      copied.join(digests, Seq("name"), "left")
+        .select(col("name"), col("length"),
+          coalesce(col("bin_md5"), md5(lit(""))).as("content_md5"))
         .orderBy("name")
     },
 
