@@ -57,6 +57,41 @@ object StreamingBatch {
         .orderBy("c_id", "p_id")
     },
 
+    "stream_dedup" -> { (s, d) =>
+      // Batch twin of the watermarked dropDuplicates stream: events
+      // (self-unioned so there are duplicates worth dropping, same
+      // device as dedup_exact) dedup by event_id keeping the earliest
+      // arrival, then a per-type rollup proves exactly one survivor per
+      // id. One shuffle on event_id — the same state key the streaming
+      // form partitions its dedup state by.
+      val ev = eventsTs(s, d).select("event_id", "event_type", "us", "value")
+      ev.unionByName(ev)
+        .groupBy("event_id")
+        .agg(min(struct(col("us"), col("event_type"), col("value"))).as("keep"))
+        .select(col("keep.event_type").as("event_type"), col("keep.value").as("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    },
+
+    "stream_running_totals" -> { (s, d) =>
+      // Batch twin of the flatMapGroupsWithState running-total stream:
+      // each user's cumulative event count and value at every event,
+      // in event-time order — the full state TRAJECTORY the stateful
+      // operator would emit, not just its final value, so the hash gate
+      // pins every intermediate state transition. Window per user_id;
+      // state stays partition-local at any scale.
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      // dsum's decimal-accumulate/double-emit policy, window form: the
+      // window attaches to the sum, the double cast to its result.
+      eventsTs(s, d)
+        .select(col("user_id"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("running_n"),
+          sum(dec(col("value"))).over(w).cast("double").as("running_value"))
+        .select("user_id", "event_id", "running_n", "running_value")
+        .orderBy("user_id", "event_id")
+    },
+
     "stream_session_windows" -> { (s, d) =>
       // Gaps-and-islands: session boundary where the gap to the previous
       // event of the same user exceeds 5 minutes; identical windowed SQL
@@ -91,6 +126,27 @@ object StreamingBatch {
         |  SELECT make_timestamp((epoch_us(ts) // $halfHourUs - 1) * $halfHourUs) AS w0, value FROM events)
         |SELECT w0 AS win_start, count(*) AS n, ${oAvg("value")} AS avg_value
         |FROM assigned GROUP BY w0 ORDER BY win_start""".stripMargin,
+
+    "stream_dedup" ->
+      s"""WITH dup AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS us, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, epoch_us(ts) AS us, value FROM events),
+        |survivors AS (
+        |  SELECT event_id, min(struct_pack(us := us, event_type := event_type,
+        |    value := value)) AS k FROM dup GROUP BY event_id)
+        |SELECT k.event_type AS event_type, count(*) AS n_unique,
+        |  ${oSum("k.value")} AS total_value
+        |FROM survivors GROUP BY k.event_type ORDER BY event_type""".stripMargin,
+
+    "stream_running_totals" ->
+      s"""SELECT user_id, event_id,
+        |  count(*) OVER w AS running_n,
+        |  CAST(sum(CAST(value AS $oD)) OVER w AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "stream_stream_join" ->
       s"""WITH c AS (
