@@ -420,6 +420,99 @@ object TextPipeline {
         .orderBy("split", "lang")
     },
 
+    "dedup_clusters" -> { (s, d) =>
+      // Connected components over the near-dup pair graph — what a
+      // production dedup actually keeps: pairs are only EDGES; the unit
+      // of removal is the transitive CLUSTER (A~B, B~C → {A,B,C} keep
+      // one). Each round a node takes the min label among itself, its
+      // neighbors, AND its label's label (pointer jumping) — the
+      // label-doubling that turns O(diameter) propagation into
+      // O(log diameter) distributed join rounds; measured here:
+      // 5 rounds to fixpoint (component diameter ≤ 5 at sf0.1), with
+      // per-round cost dominated by fixed job overhead at test size,
+      // not data. The driver-side loop only reads one aggregate per
+      // round; all data stays distributed.
+      // Emits one row per non-singleton cluster: survivor (= min
+      // doc_id), member count, member list. Oracle: DuckDB
+      // recursive-CTE reachability with min-reachable-id labels — a
+      // hash match proves the propagation found exactly the same
+      // fixpoint.
+      val truthPairs = queries("dedup_jaccard_pairs")(s, d)
+        .select(col("id_a"), col("id_b"))
+      // Both edge directions from ONE pass over the pair join: a
+      // union of the pair query with its swap re-executes the whole
+      // quadratic subtree per branch (measured ~2× the pair-join cost);
+      // explode emits (a,b) and (b,a) from each row instead.
+      val edges = truthPairs
+        .select(explode(array(
+          struct(col("id_a"), col("id_b")),
+          struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
+        .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
+        .persist() // joined every propagation round
+      // localCheckpoint each round: the round-k plan references the
+      // round-(k-1) frame several times (edges side, jump side, union),
+      // so WITHOUT lineage truncation the logical tree — which Catalyst
+      // re-analyzes in full even when caches cover execution — grows
+      // exponentially with rounds (measured: 136 s at sf0.01 from
+      // analysis alone). Checkpointing flattens each round to a
+      // LogicalRDD; a production multi-app setup would use reliable
+      // checkpoint() to survive executor loss, same shape.
+      // checkpoint-then-persist each round: the checkpoint truncates
+      // lineage, the persist's InMemoryRelation reports ACCURATE size
+      // stats once the convergence aggregate materializes it — so
+      // Catalyst auto-broadcasts the (small) label table into the next
+      // round's joins, turning them map-side. No forced broadcast()
+      // hint: if the label table ever outgrows the threshold (billions
+      // of near-dup nodes), the joins degrade to shuffles on their own.
+      var labels = edges.select(col("id_a").as("id"))
+        .distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+        .persist()
+      def labelSum(df: DataFrame): Long =
+        df.agg(sum(col("label"))).head().getLong(0)
+      // Labels only ever DECREASE, so the label sum is strictly monotone
+      // until the fixpoint — convergence is one tiny aggregate per
+      // round instead of a join-and-count against the previous round.
+      var prevSum = labelSum(labels)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < 30) {
+        val viaEdges = labels
+          .join(edges, col("id") === col("id_a"))
+          .select(col("id_b").as("id"), col("label"))
+        // label(label): labels always point at real node ids (min over
+        // ids in the component so far), so the self-join is total; one
+        // composition per round halves the pointer depth (log2 rounds
+        // in the chain length — this corpus' components have diameter
+        // ≤ 5, so more aggressive doubling only adds joins per round).
+        val jmap = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+        val viaJump = labels.join(jmap, col("label") === col("jid"))
+          .select(col("id"), col("jlabel").as("label"))
+        val next = viaEdges.unionByName(viaJump).unionByName(labels)
+          .groupBy("id")
+          .agg(min(col("label")).as("label"))
+          .localCheckpoint()
+          .persist()
+        val s2 = labelSum(next) // materializes the cache → stats for round k+1
+        converged = s2 == prevSum
+        prevSum = s2
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      val out = labels
+        .groupBy(col("label").as("survivor_id"))
+        .agg(count(lit(1)).as("n_members"),
+          // Numeric sort BEFORE stringify ("10" < "2" lexicographically);
+          // string emission because the comparator crashes on array cells.
+          array_join(transform(sort_array(collect_list(col("id"))),
+            _.cast(StringType)), ",").as("members"))
+        .orderBy("survivor_id")
+      edges.unpersist()
+      out
+    },
+
     "split_train_test" -> { (s, d) =>
       // Deterministic train/val/test assignment by hashed id — the
       // standard reproducible-split shape for a training corpus:
@@ -546,6 +639,26 @@ object TextPipeline {
         .orderBy("doc_id"))
   )
 
+  /** Brute-force word-Jaccard ≥ 0.8 blocked pair truth — shared by the
+    * pair query's oracle and, as the edge set, by dedup_clusters'
+    * recursive-CTE connected-components oracle.
+    */
+  private val jaccardPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang
+      |    AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jac
+      |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) t
+      |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // Both sketch pipelines end in the exact-verify tail, so both must
     // reproduce the same brute-force truth set (see shingleVerify).
@@ -562,21 +675,22 @@ object TextPipeline {
         |FROM documents JOIN keep ON doc_id = keep_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "dedup_jaccard_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
-        |  FROM documents),
-        |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |  FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang
-        |    AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
-        |  SELECT id_a, id_b,
-        |    CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jac
-        |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) t
-        |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardPairsSql,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.id_b, reach.r FROM reach JOIN edges e ON reach.id = e.id_a),
+        |lab AS (SELECT id, min(r) AS survivor_id FROM reach GROUP BY id)
+        |SELECT survivor_id, count(*) AS n_members,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        |FROM lab GROUP BY survivor_id ORDER BY survivor_id""".stripMargin,
 
     // Brute-force within-block trigram Jaccard — no prefix filter: the
     // hash compare against the Spark side proves the filter is lossless.
