@@ -167,9 +167,17 @@ object FsQueries {
       // only. Copies land flat in dst (part-file names carry a UUID, so
       // no collisions); the driver's flat sf tiers make the gate output
       // identical to the source listing the oracle digests.
-      FsOps.find(s, d)
+      val srcFiles = FsOps.find(s, d)
         .filter(!col("is_dir") && col("name").rlike(parquetGlobRegex))
-        .select("path").as[String]
+      // Flat copy requires unique basenames — with a collision the
+      // second copy would silently overwrite the first, losing a file
+      // with no gate signal (nested layouts have no oracle). Fail loud
+      // instead; a relative-path-preserving mode is the production
+      // answer when estates genuinely collide.
+      val collisions = srcFiles.groupBy("name").count().filter(col("count") > 1).count()
+      require(collisions == 0,
+        s"fs_distcp: $collisions basename collisions under $d; flat copy would lose files")
+      srcFiles.select("path").as[String]
         .foreachPartition { (it: Iterator[String]) =>
           val c = hconf.value
           it.foreach { p =>
@@ -180,6 +188,14 @@ object FsQueries {
               false /* deleteSource */, true /* overwrite */, c)
           }
         }
+      // Same empty-glob guard as fs_cat_binary (binaryFile.load throws a
+      // deep AnalysisException out of query construction on an empty
+      // match): covers both an empty source dir and a failed copy.
+      val dstGlob = new org.apache.hadoop.fs.Path(s"$dst/*.parquet")
+      val copiedFiles = dstGlob.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .globStatus(dstGlob)
+      require(copiedFiles != null && copiedFiles.nonEmpty,
+        s"fs_distcp: no *.parquet copied from $d to $dst")
       // Manifest from the LISTING of the copies, digests from the
       // binaryFile re-read: binaryFile silently yields no row for a
       // zero-byte file, and real estates do hold empty part/marker

