@@ -464,9 +464,13 @@ object TextPipeline {
       // round's joins, turning them map-side. No forced broadcast()
       // hint: if the label table ever outgrows the threshold (billions
       // of near-dup nodes), the joins degrade to shuffles on their own.
-      var labels = edges.select(col("id_a").as("id"))
-        .distinct()
-        .withColumn("label", col("id"))
+      // Init already performs round 1 (min of self and direct
+      // neighbors) — the groupBy that would otherwise just distinct the
+      // node ids computes the neighbor min for free, saving one full
+      // propagation round of fixed job overhead.
+      var labels = edges.groupBy(col("id_a").as("id"))
+        .agg(min(col("id_b")).as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("label"))
         .localCheckpoint()
         .persist()
       // coalesce: sum over zero rows is NULL — a corpus with no
