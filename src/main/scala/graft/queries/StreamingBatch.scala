@@ -92,6 +92,42 @@ object StreamingBatch {
         .orderBy("user_id", "event_id")
     },
 
+    "funnel_stages" -> { (s, d) =>
+      // Ordered conversion funnel view → click → purchase: a click
+      // counts only if the user already had a view strictly earlier in
+      // (us, event_id) order, a purchase only after such a click. Shape:
+      // ONE shuffle of events on user_id hosts every stage — the
+      // stage-k marker is a running min over the same (us, event_id)
+      // sort, so Spark plans consecutive Window nodes with no extra
+      // exchange (vs the naive 3-join form that re-shuffles events per
+      // stage). The per-user rollup then rides the same partitioning;
+      // only the 3-row stage count crosses the network. Tie rule
+      // (us, event_id) is total, so the hash gate is deterministic.
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val staged = eventsTs(s, d)
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+        .withColumn("vt_before",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("conv_click",
+          col("event_type") === "click" && col("vt_before").isNotNull)
+        .withColumn("ct_before",
+          min(when(col("conv_click"), col("us"))).over(w))
+        .withColumn("conv_purchase",
+          col("event_type") === "purchase" && col("ct_before").isNotNull)
+      val perUser = staged.groupBy("user_id").agg(
+        max((col("event_type") === "view").cast("long")).as("s1"),
+        max(col("conv_click").cast("long")).as("s2"),
+        max(col("conv_purchase").cast("long")).as("s3"))
+      perUser.agg(sum("s1").as("u1"), sum("s2").as("u2"), sum("s3").as("u3"))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("u1").as("users")),
+          struct(lit("2_click").as("stage"), col("u2").as("users")),
+          struct(lit("3_purchase").as("stage"), col("u3").as("users")))).as("r"))
+        .select(col("r.stage"), col("r.users"))
+        .orderBy("stage")
+    },
+
     "stream_session_windows" -> { (s, d) =>
       // Gaps-and-islands: session boundary where the gap to the previous
       // event of the same user exceeds 5 minutes; identical windowed SQL
@@ -158,6 +194,33 @@ object StreamingBatch {
         |SELECT c_id, p_id FROM c JOIN p ON c.user_id = p.user_id
         |  AND p_us >= c_us - $hourUs AND p_us <= c_us
         |ORDER BY c_id, p_id""".stripMargin,
+
+    "funnel_stages" ->
+      s"""WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER w AS vt_before
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |o2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND vt_before IS NOT NULL
+        |    THEN us END) OVER w2 AS ct_before
+        |  FROM o
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+        |    max(CASE WHEN event_type = 'click' AND vt_before IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS s2,
+        |    max(CASE WHEN event_type = 'purchase' AND ct_before IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS s3
+        |  FROM o2 GROUP BY user_id)
+        |SELECT stage, users FROM (
+        |  SELECT '1_view' AS stage, CAST(sum(s1) AS BIGINT) AS users FROM u
+        |  UNION ALL SELECT '2_click', CAST(sum(s2) AS BIGINT) FROM u
+        |  UNION ALL SELECT '3_purchase', CAST(sum(s3) AS BIGINT) FROM u) t
+        |ORDER BY stage""".stripMargin,
 
     "stream_session_windows" ->
       s"""WITH g AS (

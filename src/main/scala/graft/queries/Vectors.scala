@@ -119,6 +119,59 @@ object Vectors {
         .limit(20)
     },
 
+    "dedup_embedding" -> { (s, d) =>
+      // Embedding-cosine near-dup removal — the vector-space member of
+      // the dedup family (exact / minhash / simhash / ngram / embedding).
+      // The corpus has no natural near-dups (max same-label cosine 0.47,
+      // probed at sf0.001 and sf0.01), so the query plants them: every
+      // 50th vector gets a copy (vec_id + 100000) shifted +0.005 per
+      // component — cosine(orig, copy) ≈ 0.999, a huge margin over both
+      // the 0.9 threshold and the 0.47 background, so no engine-float
+      // edge cases sit near a decision boundary.
+      //
+      // Scale shape: candidate generation is LSH banding (4 bands × 2
+      // sign bits from the shared 8-hyperplane family) — an equi-join on
+      // (label, band, bits), never a quadratic block scan; exact cosine
+      // verifies candidates only; survivor rule is the deterministic
+      // greedy "drop any vector with a lower-id near-dup" anti-join.
+      // The whole pipeline is RNG-free arithmetic, so the oracle
+      // replicates planting, banding, verify, and anti-join in SQL and
+      // the hash gate checks the exact survivor set.
+      GraftFunctions.register(s)
+      val corpus = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .unionByName(
+          embeddings(s, d).filter(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+              transform(col("embedding"),
+                x => (x.cast(DoubleType) + lit(0.005)).cast(FloatType)).as("embedding")))
+        .persist() // 4 consumers: banding, both verify sides, survivor base
+      val bucket = (0 until 8)
+        .map(p => hyperplaneSign(col("embedding"), p, 64) * (1 << p))
+        .reduce(_ + _)
+      val bands = array((0 until 4).map { k =>
+        struct(lit(k).as("band"),
+          shiftright(col("bucket"), 2 * k).bitwiseAND(lit(3)).as("bits"))
+      }: _*)
+      val banded = corpus.withColumn("bucket", bucket)
+        .select(col("vec_id"), col("label"), explode(bands).as("bb"))
+        .select(col("vec_id"), col("label"), col("bb.band"), col("bb.bits"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+            col("a.bits") === col("b.bits") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      val removed = cand
+        .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+        .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+        .filter(cosine(col("emb_a"), col("emb_b")) >= 0.9)
+        .select(col("id_b"))
+        .distinct()
+      corpus.join(removed, col("vec_id") === col("id_b"), "left_anti")
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
+
     "sim_ann_lsh" -> { (s, d) =>
       // ANN scale path: 8 sign-bit hyperplane hashes → bucket id;
       // candidates = vectors in the query's bucket or any bucket at
@@ -181,6 +234,45 @@ object Vectors {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id) t
         |WHERE cos >= 0.3 ORDER BY label, id_a, id_b""".stripMargin,
+
+    // Full replication of the near-dup pipeline: planted +0.005 copies,
+    // 8-plane sign buckets, 4×2-bit bands, exact-cosine verify on
+    // band-collision candidates, lower-id-survivor anti-join.
+    "dedup_embedding" ->
+      s"""WITH corpus AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.005 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |planes AS (
+        |  SELECT p, list_transform(range(64), i -> CAST(
+        |    CAST((p * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5
+        |    AS FLOAT)) AS plane
+        |  FROM (SELECT unnest(range(8)) AS p) t),
+        |bk AS (
+        |  SELECT c.vec_id, CAST(sum(CASE WHEN
+        |    ${oDot.replace("%A", "c.embedding").replace("%B", "pl.plane")} > 0
+        |    THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |  FROM corpus c CROSS JOIN planes pl GROUP BY c.vec_id),
+        |banded AS (
+        |  SELECT c.vec_id, c.label, k.band, (bk.bucket >> (2 * k.band)) & 3 AS bits
+        |  FROM corpus c JOIN bk USING (vec_id)
+        |  CROSS JOIN (SELECT unnest(range(4)) AS band) k),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.label = b.label AND a.band = b.band AND a.bits = b.bits
+        |    AND a.vec_id < b.vec_id),
+        |removed AS (
+        |  SELECT DISTINCT cand.id_b
+        |  FROM cand
+        |  JOIN corpus ca ON ca.vec_id = cand.id_a
+        |  JOIN corpus cb ON cb.vec_id = cand.id_b
+        |  WHERE ${oCos.replace("%A", "ca.embedding").replace("%B", "cb.embedding")} >= 0.9)
+        |SELECT vec_id, label FROM corpus
+        |WHERE vec_id NOT IN (SELECT id_b FROM removed)
+        |ORDER BY vec_id""".stripMargin,
 
     // Full replication of the deterministic LSH pipeline: plane family
     // (integer-hash rationals cast to float), index-order sign dots,

@@ -292,5 +292,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_embedding removes exactly the planted near-dup copies") {
+    val sp = spark
+    import sp.implicits._
+    val survivors = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val originals = Tables.embeddings(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    // Every planted copy (vec_id+100000, shifted +0.005 → cosine ≈ 0.999)
+    // must be banded with, verified against, and removed in favor of its
+    // lower-id original; no original is near any other (max cosine 0.47).
+    assert(survivors === originals,
+      s"expected the original ${originals.size} ids to survive, got ${survivors.size}")
+  }
+
+  test("funnel_stages is monotone and stage 1 equals distinct viewers") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("funnel_stages")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val viewers = Tables.events(spark, sf).filter(col("event_type") === "view")
+      .select(countDistinct("user_id")).as[Long].collect().head
+    assert(got("1_view") === viewers)
+    assert(got("1_view") >= got("2_click") && got("2_click") >= got("3_purchase"),
+      s"funnel not monotone: $got")
+    assert(got("3_purchase") > 0, "no user completed the funnel — fixture too small?")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -134,6 +134,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sampling shuffled beyond the output sort: $exchanges\n$p")
   }
 
+  test("funnel stages share one user_id shuffle across both windows and the rollup") {
+    // All three funnel stages ride a single hashpartitioning(user_id)
+    // exchange: both Window nodes and the per-user HashAggregate reuse
+    // it; the only other exchange is the 3-row global rollup. A
+    // regression to the naive 3-join form would re-shuffle events per
+    // stage and show up here as extra hashpartitioning exchanges.
+    val p = plan("funnel_stages")
+    val exchanges = "Exchange \\S+".r.findAllIn(p).toList
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
+      s"expected exactly one keyed shuffle, got: $exchanges\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"funnel regressed to a join-per-stage shape:\n$p")
+  }
+
+  test("embedding dedup generates candidates by LSH-band equi-join, never quadratically") {
+    // Candidate generation must be an equi-join on (label, band, bits)
+    // — never a cartesian/BNLJ block scan — and the survivor filter a
+    // left-anti join.
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding dedup planned a quadratic join:\n$p")
+    assert(p.contains("LeftAnti"), s"survivor rule is not an anti-join:\n$p")
+  }
+
   test("stream-stream join batch twin plans a keyed join, never a BNLJ") {
     val p = plan("stream_stream_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
