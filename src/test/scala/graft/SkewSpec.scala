@@ -90,5 +90,30 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a skew-split SortMergeJoin in the final adaptive plan:\n$finalPlan")
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact-side shuffle") {
+    // The third runtime join lever after DPP and skew-split: Catalyst's
+    // InjectRuntimeFilter builds a bloom filter over the filtered dim's
+    // join keys and applies might_contain() to the fact side BEFORE its
+    // shuffle, so at 100 TB the exchange carries only rows that can
+    // join. The application-side size gate (10 GB default) is scaled to
+    // test size; the semantics lever itself is what's witnessed.
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ, not broadcast
+    val sf = "/root/testdata/sf0.001"
+    val fact = Tables.orders(s3, sf)
+    val dim = Tables.customer(s3, sf).filter(col("c_mktsegment") === "BUILDING")
+    val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"no runtime bloom filter injected on the fact side:\n$optimized")
+    assert(optimized.contains("bloom_filter_agg"),
+      s"no bloom filter aggregate on the dim side:\n$optimized")
+    // And the filtered result is still exactly the join semantics.
+    val expect = fact.join(dim.hint("broadcast"), col("o_custkey") === col("c_custkey")).count()
+    assert(joined.count() === expect)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
