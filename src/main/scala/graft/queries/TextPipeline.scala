@@ -619,6 +619,59 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    "text_repetition" -> { (s, d) =>
+      // Repetition quality signals (the Gopher-rules family): per doc,
+      // the mass of the most frequent unigram and bigram and the
+      // distinct-token ratio — high values flag degenerate/boilerplate
+      // text a pretraining filter drops. Shuffles on (doc_id, gram)
+      // then (doc_id): both keys contain doc_id, so at 100 TB the
+      // second aggregation reuses the first's partitioning and the work
+      // stays embarrassingly doc-parallel.
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      val uni = toks
+        .select(col("doc_id"), explode(col("arr")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_uni"),
+          sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"))
+      val bi = toks
+        .select(col("doc_id"), explode(transform(
+          slice(col("arr"), lit(1), size(col("arr")) - 1),
+          (x, i) => concat(x, lit(" "), element_at(col("arr"), i + 2)))).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
+      uni.join(bi, "doc_id")
+        .select(col("doc_id"),
+          round(col("top_uni").cast(DoubleType) / col("n_tok"), 6).as("top_unigram_ratio"),
+          round(col("n_distinct").cast(DoubleType) / col("n_tok"), 6).as("distinct_ratio"),
+          round(col("top_bi").cast(DoubleType) / col("n_bi"), 6).as("top_bigram_ratio"))
+        .orderBy("doc_id")
+    },
+
+    "text_pii_redact" -> { (s, d) =>
+      // Compliance scrub stage: count and redact emails/phones before
+      // training. The corpus has no natural PII (probed at sf0.01), so
+      // the query plants it on every 20th doc — a per-doc email and
+      // phone built from doc_id, redaction then verified via md5 of the
+      // scrubbed text. Regex subset chosen to mean the same thing in
+      // Java regex (Spark) and RE2 (DuckDB). Pure map-side work: the
+      // only exchange at any scale is the output sort.
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "555-[0-9]{4}-[0-9]+"
+      documents(s, d)
+        .withColumn("text2",
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or call 555-0142-"), col("doc_id")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("lang"),
+          regexp_count(col("text2"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text2"), lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     "text_fingerprint" -> { (s, d) =>
       // Rolling-hash fingerprint via the custom codegen'd RollingHash
       // expression; equals the oracle's ord-fold because the corpus is
@@ -878,6 +931,49 @@ object TextPipeline {
         |    regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |uni AS (
+        |  SELECT doc_id, max(c) AS top_uni, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    count(*) AS n_distinct
+        |  FROM (SELECT doc_id, w, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(arr) AS w FROM arrs) t
+        |        GROUP BY doc_id, w) u
+        |  GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, max(c) AS top_bi, CAST(sum(c) AS BIGINT) AS n_bi
+        |  FROM (SELECT doc_id, b, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(list_transform(
+        |            list_zip(arr[1:len(arr)-1], arr[2:]),
+        |            p -> p[1] || ' ' || p[2])) AS b
+        |          FROM arrs) t
+        |        GROUP BY doc_id, b) u
+        |  GROUP BY doc_id)
+        |SELECT uni.doc_id,
+        |  round(CAST(top_uni AS DOUBLE) / n_tok, 6) AS top_unigram_ratio,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+        |  round(CAST(top_bi AS DOUBLE) / n_bi, 6) AS top_bigram_ratio
+        |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY uni.doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 20 = 0
+        |      THEN text || ' contact user' || doc_id ||
+        |           '@example.com or call 555-0142-' || doc_id
+        |      ELSE text END AS text2
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '555-[0-9]{4}-[0-9]+')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}-[0-9]+', '<PHONE>', 'g')) AS clean_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
