@@ -629,6 +629,7 @@ object TextPipeline {
       // stays embarrassingly doc-parallel.
       val toks = documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .persist() // 2 consumers: unigram + bigram branches of the join
       val uni = toks
         .select(col("doc_id"), explode(col("arr")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -640,7 +641,10 @@ object TextPipeline {
           (x, i) => concat(x, lit(" "), element_at(col("arr"), i + 2)))).as("b"))
         .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
-      uni.join(bi, "doc_id")
+      // LEFT join: a single-token doc has no bigrams but is exactly what
+      // a repetition filter must still report (null bigram ratio, not a
+      // silently dropped row).
+      uni.join(bi, Seq("doc_id"), "left")
         .select(col("doc_id"),
           round(col("top_uni").cast(DoubleType) / col("n_tok"), 6).as("top_unigram_ratio"),
           round(col("n_distinct").cast(DoubleType) / col("n_tok"), 6).as("distinct_ratio"),
@@ -955,7 +959,7 @@ object TextPipeline {
         |  round(CAST(top_uni AS DOUBLE) / n_tok, 6) AS top_unigram_ratio,
         |  round(CAST(n_distinct AS DOUBLE) / n_tok, 6) AS distinct_ratio,
         |  round(CAST(top_bi AS DOUBLE) / n_bi, 6) AS top_bigram_ratio
-        |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+        |FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
         |ORDER BY uni.doc_id""".stripMargin,
 
     "text_pii_redact" ->

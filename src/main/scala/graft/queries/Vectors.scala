@@ -129,14 +129,18 @@ object Vectors {
       // the 0.9 threshold and the 0.47 background, so no engine-float
       // edge cases sit near a decision boundary.
       //
-      // Scale shape: candidate generation is LSH banding (4 bands × 2
-      // sign bits from the shared 8-hyperplane family) — an equi-join on
-      // (label, band, bits), never a quadratic block scan; exact cosine
-      // verifies candidates only; survivor rule is the deterministic
-      // greedy "drop any vector with a lower-id near-dup" anti-join.
-      // The whole pipeline is RNG-free arithmetic, so the oracle
-      // replicates planting, banding, verify, and anti-join in SQL and
-      // the hash gate checks the exact survivor set.
+      // Scale shape: candidate generation is LSH banding — 4 bands of 8
+      // sign bits each from a 32-hyperplane family — an equi-join on
+      // (label, band, bits). Band width is the selectivity lever: at 8
+      // bits, near-orthogonal background pairs collide in ≥1 band with
+      // prob ≈ 1−(1−0.5⁸)⁴ ≈ 1.5% (a 2-bit band would collide at ~68%,
+      // i.e. quadratic in disguise), while planted near-dups (cosine
+      // ≈0.999, per-bit agree ≈0.992) miss all 4 bands with prob ≈2e-5.
+      // Exact cosine verifies candidates only; survivor rule is the
+      // deterministic greedy "drop any vector with a lower-id near-dup"
+      // anti-join. The whole pipeline is RNG-free arithmetic, so the
+      // oracle replicates planting, banding, verify, and anti-join in
+      // SQL and the hash gate checks the exact survivor set.
       GraftFunctions.register(s)
       val corpus = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
         .unionByName(
@@ -145,12 +149,12 @@ object Vectors {
               transform(col("embedding"),
                 x => (x.cast(DoubleType) + lit(0.005)).cast(FloatType)).as("embedding")))
         .persist() // 4 consumers: banding, both verify sides, survivor base
-      val bucket = (0 until 8)
-        .map(p => hyperplaneSign(col("embedding"), p, 64) * (1 << p))
+      val bucket = (0 until 32)
+        .map(p => hyperplaneSign(col("embedding"), p, 64).cast(LongType) * (1L << p))
         .reduce(_ + _)
       val bands = array((0 until 4).map { k =>
         struct(lit(k).as("band"),
-          shiftright(col("bucket"), 2 * k).bitwiseAND(lit(3)).as("bits"))
+          shiftright(col("bucket"), 8 * k).bitwiseAND(lit(255)).as("bits"))
       }: _*)
       val banded = corpus.withColumn("bucket", bucket)
         .select(col("vec_id"), col("label"), explode(bands).as("bb"))
@@ -249,14 +253,14 @@ object Vectors {
         |  SELECT p, list_transform(range(64), i -> CAST(
         |    CAST((p * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5
         |    AS FLOAT)) AS plane
-        |  FROM (SELECT unnest(range(8)) AS p) t),
+        |  FROM (SELECT unnest(range(32)) AS p) t),
         |bk AS (
         |  SELECT c.vec_id, CAST(sum(CASE WHEN
         |    ${oDot.replace("%A", "c.embedding").replace("%B", "pl.plane")} > 0
-        |    THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM corpus c CROSS JOIN planes pl GROUP BY c.vec_id),
         |banded AS (
-        |  SELECT c.vec_id, c.label, k.band, (bk.bucket >> (2 * k.band)) & 3 AS bits
+        |  SELECT c.vec_id, c.label, k.band, (bk.bucket >> (8 * k.band)) & 255 AS bits
         |  FROM corpus c JOIN bk USING (vec_id)
         |  CROSS JOIN (SELECT unnest(range(4)) AS band) k),
         |cand AS (
