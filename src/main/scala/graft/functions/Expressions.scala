@@ -101,6 +101,72 @@ case class RollingHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
 }
 
+/** Sign-bit LSH bucket over the deterministic pseudo-hyperplane family
+  * (component i of plane p = (((p·1315423911 + i·2654435761) mod 1000003)
+  * / 1000003 − 0.5) cast to float; no RNG): bit p of the result is
+  * [dot(emb, plane_p) > 0], accumulated in index order. One codegen'd
+  * double loop replaces numPlanes separate 64-literal dot expressions —
+  * the 32-plane banding otherwise put ~2048 float literals into the
+  * plan, and planning+codegen dominated the query's wall time. The
+  * plane component is recomputed arithmetically inside the loop,
+  * bit-identical to the literal-array form and the DuckDB oracles.
+  */
+case class LshBucket(child: Expression, numPlanes: Int, dim: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bucket expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val comp = (((p * 1315423911L + i * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5).toFloat
+        acc += a.getFloat(i).toDouble * comp.toDouble
+        i += 1
+      }
+      if (acc > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val comp = ctx.freshName("comp")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    float $comp = (float) (((double) (($p * 1315423911L + $i * 2654435761L) % 1000003L)) / 1000003.0 - 0.5);
+         |    $acc += (double) $a.getFloat($i) * (double) $comp;
+         |  }
+         |  if ($acc > 0) $bucket |= 1L << $p;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+}
+
 /** Session registration so queries can reach the expressions through
   * `call_function` — idempotent, called at query-construction time.
   */
@@ -111,6 +177,9 @@ object GraftFunctions {
       exprs => DotProductF(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      exprs => LshBucket(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash16",
       exprs => MinHashAgg(exprs.head, 16), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",

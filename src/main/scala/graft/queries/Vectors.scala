@@ -35,19 +35,14 @@ object Vectors {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / norm(a) / norm(b)
 
-  /** Deterministic pseudo-hyperplanes: component h[i] of plane p is a
-    * signed hash of (p, i) — reproducible, no RNG (which is banned,
-    * SURVEY.md §7.5). Built as a literal array so the sign test is one
-    * compact zip_with fold, not a 512-term unrolled expression (the
-    * first version blew past the codegen size limits).
+  /** Sign-bit LSH bucket over the deterministic pseudo-hyperplane
+    * family (no RNG, SURVEY.md §7.5) via the codegen'd LshBucket
+    * kernel — one tight loop instead of numPlanes literal-array dot
+    * expressions (the 32-plane banding's ~2048 plan literals made
+    * planning+codegen dominate the query's wall time).
     */
-  private def planeLit(plane: Int, dim: Int): Column =
-    array((0 until dim).map { i =>
-      lit((((plane * 1315423911L + i * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5).toFloat)
-    }: _*)
-
-  private def hyperplaneSign(emb: Column, plane: Int, dim: Int): Column =
-    (dot(emb, planeLit(plane, dim)) > 0).cast(IntegerType)
+  private def lshBucket(emb: Column, planes: Int, dim: Int): Column =
+    call_function("graft_lsh_bucket", emb, lit(planes), lit(dim))
 
   val queries: Map[String, Q] = Map(
     "sim_cosine_topk" -> { (s, d) =>
@@ -149,9 +144,7 @@ object Vectors {
               transform(col("embedding"),
                 x => (x.cast(DoubleType) + lit(0.005)).cast(FloatType)).as("embedding")))
         .persist() // 4 consumers: banding, both verify sides, survivor base
-      val bucket = (0 until 32)
-        .map(p => hyperplaneSign(col("embedding"), p, 64).cast(LongType) * (1L << p))
-        .reduce(_ + _)
+      val bucket = lshBucket(col("embedding"), 32, 64)
       val bands = array((0 until 4).map { k =>
         struct(lit(k).as("band"),
           shiftright(col("bucket"), 8 * k).bitwiseAND(lit(255)).as("bits"))
@@ -188,11 +181,8 @@ object Vectors {
       GraftFunctions.register(s)
       val emb = embeddings(s, d)
       val planes = 8
-      val bucket = (0 until planes)
-        .map(p => hyperplaneSign(col("embedding"), p, 64) * (1 << p))
-        .reduce(_ + _)
-      val withBucket = emb.withColumn("bucket", bucket)
-      val probes = (0 until planes).map(p => col("q_bucket").bitwiseXOR(lit(1 << p))) :+
+      val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), planes, 64))
+      val probes = (0 until planes).map(p => col("q_bucket").bitwiseXOR(lit(1L << p))) :+
         col("q_bucket")
       val q = withBucket.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
@@ -290,7 +280,7 @@ object Vectors {
         |b AS (
         |  SELECT e.vec_id, CAST(sum(CASE WHEN
         |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
-        |    THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |    THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
         |q AS (
         |  SELECT e.embedding AS q_emb, b.bucket AS q_bucket
