@@ -184,6 +184,30 @@ object Relational {
               element_at(col("exact"), 2) * 0.01).as("approx_within_1pct"))
         .orderBy("o_orderstatus")),
 
+    "agg_sketch_union" -> { (s, d) =>
+      // Re-aggregatable sketch pattern: per-(event_type, hour) partial
+      // HLL sketches (DataSketches hll_sketch_agg), merged per
+      // event_type with hll_union_agg — the 100 TB shape: bounded
+      // sketch state flows through BOTH aggregation levels (a daily
+      // rollup can be re-merged into monthly without touching raw
+      // rows), and raw user ids never cross the network twice. HLL
+      // register state is order-independent (max per register), so the
+      // estimate is deterministic; emitted via the bar-flag pattern
+      // (cf. agg_approx_percentile): exact distinct + within-2% flag,
+      // oracle pins exact + TRUE.
+      val ev = eventsTs(s, d)
+      val partial = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts_t")).as("hr"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val merged = partial.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.02).as("sketch_within_2pct"))
+        .orderBy("event_type")
+    },
+
     "scan_partition_pruning" -> { (s, d) =>
       // The single biggest 100 TB lever: a date-partitioned layout plus
       // a partition-key predicate must scan ONE directory, not the whole
@@ -722,6 +746,11 @@ object Relational {
         |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
         |  TRUE AS approx_within_1pct
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_sketch_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS sketch_within_2pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,

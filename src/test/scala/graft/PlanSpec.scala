@@ -158,6 +158,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), s"survivor rule is not an anti-join:\n$p")
   }
 
+  test("LSH bucket kernel appears in the plan and keeps codegen alive") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = plan("sim_ann_lsh")
+    assert(p.contains("lshbucket"), s"LshBucket kernel missing from the plan:\n$p")
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen = SparkEntry.queries("sim_ann_lsh")(noAqe, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(gen.contains("WholeStageCodegen subtrees"), s"no codegen output:\n${gen.take(500)}")
+    assert(!gen.matches("(?s).*Found 0 WholeStageCodegen.*"), "zero codegen subtrees")
+  }
+
   test("stream-stream join batch twin plans a keyed join, never a BNLJ") {
     val p = plan("stream_stream_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
