@@ -531,6 +531,87 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    "delta_snapshot_diff" -> { (s, d) =>
+      // Snapshot diff — classify every key across two table versions as
+      // insert / delete / update / unchanged (the reconciliation pass
+      // behind incremental recompute and replication audit). The "new"
+      // snapshot is derived deterministically from orders: every 13th
+      // key deleted, every 7th surviving key repriced, every 11th key
+      // cloned to a fresh high key. Shape for 100 TB: ONE co-partitioned
+      // full-outer sort-merge join on the primary key — and if both
+      // snapshots are bucketed on that key (join_bucketed_colocated),
+      // even that exchange disappears. Null-safe <=> per column decides
+      // changed-ness; output is the per-class rollup.
+      val cmpCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val old = orders(s, d)
+      val neu = old.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+        .unionByName(old.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+      val same = cmpCols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+      old.as("o")
+        .join(neu.as("n"), col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+        .select(
+          when(col("o.o_orderkey").isNull, "insert")
+            .when(col("n.o_orderkey").isNull, "delete")
+            .when(same, "unchanged").otherwise("update").as("change_type"),
+          coalesce(col("o.o_orderkey"), col("n.o_orderkey")).as("k"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"),
+          max(col("k")).as("max_key"))
+        .orderBy("change_type")
+    },
+
+    "profile_summary" -> { (s, d) =>
+      // Column-profile pass — the data-quality audit every estate runs
+      // before pointing a training job at a table: per column, row
+      // count, non-null count, exact distinct count, min/max rendered
+      // to engine-portable strings. ONE scan: all metrics live in a
+      // single aggregate (several count-distincts plan one Expand, so
+      // the profile costs one shuffle of expanded rows, not a pass per
+      // column); at 100 TB swap the exact distincts for
+      // approx_count_distinct and keep the shape. Rendering: bigints
+      // print bare, the double goes through the DECIMAL(28,6) money
+      // policy (Tables.dsum scaladoc), the timestamp through an
+      // explicit format — all so both engines print identical strings.
+      val o = orders(s, d)
+      def longCol(c: String) = Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast(StringType).as(s"mn_$c"),
+        max(col(c)).cast(StringType).as(s"mx_$c"))
+      def strCol(c: String) = Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+      val aggs: Seq[Column] =
+        longCol("o_orderkey") ++ longCol("o_custkey") ++
+          strCol("o_orderstatus") ++ Seq(
+            count(col("o_totalprice")).as("nn_o_totalprice"),
+            countDistinct(col("o_totalprice")).as("nd_o_totalprice"),
+            min(col("o_totalprice").cast(DecimalType(28, 6))).cast(StringType)
+              .as("mn_o_totalprice"),
+            max(col("o_totalprice").cast(DecimalType(28, 6))).cast(StringType)
+              .as("mx_o_totalprice"),
+            count(col("o_orderdate")).as("nn_o_orderdate"),
+            countDistinct(col("o_orderdate")).as("nd_o_orderdate"),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+              .as("mn_o_orderdate"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+              .as("mx_o_orderdate")) ++
+          strCol("o_orderpriority")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(",\n          ")
+      o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(expr(
+          s"""stack(${cols.size},
+          $stackArgs) AS (column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"""))
+        .orderBy("column_name")
+    },
+
     // ------------------------------------------------------- reshaping
     "reshape_pivot" -> ((s, d) =>
       // Pivot with an explicit value list (deterministic columns); the
@@ -647,6 +728,64 @@ object Relational {
       """SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, CAST(1 AS BIGINT) AS version
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "delta_snapshot_diff" ->
+      """WITH neu AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |              WHEN n.o_orderkey IS NULL THEN 'delete'
+        |              WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |               AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+        |               AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+        |              THEN 'unchanged' ELSE 'update' END AS change_type,
+        |    coalesce(o.o_orderkey, n.o_orderkey) AS k
+        |  FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change_type, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+        |FROM j GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "profile_summary" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |    count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(min(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR),
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(o_orderdate),
+        |    count(DISTINCT o_orderdate),
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+        |  FROM orders)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin,
 
     "project_compute" ->
       s"""SELECT l_orderkey, l_linenumber,

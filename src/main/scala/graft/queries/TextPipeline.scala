@@ -607,6 +607,66 @@ object TextPipeline {
         .orderBy("lang", "shard", "bin")
     },
 
+    "shuffle_global" -> { (s, d) =>
+      // Deterministic global corpus shuffle — the "shuffle your training
+      // data before packing" step — WITHOUT the single-partition trap: a
+      // naive global row_number() window funnels the whole corpus
+      // through one task. Two-level shape instead: the md5 order key's
+      // first two hex chars form 256 coarse buckets; pass 1 counts rows
+      // per bucket (a tiny aggregate) and an exclusive prefix sum over
+      // that ≤256-row table (the only unpartitioned window, bounded at
+      // 256 rows at ANY corpus size) gives each bucket's global start
+      // offset; pass 2 ranks within a bucket, whose window partitions
+      // are ~corpus/256. pos = bucket_start + intra_rank − 1 reproduces
+      // the exact global permutation because the bucket is a prefix of
+      // the order key — ordering by (bucket, h) ≡ ordering by h.
+      val h = md5(concat(lit("graft-shuffle:"), col("doc_id").cast(StringType)))
+      val docs = documents(s, d).select(col("doc_id"), h.as("h"),
+        conv(substring(h, 1, 2), 16, 10).cast(LongType).as("bkt"))
+      val offs = docs.groupBy("bkt").agg(count(lit(1)).as("n"))
+        .withColumn("bucket_start", coalesce(
+          sum(col("n")).over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "bucket_start")
+      val wIn = Window.partitionBy("bkt").orderBy("h", "doc_id")
+      docs.join(broadcast(offs), "bkt")
+        .withColumn("pos", col("bucket_start") + row_number().over(wIn) - 1)
+        .select("pos", "doc_id")
+        .orderBy("pos")
+    },
+
+    "sample_token_budget" -> { (s, d) =>
+      // Token-budget corpus slice — "the first 2000 tokens per language
+      // in deterministic shuffle order", the data-mixing primitive that
+      // assembles a training mix from per-language/per-source token
+      // budgets. Same two-level trick as shuffle_global, with token
+      // SUMS instead of row counts: per-(lang, bucket) totals roll up
+      // to bucket start offsets (tiny), the in-bucket running sum is
+      // windowed per (lang, bucket), and a doc is admitted iff the
+      // tokens consumed strictly before it are under budget (greedy
+      // take-while; the boundary doc may overshoot, matching how
+      // packing then consumes it). No window partition ever exceeds
+      // ~corpus/256 rows, so the slice stays parallel at 100 TB.
+      val budget = 2000L
+      val h = md5(concat(lit("graft-mix:"), col("doc_id").cast(StringType)))
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+        h.as("h"), conv(substring(h, 1, 2), 16, 10).cast(LongType).as("bkt"))
+      val offs = docs.groupBy("lang", "bkt").agg(sum(col("n_tok")).as("t"))
+        .withColumn("bucket_start", coalesce(
+          sum(col("t")).over(Window.partitionBy("lang").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("lang", "bkt", "bucket_start")
+      val wIn = Window.partitionBy("lang", "bkt").orderBy("h", "doc_id")
+      docs.join(broadcast(offs), Seq("lang", "bkt"))
+        .withColumn("consumed_before", col("bucket_start") + coalesce(
+          sum(col("n_tok")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .filter(col("consumed_before") < budget)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("consumed_before"))
+        .orderBy("doc_id")
+    },
+
     "text_normalize" -> { (s, d) =>
       // Cleaning stage: strip non-alphanumerics, collapse whitespace
       // runs, trim. Emits md5 of the cleaned text (not the text) so the
@@ -925,6 +985,29 @@ object TextPipeline {
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM offs GROUP BY lang, shard, bin
         |ORDER BY lang, shard, bin""".stripMargin,
+
+    // The two-level (bucket prefix-sum + in-bucket window) Spark shape
+    // equals one flat global window because the bucket is a prefix of
+    // the md5 order key — so the oracle can use the simple form.
+    "shuffle_global" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY md5('graft-shuffle:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  - 1 AS BIGINT) AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5('graft-mix:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok, coalesce(sum(n_tok) OVER (
+        |    PARTITION BY lang ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS consumed_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok, CAST(consumed_before AS BIGINT) AS consumed_before
+        |FROM c WHERE consumed_before < 2000 ORDER BY doc_id""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

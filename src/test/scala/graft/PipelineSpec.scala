@@ -306,6 +306,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the original ${originals.size} ids to survive, got ${survivors.size}")
   }
 
+  test("shuffle_global emits the exact md5-order permutation") {
+    val out = SparkEntry.queries("shuffle_global")(spark, sf).collect()
+    val n = out.length
+    val poss = out.map(_.getLong(0))
+    assert(poss.min === 0L && poss.max === (n - 1).toLong
+      && poss.distinct.length === n, "pos is not a 0..n-1 permutation")
+    // The two-level (bucket offsets + in-bucket rank) computation must
+    // equal the flat global order it decomposes.
+    val flat = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(concat(lit("graft-shuffle:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy("h", "doc_id").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out.sortBy(_.getLong(0)).map(_.getLong(1)).toSeq === flat)
+  }
+
+  test("sample_token_budget is a greedy per-language take-while at the budget") {
+    val sel = SparkEntry.queries("sample_token_budget")(spark, sf).collect()
+    val langs = Tables.documents(spark, sf).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(sel.map(_.getString(1)).toSet === langs, "a language got no slice")
+    sel.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      // Admission rule: tokens consumed strictly before each selected
+      // doc are under budget...
+      assert(rows.forall(_.getLong(3) < 2000L), s"$lang: doc admitted over budget")
+      // ...and the slice actually fills the budget (every fixture lang
+      // carries >2000 tokens, so the greedy walk must reach it).
+      val total = rows.map(_.getLong(2)).sum
+      assert(total >= 2000L, s"$lang: slice stopped at $total tokens under budget")
+    }
+  }
+
   test("funnel_stages is monotone and stage 1 equals distinct viewers") {
     val sp = spark
     import sp.implicits._

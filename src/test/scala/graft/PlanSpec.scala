@@ -193,5 +193,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gen.matches("(?s).*Found 0 WholeStageCodegen.*"), "zero codegen subtrees")
   }
 
+  test("two-level global-order ops broadcast their offset table") {
+    // shuffle_global / sample_token_budget exist precisely to avoid a
+    // global window; the ≤256-row bucket-offset table must come back to
+    // the corpus as a broadcast, never by shuffling the corpus.
+    for (q <- Seq("shuffle_global", "sample_token_budget")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: offsets join is not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: corpus is shuffled to meet the offset table:\n$p")
+    }
+  }
+
+  test("delta_snapshot_diff is one full-outer sort-merge join on the key") {
+    val p = plan("delta_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"snapshot diff is not a full-outer SMJ:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff degenerated to a nested loop:\n$p")
+  }
+
+  test("profile_summary reads the table once and profiles via a single Expand") {
+    val p = plan("profile_summary")
+    assert(p.contains("Expand"),
+      s"multi-distinct profile did not plan an Expand:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"profile pass scans the table $scans times:\n$p")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -90,6 +90,35 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a skew-split SortMergeJoin in the final adaptive plan:\n$finalPlan")
   }
 
+  test("AQE coalesces an over-partitioned tiny shuffle at runtime") {
+    // The complement of the skew-split witness: shuffle.partitions is a
+    // static guess (32 in harness sessions, sized for sf0.1); when a
+    // stage's actual output is tiny, AQE must merge the post-shuffle
+    // partitions down so 100 small aggregates don't occupy 32 near-empty
+    // tasks. Witnessed on the final adaptive plan: an AQEShuffleRead
+    // whose partition count came out below the static setting.
+    val s4 = spark.newSession()
+    s4.conf.set("spark.sql.shuffle.partitions", "32")
+    val agg = s4.range(0, 10000).groupBy((col("id") % 100).as("k")).count()
+    assert(agg.collect().length === 100)
+    val finalPlan = agg.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      })
+    val reads = flatten(finalPlan).collect {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(reads.nonEmpty, s"no AQEShuffleRead in the final plan:\n$finalPlan")
+    assert(reads.exists(_.partitionSpecs.length < 32),
+      s"AQE left all 32 post-shuffle partitions in place:\n$finalPlan")
+  }
+
   test("runtime bloom filter from a selective dim prunes the fact-side shuffle") {
     // The third runtime join lever after DPP and skew-split: Catalyst's
     // InjectRuntimeFilter builds a bloom filter over the filtered dim's
