@@ -175,6 +175,41 @@ object Joins {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    },
+
+    "join_skew_salted" -> { (s, d) =>
+      // Manual skew salting — the lever for a hot key when BOTH join
+      // sides are too large to broadcast and AQE's skew split is
+      // unavailable (non-AQE engines, streaming joins, or skew inside a
+      // single value AQE can't subdivide). A deliberately skewed fact
+      // key (every l_orderkey % 3 == 0 collapses onto key 0 — a third
+      // of the table on one key) would pin one reducer in a plain
+      // shuffle join. Instead: the fact spreads the hot key across
+      // SALT=8 deterministic subkeys ((l_orderkey + l_linenumber) % 8)
+      // and the dim replicates ×8 via explode, so the join key becomes
+      // (k, salt) and the hot key's rows land on 8 reducers. Rolling up
+      // by k afterwards restores the plain-join semantics — the oracle
+      // IS the unsalted join, so the hash gate proves salting is a pure
+      // re-partitioning, not a semantic change. merge hints pin SMJ:
+      // at test scale the ~8k-row dim would broadcast, which would
+      // defeat the technique being demonstrated (broadcast never
+      // shuffles, so there is nothing to salt).
+      val salt = 8
+      val fact = lineitem(s, d).select(
+        when(col("l_orderkey") % 3 === 0, 0L)
+          .otherwise(pmod(col("l_orderkey"), lit(997))).as("k"),
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(salt)).as("salt"),
+        col("l_extendedprice"))
+      val dim = part(s, d)
+        .groupBy(pmod(col("p_partkey"), lit(997)).as("k"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+      fact.hint("merge")
+        .join(dim.hint("merge"), Seq("k", "salt"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"),
+          max(col("n_parts")).as("n_parts"))
+        .orderBy("k")
     }
   )
 
@@ -270,6 +305,23 @@ object Joins {
         |FROM events e1 JOIN events e2
         |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
         |  AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 300000000
-        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+
+    // The oracle is the UNSALTED join: equality proves the salt is a
+    // pure physical re-partitioning.
+    "join_skew_salted" ->
+      s"""WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+        |              ELSE l_orderkey % 997 END AS k,
+        |    l_extendedprice
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT p_partkey % 997 AS k, count(*) AS n_parts
+        |  FROM part GROUP BY 1)
+        |SELECT k, count(*) AS n_items,
+        |  ${oSum("l_extendedprice")} AS total_price,
+        |  max(n_parts) AS n_parts
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY k ORDER BY k""".stripMargin
   )
 }

@@ -612,6 +612,22 @@ object Relational {
         .orderBy("column_name")
     },
 
+    "agg_histogram" -> { (s, d) =>
+      // Fixed-width histogram of order totals — the distribution pass
+      // behind skew diagnosis and partition sizing. Bucketing is pure
+      // arithmetic (floor of a double division, top bucket clamped), so
+      // it's a map-side expression and the whole histogram is one
+      // shuffle of ≤20 partial rows per task regardless of input size.
+      val width = 30000.0
+      orders(s, d)
+        .groupBy(least(floor(col("o_totalprice") / width), lit(19.0))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("bucket_total"))
+        .withColumn("lo_bound", col("bucket") * width)
+        .select("bucket", "lo_bound", "n", "bucket_total")
+        .orderBy("bucket")
+    },
+
     // ------------------------------------------------------- reshaping
     "reshape_pivot" -> ((s, d) =>
       // Pivot with an explicit value list (deterministic columns); the
@@ -786,6 +802,13 @@ object Relational {
         |    count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
         |  FROM orders)
         |SELECT * FROM p ORDER BY column_name""".stripMargin,
+
+    "agg_histogram" ->
+      s"""SELECT bucket, CAST(bucket * 30000.0 AS DOUBLE) AS lo_bound, count(*) AS n,
+        |  ${oSum("o_totalprice")} AS bucket_total
+        |FROM (SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS BIGINT)
+        |        AS bucket, o_totalprice FROM orders) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "project_compute" ->
       s"""SELECT l_orderkey, l_linenumber,

@@ -146,6 +146,80 @@ object StreamingBatch {
           max(col("us")).as("end_us"))
         .withColumn("span_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "sess_id")
+    },
+
+    "ts_gapfill" -> { (s, d) =>
+      // Hourly gap-fill with forward-carry — the time-series
+      // regularization pass (dashboards, feature windows, training on
+      // evenly-spaced series all need it). Shape: hourly rollup (one
+      // shuffle on (user, hour) with map-side partials — at 100 TB this
+      // is the big reduction), then lead() over the REDUCED hourly table
+      // finds each gap and one explode(sequence(...)) manufactures the
+      // missing hours carrying the last observed value forward. No spine
+      // join at all: the dense calendar never materializes as a separate
+      // table, and the second shuffle moves only hourly rows. Users are
+      // sampled (% 10) to keep the gate output bounded; the shape is
+      // user-count-invariant.
+      val hourly = eventsTs(s, d)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), expr(s"us DIV $hourUs * $hourUs").as("h0"))
+        .agg(count(lit(1)).as("n_obs"), davg(col("value")).as("avg_value"))
+      val w = Window.partitionBy("user_id").orderBy("h0")
+      hourly
+        .withColumn("next0", lead(col("h0"), 1).over(w))
+        .withColumn("hour_us", explode(sequence(col("h0"),
+          coalesce(col("next0") - hourUs, col("h0")), lit(hourUs))))
+        .select(col("user_id"), col("hour_us"),
+          when(col("hour_us") === col("h0"), col("n_obs")).otherwise(lit(0L))
+            .as("n_events"),
+          col("avg_value").as("value_ffill"),
+          (col("hour_us") =!= col("h0")).as("is_filled"))
+        .orderBy("user_id", "hour_us")
+    },
+
+    "ts_ohlc_downsample" -> { (s, d) =>
+      // Downsample each user's value series to daily OHLC bars
+      // (open/high/low/close + volume) — the canonical resample. The
+      // open/close pick is the tie-broken (us, event_id) first/last row:
+      // two row_number windows (ascending + descending) over the SAME
+      // partition keys share one exchange, and the (user, day) rollup
+      // rides that partitioning too — one shuffle end to end.
+      val dayUs = 86400000000L
+      val wAsc = Window.partitionBy("user_id", "day_us")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy("user_id", "day_us")
+        .orderBy(col("us").desc, col("event_id").desc)
+      eventsTs(s, d)
+        .select(col("user_id"), col("event_id"), col("us"), col("value"))
+        .withColumn("day_us", expr(s"us DIV $dayUs * $dayUs"))
+        .withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy("user_id", "day_us")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"),
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"))
+        .orderBy("user_id", "day_us")
+    },
+
+    "merge_scd2" -> { (s, d) =>
+      // SCD2 history build from a change log: compress each user's
+      // event_type sequence into validity intervals [valid_from,
+      // valid_to) — consecutive repeats collapse, the open interval is
+      // flagged current. Two windows over the same user_id partitioning
+      // (lag to detect the change, lead AFTER the collapse filter for
+      // the interval end), so the whole build is one shuffle; filters
+      // preserve partitioning, so Catalyst plans no second exchange.
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      eventsTs(s, d)
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us")
     }
   )
 
@@ -240,6 +314,60 @@ object StreamingBatch {
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us,
         |  max(us) - min(us) AS span_us
-        |FROM ids GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+        |FROM ids GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "ts_gapfill" ->
+      s"""WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // $hourUs * $hourUs AS h0,
+        |    count(*) AS n_obs, ${oAvg("value")} AS avg_value
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |led AS (
+        |  SELECT *, lead(h0) OVER (PARTITION BY user_id ORDER BY h0) AS next0
+        |  FROM hourly),
+        |sp AS (
+        |  SELECT user_id, h0, n_obs, avg_value,
+        |    unnest(generate_series(h0, coalesce(next0 - $hourUs, h0), $hourUs))
+        |      AS hour_us
+        |  FROM led)
+        |SELECT user_id, hour_us,
+        |  CASE WHEN hour_us = h0 THEN n_obs ELSE 0 END AS n_events,
+        |  avg_value AS value_ffill, hour_us <> h0 AS is_filled
+        |FROM sp ORDER BY user_id, hour_us""".stripMargin,
+
+    "ts_ohlc_downsample" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    epoch_us(ts) // 86400000000 * 86400000000 AS day_us
+        |  FROM events),
+        |rn AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, day_us
+        |      ORDER BY us ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, day_us
+        |      ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM base)
+        |SELECT user_id, day_us, count(*) AS n,
+        |  min(value) AS lo, max(value) AS hi,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM rn GROUP BY user_id, day_us ORDER BY user_id, day_us""".stripMargin,
+
+    "merge_scd2" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_id, us, event_type
+        |  FROM chg WHERE prev_type IS NULL OR prev_type <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type AS state, us AS valid_from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS valid_to_us
+        |  FROM runs)
+        |SELECT user_id, state, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin
   )
 }

@@ -214,6 +214,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"snapshot diff degenerated to a nested loop:\n$p")
   }
 
+  test("join_skew_salted shuffles on the salted key, never broadcasts") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("SortMergeJoin"),
+      s"salted join lost its merge hint:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the dim side broadcast — nothing is being salted:\n$p")
+    // The salt must be part of the join keys (that's the whole point:
+    // the hot key's rows spread over SALT reducers).
+    assert(raw"SortMergeJoin \[[^\]]*salt".r.findFirstIn(p).isDefined,
+      s"salt is not in the join keys:\n$p")
+  }
+
+  test("single-key window chains plan exactly one exchange") {
+    // merge_scd2 (lag → filter → lead) and ts_ohlc_downsample (two
+    // row_number windows + rollup on the same keys) are written so every
+    // stage rides one user-keyed shuffle; a second Exchange would mean a
+    // regression re-clustering the corpus per stage.
+    for (q <- Seq("merge_scd2", "ts_ohlc_downsample")) {
+      val p = plan(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n === 1, s"$q: expected 1 shuffle, found $n:\n$p")
+    }
+  }
+
   test("profile_summary reads the table once and profiles via a single Expand") {
     val p = plan("profile_summary")
     assert(p.contains("Expand"),

@@ -47,6 +47,32 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted === direct)
   }
 
+  test("join_skew_salted equals the unsalted join and spreads the hot key") {
+    val sf = "/root/testdata/sf0.001"
+    val salted = SparkEntry.queries("join_skew_salted")(spark, sf)
+      .collect().toSeq
+    // The unsalted twin of the query (what the DuckDB oracle computes),
+    // built with the same DataFrame ops so equality is engine-internal.
+    val fact = Tables.lineitem(spark, sf).select(
+      when(col("l_orderkey") % 3 === 0, 0L)
+        .otherwise(pmod(col("l_orderkey"), lit(997))).as("k"),
+      col("l_extendedprice"))
+    val dim = Tables.part(spark, sf)
+      .groupBy(pmod(col("p_partkey"), lit(997)).as("k"))
+      .agg(count(lit(1)).as("n_parts"))
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_items"),
+        Tables.dsum(col("l_extendedprice")).as("total_price"),
+        max(col("n_parts")).as("n_parts"))
+      .orderBy("k").collect().toSeq
+    assert(salted === plain)
+    // The skew premise holds: key 0 really is hot (~1/3 of the fact).
+    val hot = salted.find(_.getLong(0) == 0L).get.getLong(1)
+    val total = salted.map(_.getLong(1)).sum
+    assert(hot > total / 4, s"hot key carries only $hot of $total rows")
+  }
+
   test("AQE and its skew-join handling are on in harness sessions") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
