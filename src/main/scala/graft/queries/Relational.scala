@@ -450,6 +450,36 @@ object Relational {
           round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
         .orderBy("l_returnflag")),
 
+    "agg_linreg" -> { (s, d) =>
+      // Per-type least-squares trend of event value over time, built
+      // from EXACT partials: the only order-sensitive work is the four
+      // sums, and each is order-free (Sx/Sxx are integer sums, Sy/Sxy go
+      // through the decimal policy), so the slope/intercept formula runs
+      // on bit-identical doubles in any engine and at any parallelism —
+      // unlike the built-in regr_slope, whose double accumulation order
+      // varies with partitioning. x is hours since the corpus epoch
+      // (small integers, so Sxx fits a BIGINT exactly). One shuffle of 4
+      // partials per (type, task) — the same aggregate shape as Q1.
+      val epochUs = 1704067200000000L // 2024-01-01T00:00:00Z
+      val hUs = 3600000000L
+      val e = eventsTs(s, d)
+        .withColumn("x", expr(s"(us - ${epochUs}L) DIV $hUs"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          dsum(col("value")).as("sy"),
+          sum(dec(col("value")) * col("x").cast(DecimalType(10, 0)))
+            .cast("double").as("sxy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+        .select(col("event_type"), col("n").cast("long").as("n_events"),
+          col("slope"), col("intercept"))
+        .orderBy("event_type")
+    },
+
     "agg_percentile" -> ((s, d) =>
       orders(s, d)
         .groupBy("o_orderstatus")
@@ -884,6 +914,29 @@ object Relational {
       """SELECT c_nationkey, array_to_string(list_sort(list(c_name)), ',') AS names
         |FROM customer WHERE c_custkey % 50 = 0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // Mirrors the exact-partials build: integer sums for Sx/Sxx, the
+    // decimal policy for Sy/Sxy, then the identical double formula —
+    // so both engines run the same IEEE ops on bit-identical inputs.
+    "agg_linreg" ->
+      s"""WITH p AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    ${oSum("value")} AS sy,
+        |    CAST(sum(CAST(value AS $oD) * CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sxy
+        |  FROM (SELECT event_type, value,
+        |          (epoch_us(ts) - 1704067200000000) // 3600000000 AS x
+        |        FROM events) t
+        |  GROUP BY event_type),
+        |sl AS (
+        |  SELECT event_type, n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM p)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events, slope,
+        |  (sy - slope * sx) / n AS intercept
+        |FROM sl ORDER BY event_type""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -41,6 +42,26 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
           Some((r1.lift(r2.length).getOrElse("-"), r2.lift(r1.length).getOrElse("-")))) + ")")
     }
     assert(bad.isEmpty, s"nondeterministic queries:\n${bad.mkString("\n")}")
+  }
+
+  test("observe() collects audit metrics on the same pass as the query") {
+    // The production-monitoring surface: a pipeline wants row counts and
+    // quality tallies from every run WITHOUT a second scan. Observation
+    // attaches named aggregates to the existing job — the metrics here
+    // must match dedicated recomputations while the observed query did
+    // its own, different work.
+    val obs = Observation("audit")
+    val o = Tables.orders(spark, sf)
+    val out = o.observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("big_orders"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect()
+    assert(out.nonEmpty)
+    val m = obs.get
+    assert(m("rows_in") === o.count())
+    assert(m("big_orders") === o.filter(col("o_totalprice") > 150000).count())
   }
 
   override def afterAll(): Unit = spark.stop()
