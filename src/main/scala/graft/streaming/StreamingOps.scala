@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** True Structured Streaming forms of the §2j operators. Each builds on
@@ -83,5 +83,46 @@ object StreamingOps {
           state.update((n, t))
           Iterator(UserTotal(user, n, t))
       }
+  }
+
+  /** The same running totals on the Spark-4 arbitrary-state API
+    * (transformWithState / StatefulProcessor): typed per-key ValueState
+    * with explicit lifecycle, TTL hooks, and timer support — the
+    * replacement for flatMapGroupsWithState that a long-lived 100 TB/day
+    * state pipeline would use (state lives in RocksDB with changelog
+    * checkpointing rather than an in-memory HashMap). StreamingSpec
+    * asserts its trajectory equals both the legacy form and the batch
+    * twin.
+    */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserTotal] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[UserTotal] = {
+      val (n0, t0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0; var t = t0
+      rows.foreach { r => n += 1; t += r._2 }
+      totals.update((n, t))
+      Iterator(UserTotal(user, n, t))
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store; the caller's
+    * session must set spark.sql.streaming.stateStore.providerClass to
+    * RocksDBStateStoreProvider before starting the query.
+    */
+  def runningTotalsTws(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

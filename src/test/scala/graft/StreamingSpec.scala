@@ -93,6 +93,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("transformWithState running totals == legacy state API == batch") {
+    // The Spark-4 arbitrary-state API on RocksDB state (its required
+    // provider) must land exactly where flatMapGroupsWithState and the
+    // batch rollup land. A separate session keeps the RocksDB provider
+    // conf out of the other streaming tests.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = StreamingOps.readEvents(s2, srcDir.toString)
+    val q = StreamingOps.runningTotalsTws(stream).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("t_tws").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table("t_tws").groupBy("user_id")
+      .agg(max("n").as("n"))
+      .orderBy("user_id").collect().toSeq
+    val want = graft.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().toSeq
+    assert(got === want)
+  }
+
   test("stream-stream interval join equals the batch join") {
     // Clicks joined to same-user purchases within the preceding hour —
     // the canonical watermarked stream-stream join.
