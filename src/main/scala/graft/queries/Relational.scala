@@ -93,6 +93,30 @@ object Relational {
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .orderBy("event_id")),
 
+    "scan_corrupt_tolerant" -> { (s, d) =>
+      // Estate reality at 100 TB: among millions of files some are torn
+      // (failed writer, partial upload). A pipeline that dies on the
+      // first bad footer can't finish a day; ignoreCorruptFiles degrades
+      // the bad split to a logged skip. Witnessed for real: a valid
+      // nation copy plus a planted garbage .parquet in one directory —
+      // the read must return exactly the valid rows. (Same one-time
+      // layout idiom as partitionedOrders; the lock keeps the
+      // check-then-write race-free within the JVM.)
+      val tmp = layoutLock.synchronized {
+        val t = scratch(s, "corrupt_scan", d)
+        if (!new java.io.File(t, "_SUCCESS").exists()) {
+          nation(s, d).coalesce(1).write.mode("overwrite").parquet(t)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(t, "part-torn.snappy.parquet"),
+            "these bytes are not a parquet footer".getBytes("UTF-8"))
+        }
+        t
+      }
+      s.read.option("ignoreCorruptFiles", "true").parquet(tmp)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
     "sink_csv_roundtrip" -> { (s, d) =>
       // Write a projection to CSV, re-read with an explicit schema, and
       // aggregate — proves the CSV connector both directions. The
@@ -756,6 +780,12 @@ object Relational {
     "scan_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // The oracle reads the ORIGINAL table: equality proves the torn
+    // file contributed nothing and the valid file survived whole.
+    "scan_corrupt_tolerant" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "sink_json_roundtrip" ->
       s"""SELECT c_mktsegment, count(*) AS n, ${oSum("c_acctbal")} AS bal,
