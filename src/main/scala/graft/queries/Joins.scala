@@ -210,6 +210,27 @@ object Joins {
         .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"),
           max(col("n_parts")).as("n_parts"))
         .orderBy("k")
+    },
+
+    "join_null_safe" -> { (s, d) =>
+      // Null-safe equi-join (<=>): NULL keys MATCH each other — the
+      // semantic a plain equi-join silently drops (its NULL rows join
+      // nothing). Both sides derive a nullable key via nullif; Catalyst
+      // still plans <=> as a hash-partitioned equi-join (keys wrapped in
+      // coalesce), so the shape scales like any other shuffle join —
+      // no nested loop for the null bucket.
+      val c = customer(s, d)
+        .select(nullif(col("c_nationkey") % 7, lit(3)).as("k"),
+          col("c_custkey"))
+      val su = supplier(s, d)
+        .select(nullif(col("s_nationkey") % 7, lit(3)).as("ks"),
+          col("s_suppkey"))
+      c.join(su, col("k") <=> col("ks"))
+        .groupBy(coalesce(col("k"), lit(-1L)).as("key_or_null"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy("key_or_null")
     }
   )
 
@@ -322,6 +343,17 @@ object Joins {
         |  ${oSum("l_extendedprice")} AS total_price,
         |  max(n_parts) AS n_parts
         |FROM fact JOIN dim USING (k)
-        |GROUP BY k ORDER BY k""".stripMargin
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH c AS (
+        |  SELECT nullif(c_nationkey % 7, 3) AS k, c_custkey FROM customer),
+        |s AS (
+        |  SELECT nullif(s_nationkey % 7, 3) AS ks, s_suppkey FROM supplier)
+        |SELECT CAST(coalesce(k, -1) AS BIGINT) AS key_or_null, count(*) AS n_pairs,
+        |  count(DISTINCT c_custkey) AS n_cust,
+        |  count(DISTINCT s_suppkey) AS n_supp
+        |FROM c JOIN s ON k IS NOT DISTINCT FROM ks
+        |GROUP BY 1 ORDER BY key_or_null""".stripMargin
   )
 }

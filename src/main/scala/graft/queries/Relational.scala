@@ -117,6 +117,42 @@ object Relational {
         .orderBy("n_nationkey")
     },
 
+    "scan_malformed_rows" -> { (s, d) =>
+      // Row-level tolerance, the complement of scan_corrupt_tolerant's
+      // file-level skip: a JSONL file where every 5th record is garbage
+      // must parse PERMISSIVEly — good rows land in columns, bad rows
+      // land whole in the corrupt-record column for quarantine instead
+      // of killing the job. Bad rows group under key -1; the oracle
+      // reconstructs both populations from the source table.
+      val tmp = layoutLock.synchronized {
+        val t = scratch(s, "malformed_rows", d)
+        if (!new java.io.File(t, "_SUCCESS").exists()) {
+          val n = nation(s, d)
+          n.filter(col("n_nationkey") % 5 =!= 0)
+            .select(to_json(struct(col("n_nationkey"), col("n_name"),
+              col("n_regionkey"))).as("value"))
+            .unionByName(n.filter(col("n_nationkey") % 5 === 0)
+              .select(concat(lit("{torn json line "),
+                col("n_nationkey").cast(StringType)).as("value")))
+            .coalesce(1).write.mode("overwrite").text(t)
+        }
+        t
+      }
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType),
+        StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(tmp)
+        .groupBy(when(col("_bad").isNotNull, lit(-1L))
+          .otherwise(col("n_regionkey")).as("region_or_bad"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("region_or_bad")
+    },
+
     "sink_csv_roundtrip" -> { (s, d) =>
       // Write a projection to CSV, re-read with an explicit schema, and
       // aggregate — proves the CSV connector both directions. The
@@ -786,6 +822,16 @@ object Relational {
     "scan_corrupt_tolerant" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // Reconstructs both populations from the source: good rows group by
+    // region, every 5th key was replaced with garbage → bucket -1.
+    "scan_malformed_rows" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN n_nationkey % 5 = 0 THEN -1
+        |              ELSE n_regionkey END AS region_or_bad
+        |  FROM nation)
+        |SELECT CAST(region_or_bad AS BIGINT) AS region_or_bad, count(*) AS n
+        |FROM g GROUP BY 1 ORDER BY region_or_bad""".stripMargin,
 
     "sink_json_roundtrip" ->
       s"""SELECT c_mktsegment, count(*) AS n, ${oSum("c_acctbal")} AS bal,
