@@ -246,5 +246,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans === 1, s"profile pass scans the table $scans times:\n$p")
   }
 
+  test("no query plans a cartesian or nested-loop join except the deliberate cross") {
+    // The global anti-pattern net: at 100 TB a CartesianProduct or
+    // BroadcastNestedLoopJoin anywhere is a scale-killer, so every
+    // banded/blocked operator must keep planning as an equi-join.
+    // Exempt: the explicitly-cartesian operator, and the four
+    // scalar-attach crossJoin(broadcast(...)) sites whose build side is
+    // O(1) rows BY CONSTRUCTION — a 1-row corpus count (text_tfidf), a
+    // 1-row query vector (sim_cosine_topk), a per-language profile
+    // (text_langid), and centroids × 1 query vector (sim_ann_ivf).
+    // A BNLJ over a bounded broadcast is a map-side attach, not a join
+    // explosion; anything NEW showing up here needs the same argument.
+    val allowed = Set("join_cross",
+      "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if allowed(name) => None
+      case (name, q) =>
+        val p = q(spark, sf).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer join shapes in: ${offenders.mkString(", ")}")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
