@@ -44,6 +44,38 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"nondeterministic queries:\n${bad.mkString("\n")}")
   }
 
+  test("custom-kernel queries agree between codegen and interpreted eval") {
+    // Every custom Expression ships two implementations: doGenCode (the
+    // codegen path PlanSpec pins into WholeStageCodegen) and eval (the
+    // interpreted fallback Spark uses when codegen is disabled or
+    // compilation fails). Divergence between them is a silent-corruption
+    // bug class the oracle can't see (it only ever runs one path), so
+    // run every kernel-bearing query under NO_CODEGEN and require
+    // byte-identical rows.
+    val interp = spark.newSession()
+    interp.conf.set("spark.sql.codegen.wholeStage", "false")
+    interp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val kernelQueries = Seq(
+      "text_fingerprint",   // RollingHash
+      "text_langid",        // CharNGrams + array scoring
+      "udtf_ngrams",        // WordShingles
+      "dedup_minhash",      // MinHashAgg (TypedImperativeAggregate)
+      "dedup_simhash",      // SimHashAgg
+      "dedup_ngram_jaccard",// SortedIntersectSize
+      "dedup_embedding",    // LshBucket
+      "sim_cosine_topk",    // DotProductF
+      "udf_chmod_parse")    // Chmod kernel
+    val bad = kernelQueries.flatMap { name =>
+      val q = SparkEntry.queries(name)
+      val r1 = q(spark, sf).collect().map(_.toString).toSeq
+      spark.catalog.clearCache()
+      val r2 = q(interp, sf).collect().map(_.toString).toSeq
+      spark.catalog.clearCache()
+      if (r1 == r2) None else Some(name)
+    }
+    assert(bad.isEmpty, s"codegen/interpreted divergence in: ${bad.mkString(", ")}")
+  }
+
   test("observe() collects audit metrics on the same pass as the query") {
     // The production-monitoring surface: a pipeline wants row counts and
     // quality tallies from every run WITHOUT a second scan. Observation
