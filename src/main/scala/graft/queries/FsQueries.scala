@@ -122,6 +122,26 @@ object FsQueries {
           sum(length(col("value"))).as("total_chars"))
     },
 
+    "fs_small_files" -> { (s, d) =>
+      // Small-files audit — the report that decides WHERE fs_compact is
+      // worth running: per size class, file count, byte totals, extrema,
+      // and the file count a 128 MiB-target rewrite would leave. Pure
+      // aggregation over the executor-streamed DSv2 listing — at estate
+      // scale this audits a namespace of 10^8 files without the driver
+      // ever holding the list.
+      val targetBytes = 134217728.0 // 128 MiB
+      val threshBytes = 262144L     // 256 KiB: "small" cutoff
+      FsOps.ls(s, d).filter(!col("is_dir"))
+        .withColumn("cls",
+          when(col("length") < threshBytes, "small").otherwise("ok"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_files"), sum(col("length")).as("bytes"),
+          min(col("length")).as("min_bytes"), max(col("length")).as("max_bytes"))
+        .withColumn("files_after_compaction",
+          ceil(col("bytes").cast("double") / targetBytes).cast("long"))
+        .orderBy("cls")
+    },
+
     "fs_compact" -> { (s, d) =>
       // Small-files compaction — the standing maintenance op of any
       // 100 TB parquet estate: read a fragmented layout, rewrite at the
@@ -269,6 +289,18 @@ object FsQueries {
       """SELECT CAST(8 AS BIGINT) AS n_files_in, CAST(2 AS BIGINT) AS n_files_out,
         |  count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
         |FROM documents""".stripMargin,
+
+    "fs_small_files" ->
+      s"""WITH f AS (
+        |  SELECT CASE WHEN size < 262144 THEN 'small' ELSE 'ok' END AS cls,
+        |    size
+        |  FROM read_blob('$SfDirToken/*'))
+        |SELECT cls, count(*) AS n_files, CAST(sum(size) AS BIGINT) AS bytes,
+        |  CAST(min(size) AS BIGINT) AS min_bytes,
+        |  CAST(max(size) AS BIGINT) AS max_bytes,
+        |  CAST(ceil(CAST(sum(size) AS DOUBLE) / 134217728.0) AS BIGINT)
+        |    AS files_after_compaction
+        |FROM f GROUP BY cls ORDER BY cls""".stripMargin,
 
     "fs_cat_binary" ->
       s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,
