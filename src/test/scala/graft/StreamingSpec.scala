@@ -138,6 +138,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("parquet file sink is exactly-once across stop/restart") {
+    // The production sink semantic: the checkpoint (source offsets +
+    // sink commit log) must make restarts idempotent — a restart with
+    // nothing new appends nothing, and reprocessing after new data
+    // arrives emits each input row exactly once, ever.
+    val ev = graft.Tables.events(spark, sf)
+    val srcDir2 = Files.createTempDirectory("graft_restart_src")
+    val outDir = Files.createTempDirectory("graft_restart_out")
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt")
+    def addFile(name: String, filter: org.apache.spark.sql.Column): Long = {
+      val stage = Files.createTempDirectory("graft_restart_stage")
+      val part = ev.filter(filter)
+      part.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val f = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$srcDir2/$name"))
+      part.count()
+    }
+    def runOnce(): Unit = {
+      val q = StreamingOps.readEvents(spark, srcDir2.toString)
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val n1 = addFile("a.parquet", col("event_id") % 2 === 0)
+    runOnce()
+    assert(spark.read.parquet(outDir.toString).count() === n1)
+    // Restart with no new input: the commit log must prevent re-emission.
+    runOnce()
+    assert(spark.read.parquet(outDir.toString).count() === n1)
+    // New data after restart: exactly the delta lands, nothing replays.
+    val n2 = addFile("b.parquet", col("event_id") % 2 === 1)
+    runOnce()
+    val out = spark.read.parquet(outDir.toString)
+    assert(out.count() === n1 + n2)
+    assert(out.select("event_id").distinct().count() === n1 + n2,
+      "a row was emitted more than once across restarts")
+  }
+
   test("late data beyond the watermark is dropped") {
     // Three files, one per trigger: file A carries hours 10 and 23
     // (advancing event time to 23:00), file B is a bridge (observed:
