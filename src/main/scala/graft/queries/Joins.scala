@@ -156,6 +156,23 @@ object Joins {
         .orderBy("event_id")
     },
 
+    "join_asof_forward" -> { (s, d) =>
+      // Forward as-of: for each click, the EARLIEST purchase of the same
+      // user strictly after it in (us, event_id) order — the
+      // time-to-conversion primitive, and join_asof's mirror. Same
+      // union-and-window shape (one user shuffle, no join explosion):
+      // first(_, ignoreNulls) over the strictly-following frame.
+      val e = eventsTs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+        .withColumn("p_us", when(col("event_type") === "purchase", col("us")))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      e.withColumn("next_purchase_us", first(col("p_us"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "next_purchase_us")
+        .orderBy("event_id")
+    },
+
     "join_interval_overlap" -> { (s, d) =>
       // Pairs of same-user events within 5 minutes — banded self-join on
       // (user_id, 5-min bucket), one side exploded to adjacent buckets,
@@ -318,6 +335,15 @@ object Joins {
         |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT event_id, user_id, next_purchase_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us
         |  FROM events) t
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
