@@ -131,7 +131,7 @@ object FsQueries {
       // ever holding the list.
       val targetBytes = 134217728.0 // 128 MiB
       val threshBytes = 262144L     // 256 KiB: "small" cutoff
-      FsOps.ls(s, d).filter(!col("is_dir"))
+      FsOps.find(s, d).filter(!col("is_dir"))
         .withColumn("cls",
           when(col("length") < threshBytes, "small").otherwise("ok"))
         .groupBy("cls")
@@ -294,7 +294,7 @@ object FsQueries {
       s"""WITH f AS (
         |  SELECT CASE WHEN size < 262144 THEN 'small' ELSE 'ok' END AS cls,
         |    size
-        |  FROM read_blob('$SfDirToken/*'))
+        |  FROM read_blob('$SfDirToken/**'))
         |SELECT cls, count(*) AS n_files, CAST(sum(size) AS BIGINT) AS bytes,
         |  CAST(min(size) AS BIGINT) AS min_bytes,
         |  CAST(max(size) AS BIGINT) AS max_bytes,
