@@ -268,6 +268,31 @@ object Relational {
         .orderBy("event_type")
     },
 
+    "agg_bitmap_distinct" -> { (s, d) =>
+      // The EXACT counterpart of agg_sketch_union: re-aggregatable
+      // distinct via bitmaps (Spark's roaring-style bitmap_* builtins).
+      // Per-(event_type, day, bucket) partial bitmaps OR-merge per
+      // (event_type, bucket) — the 100 TB rollup shape where daily
+      // bitmap partials re-merge into monthly EXACT distincts without
+      // re-reading raw rows, and user ids cross the network once, as
+      // bitmap positions. Bitmap OR is order-free, so unlike a double
+      // sum this is deterministic at any parallelism; the oracle is the
+      // plain exact COUNT(DISTINCT) — equality proves the two-level
+      // bitmap pipeline loses nothing.
+      val ev = eventsTs(s, d)
+        .select(col("event_type"),
+          date_trunc("day", col("ts_t")).as("day"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+      ev.groupBy("event_type", "day", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .groupBy("event_type", "bkt")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("n_bucket"))
+        .groupBy("event_type")
+        .agg(sum(col("n_bucket")).as("n_users"))
+        .orderBy("event_type")
+    },
+
     "scan_partition_pruning" -> { (s, d) =>
       // The single biggest 100 TB lever: a date-partitioned layout plus
       // a partition-key predicate must scan ONE directory, not the whole
@@ -1041,6 +1066,11 @@ object Relational {
     "agg_sketch_union" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS sketch_within_2pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_percentile" ->

@@ -582,6 +582,93 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    "sample_temperature" -> { (s, d) =>
+      // Temperature-scaled language mixing (the UniMax/mT5 sampling
+      // scheme): per-language sampling rates are DERIVED from corpus
+      // statistics — weight w_l ∝ n_l^(1/T) with T=2 (sqrt damping), a
+      // 30% global token budget apportioned by weight, rate_l capped at
+      // 1 — then applied with the same salted-md5 threshold as
+      // sample_stratified. Low-resource languages are upsampled
+      // relative to their share, the classic mixing knob. Scale shape:
+      // the stats pass is a 5-row aggregate; rates broadcast back and
+      // selection is map-only. Numeric determinism: the cross-language
+      // weight normalization is a LEFT FOLD over the lang-sorted
+      // weights (collect_list → aggregate), not a parallel double sum,
+      // so Spark and DuckDB accumulate in the identical order.
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      val packed = docs.groupBy("lang").agg(sum(col("n_tok")).as("n_lang"))
+        .agg(sort_array(collect_list(struct(col("lang"), col("n_lang")))).as("ls"))
+        .select(col("ls"),
+          aggregate(col("ls"), lit(0.0),
+            (acc, x) => acc + sqrt(x.getField("n_lang").cast(DoubleType))).as("total_w"),
+          aggregate(col("ls"), lit(0L),
+            (acc, x) => acc + x.getField("n_lang")).as("total_tok"))
+      val rates = packed
+        .select(explode(col("ls")).as("x"), col("total_w"), col("total_tok"))
+        .select(col("x.lang").as("lang"),
+          least(lit(1.0),
+            col("total_tok").cast(DoubleType) * 0.3
+              * sqrt(col("x.n_lang").cast(DoubleType)) / col("total_w")
+              / col("x.n_lang").cast(DoubleType)).as("rate"))
+      val bucket = conv(substring(
+        md5(concat(lit("graft-temp:"), col("doc_id").cast(StringType))), 1, 8),
+        16, 10).cast(LongType) % 10000
+      docs.join(broadcast(rates), "lang")
+        .withColumn("bucket", bucket)
+        .filter(col("bucket").cast(DoubleType) < col("rate") * 10000.0)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")
+    },
+
+    "text_dedup_lines" -> { (s, d) =>
+      // Line-level boilerplate removal (the CCNet / RefinedWeb pass
+      // that strips "subscribe to our newsletter" from every page): a
+      // line occurring in ≥ 10 distinct docs is boilerplate and removed
+      // corpus-wide; docs are re-assembled from their surviving lines.
+      // The corpus has no newlines or natural boilerplate, so a "line"
+      // is an 8-word chunk and two footer lines are PLANTED on every
+      // 3rd/5th doc (same planting pattern as text_pii_redact) — the
+      // md5 gate then verifies both that planted lines vanish and that
+      // natural lines survive byte-exactly. Scale shape: line
+      // frequencies are one shuffle on the line; the boilerplate set is
+      // tiny by construction (the Zipf head above the threshold), so
+      // removal is a BROADCAST anti-join probe — map-only over the
+      // corpus — and reassembly is one doc_id rollup.
+      val boiler1 = "click here to subscribe to our newsletter today"
+      val boiler2 = "all rights reserved copyright and terms of use"
+      val arr = split(col("text"), " ")
+      val nch = ceil(size(arr) / lit(8.0)).cast(IntegerType)
+      val chunks = transform(sequence(lit(0), nch - 1),
+        i => array_join(slice(arr, i * 8 + 1, lit(8)), " "))
+      val withB1 = when(col("doc_id") % 3 === 0,
+        concat(chunks, array(lit(boiler1)))).otherwise(chunks)
+      val linesCol = when(col("doc_id") % 5 === 0,
+        concat(withB1, array(lit(boiler2)))).otherwise(withB1)
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), linesCol.as("lines"))
+      val lined = docs.select(col("doc_id"),
+        posexplode(col("lines")).as(Seq("pos", "line")))
+      val boiler = lined.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 10).select("line")
+      val kept = lined.join(broadcast(boiler), Seq("line"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), " ")).as("clean_md5"))
+      // LEFT join + empty-string md5: a doc whose every line was
+      // boilerplate must still be reported (as emptied), not dropped.
+      docs.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          size(col("lines")).as("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     "pack_sequences" -> { (s, d) =>
       // Sequence packing — concat-and-chunk batching for training: docs
       // are concatenated in deterministic (doc_id) order and cut every
@@ -970,6 +1057,66 @@ object TextPipeline {
         |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS rate
         |  FROM documents) t
         |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+
+    // The lang-sorted left-fold normalization (list_reduce over
+    // list(... ORDER BY lang)) mirrors Spark's sorted collect_list +
+    // aggregate fold exactly, so the double accumulation order — and
+    // therefore every rate — is bit-identical across engines.
+    "sample_temperature" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |st AS (SELECT lang, sum(n_tok) AS n_lang FROM toks GROUP BY lang),
+        |tw AS (
+        |  SELECT
+        |    list_reduce(list_prepend(0.0,
+        |      list(sqrt(CAST(n_lang AS DOUBLE)) ORDER BY lang)),
+        |      (a, b) -> a + b) AS total_w,
+        |    CAST(sum(n_lang) AS BIGINT) AS total_tok
+        |  FROM st),
+        |rates AS (
+        |  SELECT lang,
+        |    least(1.0, CAST(total_tok AS DOUBLE) * 0.3
+        |      * sqrt(CAST(n_lang AS DOUBLE)) / total_w
+        |      / CAST(n_lang AS DOUBLE)) AS rate
+        |  FROM st, tw)
+        |SELECT doc_id, t.lang, n_tok, round(rate, 6) AS rate
+        |FROM toks t JOIN rates r ON t.lang = r.lang
+        |WHERE CAST(CAST(('0x' || substring(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) < rate * 10000.0
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_dedup_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
+        |lns AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(CAST(ceil(len(arr) / 8.0) AS INTEGER)),
+        |      i -> array_to_string(arr[i*8+1 : i*8+8], ' '))
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ['click here to subscribe to our newsletter today']
+        |         ELSE [] END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ['all rights reserved copyright and terms of use']
+        |         ELSE [] END AS lines
+        |  FROM base),
+        |ex AS (
+        |  SELECT doc_id, unnest(range(len(lines))) AS pos,
+        |    unnest(lines) AS line
+        |  FROM lns),
+        |boiler AS (
+        |  SELECT line FROM ex GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 10),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(line, ' ' ORDER BY pos)) AS clean_md5
+        |  FROM ex WHERE line NOT IN (SELECT line FROM boiler)
+        |  GROUP BY doc_id)
+        |SELECT l.doc_id, lang, CAST(len(lines) AS INTEGER) AS n_lines,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(clean_md5, md5('')) AS clean_md5
+        |FROM lns l LEFT JOIN kept k ON l.doc_id = k.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
 
     "pack_sequences" ->
       """WITH toks AS (

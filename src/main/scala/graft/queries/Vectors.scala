@@ -169,6 +169,53 @@ object Vectors {
         .orderBy("vec_id")
     },
 
+    "sim_quantized_rerank" -> { (s, d) =>
+      // Int8 scalar quantization + exact re-rank — the memory/IO lever
+      // of vector search at 10^9 vectors: codes are 4× smaller than
+      // float32 (and SIMD-friendly), so the first pass scans q8 codes
+      // only; the full floats are touched for just the top-C survivors.
+      // Encoding is per-vector symmetric int8 (scale = max|x|/127, the
+      // faiss SQ8 shape) with the exact norm stored alongside — approx
+      // cosine = (int-dot × scaleA × scaleB) / (‖a‖·‖b‖). The integer
+      // dot is EXACT in any summation order, so the candidate stage has
+      // no float-accumulation hazard at all; remaining double ops
+      // (scales, norms) are identical expressions in both engines. The
+      // oracle replicates encode → int-dot rank → top-100 → exact
+      // re-rank end-to-end, so the hash gate verifies recall AND the
+      // quantization arithmetic itself. Plan shape: broadcast query
+      // codes, map-side int dots, TakeOrdered top-100, re-rank 100 rows
+      // — zero shuffle at any corpus size.
+      GraftFunctions.register(s)
+      val emb = embeddings(s, d)
+      val vmax = greatest(
+        array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))),
+        lit(1e-30))
+      val coded = emb
+        .withColumn("vmax", vmax)
+        .withColumn("q8", transform(col("embedding"),
+          x => floor(x.cast(DoubleType) / col("vmax") * 127.0 + 0.5)
+            .cast(IntegerType)))
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val q = coded.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("q8").as("q_q8"),
+          col("vmax").as("q_vmax"), col("nrm").as("q_nrm"))
+      val intdot = aggregate(
+        zip_with(col("q8"), col("q_q8"), (a, b) => (a * b).cast(LongType)),
+        lit(0L), (acc, x) => acc + x)
+      coded.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("approx_cos",
+          intdot.cast(DoubleType) * (col("vmax") / 127.0) * (col("q_vmax") / 127.0)
+            / col("nrm") / col("q_nrm"))
+        .orderBy(desc("approx_cos"), asc("vec_id"))
+        .limit(100)
+        .select(col("vec_id"),
+          round(col("approx_cos"), 6).as("approx_cos"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(20)
+    },
+
     "sim_ann_lsh" -> { (s, d) =>
       // ANN scale path: 8 sign-bit hyperplane hashes → bucket id;
       // candidates = vectors in the query's bucket or any bucket at
@@ -267,6 +314,37 @@ object Vectors {
         |SELECT vec_id, label FROM corpus
         |WHERE vec_id NOT IN (SELECT id_b FROM removed)
         |ORDER BY vec_id""".stripMargin,
+
+    // Full replication of the SQ8 pipeline: per-vector symmetric int8
+    // encode, exact integer dot (order-free), scale/norm arithmetic in
+    // the identical expression shape, top-100 candidates, exact re-rank.
+    "sim_quantized_rerank" ->
+      s"""WITH coded AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_aggregate(
+        |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
+        |      1e-30) AS vmax,
+        |    sqrt(${oDot.replace("%A", "embedding").replace("%B", "embedding")}) AS nrm
+        |  FROM embeddings),
+        |c2 AS (
+        |  SELECT vec_id, embedding, vmax, nrm,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / vmax * 127.0 + 0.5) AS INTEGER)) AS q8
+        |  FROM coded),
+        |q AS (
+        |  SELECT embedding AS q_emb, q8 AS q_q8, vmax AS q_vmax, nrm AS q_nrm
+        |  FROM c2 WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, embedding, q_emb,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_zip(q8, q_q8),
+        |        p -> CAST(p[1] * p[2] AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+        |      * (vmax / 127.0) * (q_vmax / 127.0) / nrm / q_nrm AS approx_cos
+        |  FROM c2 CROSS JOIN q WHERE vec_id <> 0
+        |  ORDER BY approx_cos DESC, vec_id ASC LIMIT 100)
+        |SELECT vec_id, round(approx_cos, 6) AS approx_cos, round(
+        |  ${oCos.replace("%A", "embedding").replace("%B", "q_emb")}, 6) AS cos
+        |FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     // Full replication of the deterministic LSH pipeline: plane family
     // (integer-hash rationals cast to float), index-order sign dots,

@@ -337,6 +337,77 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text_dedup_lines strips exactly the planted boilerplate lines") {
+    val out = SparkEntry.queries("text_dedup_lines")(spark, sf).collect()
+    out.foreach { r =>
+      val (id, nLines, nKept) = (r.getLong(0), r.getInt(2), r.getLong(3))
+      // Planted lines: one footer on every 3rd doc, one on every 5th;
+      // natural 8-word chunks are unique (30-word vocab, 8-gram space)
+      // so ONLY the planted lines can cross the ≥10-doc threshold.
+      val planted = (if (id % 3 == 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+      assert(nLines - nKept === planted,
+        s"doc $id: $nLines lines, $nKept kept, expected $planted removed")
+    }
+    // Reassembly must be byte-exact: an unplanted doc's cleaned text IS
+    // its original text (chunk-join of all surviving 8-word chunks).
+    val sp = spark
+    import sp.implicits._
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    out.filter(r => r.getLong(0) % 3 != 0 && r.getLong(0) % 5 != 0)
+      .foreach(r => assert(r.getString(4) === orig(r.getLong(0)),
+        s"doc ${r.getLong(0)}: surviving lines don't reassemble the original"))
+  }
+
+  test("sample_temperature upsamples low-resource languages") {
+    val sp = spark
+    import sp.implicits._
+    val sel = SparkEntry.queries("sample_temperature")(spark, sf).collect()
+    val rates = sel.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    val nLang = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0), s"rate out of range: $rates")
+    // sqrt damping: sampling rate must be anti-monotone in corpus size.
+    val bysize = nLang.toSeq.sortBy(_._2)
+    bysize.sliding(2).foreach { case Seq((l1, n1), (l2, n2)) =>
+      if (n1 < n2 && rates.contains(l1) && rates.contains(l2))
+        assert(rates(l1) >= rates(l2),
+          s"$l1 ($n1 tok) sampled below $l2 ($n2 tok): $rates")
+      case _ => ()
+    }
+    // Expected take per lang ≈ rate × docs; the md5 bucket is uniform
+    // enough at fixture size to land within a loose band.
+    val docsPerLang = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    sel.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val expected = rates(lang) * docsPerLang(lang)
+      assert(rows.length <= docsPerLang(lang) &&
+        math.abs(rows.length - expected) <= math.max(6.0, 0.6 * expected),
+        s"$lang: selected ${rows.length}, expected ≈$expected")
+    }
+  }
+
+  test("sim_quantized_rerank matches the brute-force top-k") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("sim_quantized_rerank")(spark, sf)
+      .select("vec_id", "cos").as[(Long, Double)].collect()
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Double)].collect()
+    val bruteMap = brute.toMap
+    // Re-ranked cosines are EXACT (same kernel as brute force), so any
+    // id shared with the brute-force top-20 must carry the same value.
+    got.filter(g => bruteMap.contains(g._1))
+      .foreach(g => assert(g._2 === bruteMap(g._1), s"cos mismatch for ${g._1}"))
+    // int8 quantization over 100 candidates must recover ≥18/20 of the
+    // true neighbors (observed: all 20 at every fixture tier).
+    val recall = got.map(_._1).count(bruteMap.contains)
+    assert(recall >= 18, s"quantized rerank recalled only $recall/20")
+  }
+
   test("funnel_stages is monotone and stage 1 equals distinct viewers") {
     val sp = spark
     import sp.implicits._

@@ -254,11 +254,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scalar-attach crossJoin(broadcast(...)) sites whose build side is
     // O(1) rows BY CONSTRUCTION — a 1-row corpus count (text_tfidf), a
     // 1-row query vector (sim_cosine_topk), a per-language profile
-    // (text_langid), and centroids × 1 query vector (sim_ann_ivf).
+    // (text_langid), centroids × 1 query vector (sim_ann_ivf), and the
+    // 1-row quantized query codes (sim_quantized_rerank).
     // A BNLJ over a bounded broadcast is a map-side attach, not a join
     // explosion; anything NEW showing up here needs the same argument.
     val allowed = Set("join_cross",
-      "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf")
+      "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
+      "sim_quantized_rerank")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>
