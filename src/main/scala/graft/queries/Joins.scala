@@ -248,6 +248,41 @@ object Joins {
           countDistinct(col("c_custkey")).as("n_cust"),
           countDistinct(col("s_suppkey")).as("n_supp"))
         .orderBy("key_or_null")
+    },
+
+    "join_runtime_bloom" -> { (s, d) =>
+      // Runtime bloom-filter semi-join reduction — at 100 TB the single
+      // biggest shuffle saver after partition pruning: a selective
+      // filter on the dimension side is turned into a bloom filter that
+      // prunes the FACT side's rows *before* its shuffle, so the
+      // exchange carries only rows that can possibly join (~2% here
+      // instead of 100%). This is Catalyst's own InjectRuntimeFilter
+      // rule, not a hand-rolled UDF: the optimized plan grows a
+      // Filter(might_contain(scalar-subquery bloom_filter_agg, ...))
+      // above the lineitem scan. A derived session isolates the confs
+      // (the app-side-scan threshold defaults to 10 GB — meant for real
+      // clusters — and broadcast must be off so the join actually
+      // shuffles; neither setting may leak into other queries' plans).
+      // The require() makes the witness self-enforcing: the result is
+      // oracled against the plain join, proving the bloom pre-filter is
+      // a pure reduction, never a semantic change.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val sel = orders(s2, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000)
+      val joined = lineitem(s2, d)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
+      require(joined.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "runtime bloom filter was not injected into the fact-side scan:\n" +
+          joined.queryExecution.optimizedPlan)
+      joined
     }
   )
 
@@ -380,6 +415,15 @@ object Joins {
         |  count(DISTINCT c_custkey) AS n_cust,
         |  count(DISTINCT s_suppkey) AS n_supp
         |FROM c JOIN s ON k IS NOT DISTINCT FROM ks
-        |GROUP BY 1 ORDER BY key_or_null""".stripMargin
+        |GROUP BY 1 ORDER BY key_or_null""".stripMargin,
+
+    // The oracle is the plain join: equality proves the injected bloom
+    // pre-filter is a pure reduction, never a semantic change.
+    "join_runtime_bloom" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+        |  ${oSum("l_extendedprice")} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

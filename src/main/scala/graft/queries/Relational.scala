@@ -624,6 +624,69 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    "subquery_scalar" -> { (s, d) =>
+      // Uncorrelated scalar subquery: the global average computes ONCE
+      // (a one-row plan broadcast into the filter), never per-row — at
+      // any scale this is one tiny job plus a map-side filter. Decimal
+      // policy keeps the threshold bit-identical across engines.
+      customer(s, d).createOrReplaceTempView("sqs_cust")
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal FROM sqs_cust
+          |WHERE c_acctbal > 2 * (
+          |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+          |  FROM sqs_cust)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    "subquery_in" -> { (s, d) =>
+      // Uncorrelated IN subquery — Catalyst rewrites to a left-semi
+      // hash join on the subquery's distinct keys; the orders side keeps
+      // its pushed-down price filter, so the semi probe sees only the
+      // selective slice.
+      orders(s, d).createOrReplaceTempView("sqi_orders")
+      customer(s, d).createOrReplaceTempView("sqi_cust")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM sqi_orders
+          |WHERE o_totalprice > 300000
+          |  AND o_custkey IN (SELECT c_custkey FROM sqi_cust WHERE c_acctbal < 0)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "subquery_not_in" -> { (s, d) =>
+      // NOT IN — the null-aware anti join. Three-valued logic makes
+      // `k NOT IN (set with NULL)` drop EVERY row, so a naive rewrite to
+      // left-anti is wrong on nullable keys; Spark plans a null-aware
+      // broadcast hash anti join (optimizeNullAwareAntiJoin) instead of
+      // the O(n·m) nested loop this used to require. Keys here are
+      // non-null in the data, so both engines agree with plain anti
+      // semantics while the plan still exercises the NAAJ path.
+      orders(s, d).createOrReplaceTempView("sqn_orders")
+      customer(s, d).createOrReplaceTempView("sqn_cust")
+      s.sql(
+        """SELECT c_custkey, c_name FROM sqn_cust
+          |WHERE c_custkey NOT IN (
+          |  SELECT o_custkey FROM sqn_orders WHERE o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    "join_lateral" -> { (s, d) =>
+      // LATERAL correlated subquery with ORDER BY + LIMIT — the SQL
+      // spelling of top-k-per-group. Catalyst decorrelates the limit
+      // into a rank window over one shuffle on the join key (same
+      // physical shape as topk_per_group), NOT a per-row re-execution —
+      // the form that survives a billion customers.
+      customer(s, d).createOrReplaceTempView("lat_cust")
+      orders(s, d).createOrReplaceTempView("lat_orders")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM lat_cust,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top2
+          |WHERE c_mktsegment = 'BUILDING'
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+
     "merge_latest_per_key" -> { (s, d) =>
       // CDC-style upsert resolution: base snapshot (version 0) unioned
       // with an update batch (version 1, every 10th order repriced);
@@ -1109,6 +1172,34 @@ object Relational {
         |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
         |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "subquery_scalar" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 2 * (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "subquery_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 300000
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "subquery_not_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top2
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "reshape_pivot" ->
       """SELECT user_id,

@@ -220,6 +220,32 @@ object StreamingBatch {
           col("us").as("valid_from_us"), col("valid_to_us"),
           col("valid_to_us").isNull.as("is_current"))
         .orderBy("user_id", "valid_from_us")
+    },
+
+    "ts_ewma" -> { (s, d) =>
+      // Exponentially-weighted moving average per user — inherently
+      // sequential (each step needs the previous), so no window-function
+      // form exists; the scalable shape is one shuffle on the key, the
+      // per-key ORDERED series gathered once, and a single left fold via
+      // the aggregate() higher-order function (codegen'd, no UDF). The
+      // per-key-sequence-fits-in-memory assumption is the same one
+      // sessionization and mapGroupsWithState make; keys never co-reside,
+      // so 10⁹ users spread over the cluster. Sort key is raw ns ts +
+      // event_id (total order); both engines fold left from the first
+      // observation with identical IEEE double steps, so round(4) is
+      // belt-and-braces, not a fudge.
+      events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+            .as("series"))
+        .withColumn("vs", expr("transform(series, x -> x.value)"))
+        .select(col("user_id"), col("n_events"),
+          round(expr(
+            """aggregate(slice(vs, 2, size(vs) - 1), CAST(vs[0] AS DOUBLE),
+              |(acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE))""".stripMargin),
+            4).as("ewma"))
+        .orderBy("user_id")
     }
   )
 
@@ -368,6 +394,16 @@ object StreamingBatch {
         |  FROM runs)
         |SELECT user_id, state, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
-        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin
+        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+
+    // list() ORDER BY (ts, event_id) matches Spark's sort_array over the
+    // (ts, event_id, value) struct; list_reduce folds left from the
+    // first element exactly like aggregate() seeded with vs[0].
+    "ts_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE)), 4)
+        |    AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -52,6 +52,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no dynamic pruning expression on the partitioned fact scan:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side before its shuffle") {
+    // The query's own require() already proves injection in the
+    // optimized logical plan; this pins the physical side — the
+    // might_contain probe must sit on the lineitem (application) side,
+    // i.e. the fact rows are tested against the bloom BEFORE the
+    // exchange carries them.
+    val df = SparkEntry.queries("join_runtime_bloom")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"no bloom probe in physical plan:\n$p")
+    assert(p.contains("bloom_filter_agg"), s"no bloom build subquery:\n$p")
+  }
+
+  test("NOT IN plans a null-aware hash anti join, not a nested loop") {
+    val p = plan("subquery_not_in")
+    assert(p.contains("NULL-aware") || p.contains("LeftAnti"),
+      s"NOT IN did not plan as an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"NOT IN fell back to the O(n*m) nested loop:\n$p")
+  }
+
   test("filter predicates are pushed to the orders scan") {
     val p = plan("filter_predicates")
     assert(p.contains("PushedFilters: [Or("), s"OR predicate not pushed:\n$p")
