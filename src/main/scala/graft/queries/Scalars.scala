@@ -88,6 +88,21 @@ object Scalars {
         least(col("p_size"), lit(25)).as("ls"))
         .orderBy("p_partkey")),
 
+    "fn_bitwise" -> ((s, d) =>
+      // Bit manipulation family over the key domain — mask/set/flip/
+      // shift/popcount, the building blocks the engine's own bitmap and
+      // hash kernels use. Pure map-side column arithmetic, codegen'd.
+      part(s, d).select(
+        col("p_partkey"),
+        (col("p_partkey").bitwiseAND(lit(0xffL))).as("b_and"),
+        (col("p_partkey").bitwiseOR(lit(0x100L))).as("b_or"),
+        (col("p_partkey").bitwiseXOR(lit(0x55L))).as("b_xor"),
+        shiftleft(col("p_partkey"), 3).as("b_shl"),
+        shiftright(col("p_partkey"), 2).as("b_shr"),
+        bitwise_not(col("p_partkey")).as("b_not"),
+        bit_count(col("p_partkey")).cast(LongType).as("b_pop"))
+        .orderBy("p_partkey")),
+
     "fn_array" -> ((s, d) =>
       embeddings(s, d).select(
         col("vec_id"),
@@ -224,6 +239,19 @@ object Scalars {
         |  round(log10(p_retailprice), 6) AS l10,
         |  CAST(sign(p_retailprice - 1000) AS INTEGER) AS sg,
         |  CAST(greatest(p_size, 25) AS INTEGER) AS gr, CAST(least(p_size, 25) AS INTEGER) AS ls
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB shifts/popcount: << >> return BIGINT for BIGINT input;
+    // bit_count returns TINYINT — cast to match Spark's types.
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS b_and,
+        |  p_partkey | 256 AS b_or,
+        |  xor(p_partkey, 85) AS b_xor,
+        |  p_partkey << 3 AS b_shl,
+        |  p_partkey >> 2 AS b_shr,
+        |  ~p_partkey AS b_not,
+        |  CAST(bit_count(p_partkey) AS BIGINT) AS b_pop
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_array" ->

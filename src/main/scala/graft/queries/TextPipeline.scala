@@ -124,6 +124,29 @@ object TextPipeline {
         .orderBy("lang")
     },
 
+    "dedup_weighted" -> { (s, d) =>
+      // Soft dedup — the training-mix alternative to dropping copies:
+      // keep ONE survivor per exact-dup cluster but carry the cluster's
+      // multiplicity out as a sampling weight (sqrt-damped, the common
+      // upweighting rule), so downstream mixing can still reflect how
+      // often the document occurred in the crawl. Same one-shuffle
+      // hash-groupBy shape as dedup_exact; a 3× planted replication
+      // makes the weights non-trivial on this dup-free corpus.
+      val docs = documents(s, d).select("doc_id", "text", "n_chars")
+      val tripled = docs
+        .unionByName(docs.filter(col("doc_id") % 3 === 0))
+        .unionByName(docs.filter(col("doc_id") % 9 === 0))
+      tripled
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("n_chars")).as("n_chars"))
+        .select(col("doc_id"), col("n_copies"),
+          round(sqrt(col("n_copies")), 4).as("weight"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "dedup_jaccard_pairs" -> { (s, d) =>
       // Exact near-dup pairs, blocked on (lang, source): explode →
       // self-join on shared token within block → |A∩B| / (|A|+|B|−|A∩B|).
@@ -884,6 +907,15 @@ object TextPipeline {
         |SELECT lang, count(*) AS n_unique_docs
         |FROM documents JOIN keep ON doc_id = keep_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "dedup_weighted" ->
+      """WITH tripled AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 9 = 0)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+        |  round(sqrt(count(*)), 4) AS weight, min(n_chars) AS n_chars
+        |FROM tripled GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" -> jaccardPairsSql,
 
