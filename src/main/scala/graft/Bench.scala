@@ -40,6 +40,11 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("scan_partition_pruning")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // Same contract for the range-clustered layout behind
+    // scan_sorted_skipping: the _SUCCESS-guarded write happens here
+    // once, so every timed repeat measures the clustered READ.
+    try SparkEntry.queries("scan_sorted_skipping")(spark, sfDir).count()
+    catch { case _: Throwable => }
     // Round 3's driver-recorded total (113.7 s) vs the same commit on a
     // quiet box (48.2 s) proved machine load alone can fabricate a >2×
     // swing. Min-of-N per query filters that contention noise out;

@@ -532,6 +532,24 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
+    "agg_max_by" -> ((s, d) =>
+      // argmax/argmin: which row holds the extreme, not the extreme
+      // itself — one shuffle with tiny per-group state (the running
+      // best pair), vs the window-rank form that materializes every
+      // row's rank. Ordering key is a (price, orderkey) struct so ties
+      // break deterministically — bare max_by on a tied price column
+      // is nondeterministic under parallel aggregation.
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_orderkey"),
+          max(col("o_totalprice")).as("top_price"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_orderkey"),
+          min(col("o_totalprice")).as("bottom_price"))
+        .orderBy("o_orderpriority")),
+
     "agg_approx_distinct" -> ((s, d) =>
       // The HLL sketch value is engine-specific, so the oracle can't
       // match it directly; instead emit the exact distinct count (oracle
@@ -748,6 +766,29 @@ object Relational {
           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top2
           |WHERE c_mktsegment = 'BUILDING'
           |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+
+    "merge_incremental_agg" -> { (s, d) =>
+      // Incremental aggregation maintenance — the lambda-architecture
+      // primitive: at 100 TB you never re-aggregate history; you keep
+      // per-segment PARTIAL aggregates (count + exact decimal sum —
+      // both re-aggregatable) and fold each new day's partials in. The
+      // query splits events at a time cut, aggregates each segment
+      // independently, then merges partials — and is oracled against
+      // the direct full aggregation, so the gate PROVES merge(partials)
+      // ≡ recompute. The double cast happens only at emission; partial
+      // sums stay decimal (order-free) through the merge.
+      val cutUs = 1705276800000000L // 2024-01-15T00:00Z in µs — mid-corpus
+      val ev = eventsTs(s, d)
+      def partial(df: DataFrame) = df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      partial(ev.filter(col("us") < cutUs))
+        .unionByName(partial(ev.filter(col("us") >= cutUs)))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
     },
 
     "merge_latest_per_key" -> { (s, d) =>
@@ -1244,6 +1285,30 @@ object Relational {
         |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
         |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Window-rank reconstruction of argmax/argmin with the same
+    // (price, key) tie-break the Spark struct ordering encodes.
+    "agg_max_by" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rt,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rb
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rt = 1 THEN o_orderkey END) AS top_orderkey,
+        |  max(CASE WHEN rt = 1 THEN o_totalprice END) AS top_price,
+        |  max(CASE WHEN rb = 1 THEN o_orderkey END) AS bottom_orderkey,
+        |  max(CASE WHEN rb = 1 THEN o_totalprice END) AS bottom_price
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The oracle is the DIRECT full aggregation — equality proves
+    // merging per-segment partials reproduces the recompute exactly.
+    "merge_incremental_agg" ->
+      s"""SELECT event_type, count(*) AS n_events,
+        |  ${oSum("value")} AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "subquery_scalar" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

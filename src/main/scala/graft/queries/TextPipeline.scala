@@ -605,6 +605,23 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    "sample_reservoir" -> { (s, d) =>
+      // Exact-k per-stratum sample (reservoir semantics, deterministic
+      // form): rank docs inside each language by a salted md5 of the id
+      // and keep the first K=20 — a hard per-group bound where
+      // sample_stratified's threshold gives a proportional RATE. One
+      // shuffle on the stratum key; per-group window state is one
+      // counter. Rerun- and partitioning-stable (hash order, no rand()).
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("graft-rsv:"), col("doc_id").cast(StringType))),
+          col("doc_id"))
+      documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    },
+
     "sample_temperature" -> { (s, d) =>
       // Temperature-scaled language mixing (the UniMax/mT5 sampling
       // scheme): per-language sampling rates are DERIVED from corpus
@@ -1081,6 +1098,13 @@ object TextPipeline {
         |FROM b LEFT JOIN cont ON b.doc_id = cont.doc_id
         |WHERE b.bucket < 80
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('graft-rsv:' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, bucket FROM (
