@@ -532,6 +532,19 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
+    "agg_bool" -> ((s, d) =>
+      // Boolean aggregation (every/any) — the data-quality assertion
+      // primitive: "do ALL rows satisfy X, does ANY row violate Y" as a
+      // per-group rollup; partials are single booleans, so the shuffle
+      // carries one bit per (group, predicate).
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          bool_and(col("o_totalprice") > 850).as("all_over_850"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     "agg_max_by" -> ((s, d) =>
       // argmax/argmin: which row holds the extreme, not the extreme
       // itself — one shuffle with tiny per-group state (the running
@@ -1285,6 +1298,13 @@ object Relational {
         |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
         |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 850) AS all_over_850,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Window-rank reconstruction of argmax/argmin with the same
     // (price, key) tie-break the Spark struct ordering encodes.

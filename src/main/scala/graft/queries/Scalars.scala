@@ -88,6 +88,20 @@ object Scalars {
         least(col("p_size"), lit(25)).as("ls"))
         .orderBy("p_partkey")),
 
+    "fn_hash" -> ((s, d) =>
+      // Cryptographic digest family — the primitives under every
+      // fingerprint/bucket/split operator in the pipeline (md5 keys the
+      // dedup survivors; sha256 is the content-address for distcp-style
+      // integrity). Map-side, codegen'd. crc32/xxhash64 exist in Spark
+      // but have no DuckDB twin, so they stay covered by the
+      // determinism suite instead of this oracle.
+      documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"),
+        length(md5(col("text"))).as("md5_len"))
+        .orderBy("doc_id")),
+
     "fn_bitwise" -> ((s, d) =>
       // Bit manipulation family over the key domain — mask/set/flip/
       // shift/popcount, the building blocks the engine's own bitmap and
@@ -240,6 +254,11 @@ object Scalars {
         |  CAST(sign(p_retailprice - 1000) AS INTEGER) AS sg,
         |  CAST(greatest(p_size, 25) AS INTEGER) AS gr, CAST(least(p_size, 25) AS INTEGER) AS ls
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+        |  CAST(length(md5(text)) AS INTEGER) AS md5_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // DuckDB shifts/popcount: << >> return BIGINT for BIGINT input;
     // bit_count returns TINYINT — cast to match Spark's types.

@@ -126,6 +126,20 @@ object Windows {
         .orderBy("user_id")
     },
 
+    "win_nth_value" -> { (s, d) =>
+      // nth_value over the full frame — "each user's 2nd and 3rd event
+      // type" (NULL when the series is shorter); same one-shuffle
+      // full-frame shape as win_first_last.
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      eventsTs(s, d)
+        .withColumn("second_type", nth_value(col("event_type"), 2).over(w))
+        .withColumn("third_type", nth_value(col("event_type"), 3).over(w))
+        .select("user_id", "second_type", "third_type")
+        .distinct()
+        .orderBy("user_id")
+    },
+
     "topk_per_group" -> { (s, d) =>
       val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), col("p_partkey"))
       part(s, d)
@@ -199,6 +213,15 @@ object Windows {
       """SELECT DISTINCT user_id,
         |  first_value(event_type) OVER w AS first_type,
         |  last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
+
+    "win_nth_value" ->
+      """SELECT DISTINCT user_id,
+        |  nth_value(event_type, 2) OVER w AS second_type,
+        |  nth_value(event_type, 3) OVER w AS third_type
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
