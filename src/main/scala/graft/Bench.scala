@@ -27,7 +27,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: several queries make Spark log EXPECTED warnings
+    // that carry full stack traces (fs_cat_binary's glob probe hits
+    // FileStreamSink's FileNotFoundException warning; the torn-parquet
+    // witness logs each ignoreCorruptFiles rejection) — harmless, but
+    // they dominate the driver's captured stdout tail and read like
+    // failures next to the clean JSON line (the r3/r4 "anomaly").
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warm-up: absorbs session/JIT/codegen/scan init so the
     // first timed query isn't charged ~5s of one-time cost. The
     // partition-pruning run also writes the shared _SUCCESS-guarded

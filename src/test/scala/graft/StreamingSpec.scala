@@ -138,6 +138,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("left-outer stream-stream join emits null matches only after the watermark passes") {
+    // The outer variant of the interval join: clicks with NO purchase in
+    // the preceding hour must surface with a null match — but streaming
+    // can only declare "no match ever" once the watermark has passed the
+    // click's whole join window, so the null rows trail the data. The
+    // test witnesses exactly that mechanic: after the real files are
+    // processed the result still misses the tail's unmatched clicks;
+    // two far-future sentinel batches push the watermark forward (the
+    // flush trick production pipelines use at stream end), after which
+    // the streamed result equals the batch left-outer join exactly.
+    val dir = Files.createTempDirectory("graft_stream_loj")
+    graft.Tables.events(spark, sf)
+      .repartition(4, col("event_id"))
+      .write.mode("overwrite").parquet(dir.toString)
+    def side(tpe: String, k: String, t: String, id: String) =
+      StreamingOps.readEvents(spark, dir.toString)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(k), col("ts_t").as(t), col("event_id").as(id))
+        .withWatermark(t, "10 minutes")
+    val joined = side("click", "c_user", "c_ts", "c_id")
+      .join(side("purchase", "p_user", "p_ts", "p_id"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"),
+        "left_outer")
+      .select("c_id", "p_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("t_ssloj").start()
+    q.processAllAvailable()
+    val beforeFlush = spark.table("t_ssloj").count()
+    // Sentinels: one click + one purchase for a user that exists nowhere
+    // else, 30+ days past the corpus end (2024-03-01, 2024-03-02 UTC).
+    def sentinel(n: Int): Unit = {
+      import spark.implicits._
+      val tsNs = (1709251200L + n * 86400L) * 1000000000L
+      Seq((900000L + n, tsNs, -1L, "click", 0.0, "{}"),
+        (910000L + n, tsNs, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir.toString)
+    }
+    sentinel(1); q.processAllAvailable()
+    sentinel(2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssloj")
+      .filter(col("c_id") < 900000L)
+      .orderBy(col("c_id"), col("p_id").asc_nulls_first).collect().toSeq
+    val ev = graft.Tables.eventsTs(spark, sf)
+    val hourUs = 3600000000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"), col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"), col("event_id").as("p_id"))
+    val want = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_us") >= col("c_us") - hourUs && col("p_us") <= col("c_us"),
+        "left_outer")
+      .select("c_id", "p_id")
+      .orderBy(col("c_id"), col("p_id").asc_nulls_first).collect().toSeq
+    assert(got.size > beforeFlush,
+      "flush sentinels emitted no trailing null-match rows — watermark never passed the tail")
+    assert(got === want)
+  }
+
   test("parquet file sink is exactly-once across stop/restart") {
     // The production sink semantic: the checkpoint (source offsets +
     // sink commit log) must make restarts idempotent — a restart with
