@@ -88,6 +88,26 @@ object Scalars {
         least(col("p_size"), lit(25)).as("ls"))
         .orderBy("p_partkey")),
 
+    "fn_url" -> ((s, d) =>
+      // URL decomposition — crawl pipelines parse billions of these
+      // (host for domain mixing, path for routing, params for tracking
+      // strip). The URL is synthesized from columns so the oracle can
+      // emit the KNOWN decomposition directly: the gate then proves
+      // Spark's parse_url extracts exactly the constructed parts.
+      customer(s, d)
+        .withColumn("url",
+          concat(lit("https://"), lower(col("c_mktsegment")), lit(".example.com/seg/"),
+            col("c_custkey").cast(StringType), lit("?nk="), col("c_nationkey").cast(StringType),
+            lit("&ref=mail")))
+        .select(
+          col("c_custkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("nk")).as("nk"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"))
+        .orderBy("c_custkey")),
+
     "fn_hash" -> ((s, d) =>
       // Cryptographic digest family — the primitives under every
       // fingerprint/bucket/split operator in the pipeline (md5 keys the
@@ -254,6 +274,17 @@ object Scalars {
         |  CAST(sign(p_retailprice - 1000) AS INTEGER) AS sg,
         |  CAST(greatest(p_size, 25) AS INTEGER) AS gr, CAST(least(p_size, 25) AS INTEGER) AS ls
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // The oracle emits the construction's known parts directly — no URL
+    // parser needed on the DuckDB side.
+    "fn_url" ->
+      """SELECT c_custkey,
+        |  lower(c_mktsegment) || '.example.com' AS host,
+        |  '/seg/' || CAST(c_custkey AS VARCHAR) AS path,
+        |  'nk=' || CAST(c_nationkey AS VARCHAR) || '&ref=mail' AS query,
+        |  CAST(c_nationkey AS VARCHAR) AS nk,
+        |  'https' AS proto
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
