@@ -545,6 +545,38 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
+    "agg_heavy_hitters" -> { (s, d) =>
+      // approx_top_k heavy hitters — the sketch that finds hot keys
+      // (skew detection, trending items) in one pass with bounded
+      // state. Oracled on its EXACTNESS DOMAIN: 5 distinct event types
+      // < maxItemsTracked, so the sketch counts are provably exact and
+      // DuckDB's exact GROUP BY reproduces them (same contract as
+      // agg_approx_percentile's exactness gate).
+      events(s, d)
+        .agg(expr("approx_top_k(event_type, 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))
+        .orderBy(desc("n"), col("item"))
+    },
+
+    "agg_topk_merge" -> { (s, d) =>
+      // The re-aggregatable form: per-segment approx_top_k_accumulate
+      // sketches combined then estimated — merge_incremental_agg's
+      // story for sketch state (daily heavy-hitter sketches fold into
+      // the monthly answer without re-reading history). Same exactness
+      // domain, so the oracle is the direct exact rollup.
+      val cutUs = 1705276800000000L
+      val ev = eventsTs(s, d)
+      def seg(f: DataFrame) =
+        f.agg(expr("approx_top_k_accumulate(event_type, 10)").as("acc"))
+      seg(ev.filter(col("us") < cutUs))
+        .unionByName(seg(ev.filter(col("us") >= cutUs)))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(acc), 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))
+        .orderBy(desc("n"), col("item"))
+    },
+
     "agg_max_by" -> ((s, d) =>
       // argmax/argmin: which row holds the extreme, not the extreme
       // itself — one shuffle with tiny per-group state (the running
@@ -1298,6 +1330,16 @@ object Relational {
         |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
         |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Exactness-domain oracle: 5 distinct values < maxItemsTracked →
+    // sketch counts equal the exact rollup.
+    "agg_heavy_hitters" ->
+      """SELECT event_type AS item, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY n DESC, item""".stripMargin,
+
+    "agg_topk_merge" ->
+      """SELECT event_type AS item, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY n DESC, item""".stripMargin,
 
     "agg_bool" ->
       """SELECT o_orderpriority,
