@@ -51,6 +51,8 @@ object Bench {
     // once, so every timed repeat measures the clustered READ.
     try SparkEntry.queries("scan_sorted_skipping")(spark, sfDir).count()
     catch { case _: Throwable => }
+    try SparkEntry.queries("scan_zorder_skipping")(spark, sfDir).count()
+    catch { case _: Throwable => }
     // Round 3's driver-recorded total (113.7 s) vs the same commit on a
     // quiet box (48.2 s) proved machine load alone can fabricate a >2×
     // swing. Min-of-N per query filters that contention noise out;

@@ -88,6 +88,21 @@ object Scalars {
         least(col("p_size"), lit(25)).as("ls"))
         .orderBy("p_partkey")),
 
+    "fn_variant" -> ((s, d) =>
+      // Spark 4's VARIANT type — the open-ended semi-structured column
+      // (the modern form of scan_json_props' string probing): parse
+      // once into the binary variant encoding, then typed-path
+      // extraction. At 100 TB the win is parse-once + shredded storage
+      // instead of per-query string re-parsing. Output columns are
+      // extracted scalars (variant itself never crosses the gate —
+      // engines disagree on its encoding).
+      events(s, d).select(
+        col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "long").as("k"),
+        try_variant_get(parse_json(col("props")), "$.k", "string").as("ks"),
+        try_variant_get(parse_json(col("props")), "$.missing", "long").as("absent"))
+        .orderBy("event_id")),
+
     "fn_url" -> ((s, d) =>
       // URL decomposition — crawl pipelines parse billions of these
       // (host for domain mixing, path for routing, params for tracking
@@ -274,6 +289,13 @@ object Scalars {
         |  CAST(sign(p_retailprice - 1000) AS INTEGER) AS sg,
         |  CAST(greatest(p_size, 25) AS INTEGER) AS gr, CAST(least(p_size, 25) AS INTEGER) AS ls
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.k') AS ks,
+        |  CAST(NULL AS BIGINT) AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // The oracle emits the construction's known parts directly — no URL
     // parser needed on the DuckDB side.
