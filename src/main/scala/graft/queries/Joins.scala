@@ -173,6 +173,33 @@ object Joins {
         .orderBy("event_id")
     },
 
+    "join_asof_nearest" -> { (s, d) =>
+      // Nearest as-of — the bidirectional member completing the as-of
+      // family (backward / forward / custom-operator / nearest): for
+      // each click, whichever same-user purchase is closest in time,
+      // BOTH window passes riding the SAME user shuffle (the backward
+      // last() and forward first() share one partitioning — Catalyst
+      // plans one exchange), then a pure-column distance pick with a
+      // deterministic earlier-on-tie rule.
+      val e = eventsTs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+        .withColumn("p_us", when(col("event_type") === "purchase", col("us")))
+      val wb = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      e.withColumn("back_us", last(col("p_us"), ignoreNulls = true).over(wb))
+        .withColumn("fwd_us", first(col("p_us"), ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "click")
+        .withColumn("nearest_purchase_us",
+          when(col("back_us").isNull, col("fwd_us"))
+            .when(col("fwd_us").isNull, col("back_us"))
+            .when(col("us") - col("back_us") <= col("fwd_us") - col("us"), col("back_us"))
+            .otherwise(col("fwd_us")))
+        .select("event_id", "user_id", "nearest_purchase_us")
+        .orderBy("event_id")
+    },
+
     "join_interval_overlap" -> { (s, d) =>
       // Pairs of same-user events within 5 minutes — banded self-join on
       // (user_id, 5-min bucket), one side exploded to adjacent buckets,
@@ -362,6 +389,26 @@ object Joins {
         |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
         |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN back_us IS NULL THEN fwd_us
+        |       WHEN fwd_us IS NULL THEN back_us
+        |       WHEN us - back_us <= fwd_us - us THEN back_us
+        |       ELSE fwd_us END AS nearest_purchase_us
+        |FROM (
+        |  SELECT event_id, user_id, event_type, us,
+        |    last_value(p_us IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+        |    first_value(p_us IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_us
+        |  FROM (
+        |    SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |      CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_us
+        |    FROM events) b) t
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "join_asof_custom" ->
