@@ -615,6 +615,30 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
+    "agg_entropy" -> { (s, d) =>
+      // Shannon entropy of each user's event-type distribution — the
+      // behavioral-diversity metric (its corpus twin scores token
+      // diversity per document). Two exchanges BY CHOICE: the first
+      // carries map-side PARTIAL (user, type) counts — the big
+      // reduction at 100 TB — and the second re-clusters only the tiny
+      // per-(user, type) count table by user for the window + rollup.
+      // A single-exchange form exists (repartition raw events by user)
+      // but would move every event row instead of the counts. round(6)
+      // absorbs the sub-ulp difference in double summation order
+      // across engines (5 terms, error ~1e-15).
+      val cnt = events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      cnt
+        .withColumn("tot", sum(col("n")).over(w).cast(DoubleType))
+        .groupBy("user_id")
+        .agg(sum(col("n")).as("n_events"),
+          round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 6)
+            .as("entropy"))
+        .orderBy("user_id")
+    },
+
     "agg_heavy_hitters" -> { (s, d) =>
       // approx_top_k heavy hitters — the sketch that finds hot keys
       // (skew detection, trending items) in one pass with bounded
@@ -1406,6 +1430,17 @@ object Relational {
         |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
         |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_entropy" ->
+      """SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  round(-sum((n / tot) * ln(n / tot)), 6) AS entropy
+        |FROM (
+        |  SELECT user_id, n,
+        |    CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+        |  FROM (
+        |    SELECT user_id, event_type, count(*) AS n
+        |    FROM events GROUP BY 1, 2) c) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Exactness-domain oracle: 5 distinct values < maxItemsTracked →
     // sketch counts equal the exact rollup.

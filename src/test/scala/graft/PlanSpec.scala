@@ -251,7 +251,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // row_number windows + rollup on the same keys) are written so every
     // stage rides one user-keyed shuffle; a second Exchange would mean a
     // regression re-clustering the corpus per stage.
-    for (q <- Seq("merge_scd2", "ts_ohlc_downsample")) {
+    // join_asof_nearest's backward+forward windows likewise share one
+    // user-keyed partitioning.
+    for (q <- Seq("merge_scd2", "ts_ohlc_downsample", "join_asof_nearest")) {
       val p = plan(q)
       val n = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(n === 1, s"$q: expected 1 shuffle, found $n:\n$p")
