@@ -171,6 +171,33 @@ object TextPipeline {
         .orderBy("id_a", "id_b")
     },
 
+    "dedup_containment" -> { (s, d) =>
+      // Asymmetric CONTAINMENT (|A∩B| / min(|A|,|B|)) — the measure that
+      // catches partial copies Jaccard misses: a paragraph quoted whole
+      // inside a much longer doc has high containment but low Jaccard
+      // (the size difference sinks the union denominator). Same blocked
+      // one-pass token join as dedup_jaccard_pairs; only the
+      // denominator changes.
+      val tok = tokens(s, d).persist()
+      val sizes = tok.groupBy(col("doc_id").as("sz_id"))
+        .agg(count(lit(1)).as("n_tok"))
+      val a = tok.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("w"))
+      val b = tok.select(col("doc_id").as("id_b"),
+        col("lang").as("lang_b"), col("source").as("source_b"), col("w").as("w_b"))
+      a.join(b,
+          col("w") === col("w_b") && col("lang") === col("lang_b") &&
+            col("source") === col("source_b") && col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.withColumnRenamed("sz_id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("sz_id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+        .withColumn("containment",
+          col("n_inter").cast(DoubleType) / least(col("n_a"), col("n_b")))
+        .filter(col("containment") >= 0.85)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")
+    },
+
     "dedup_ngram_jaccard" -> { (s, d) =>
       // EXACT character-trigram Jaccard ≥ 0.6, via PREFIX FILTERING (the
       // canonical exact set-similarity join): order every doc's trigrams
@@ -935,6 +962,22 @@ object TextPipeline {
         |FROM tripled GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" -> jaccardPairsSql,
+
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(cont, 6) AS containment FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(n_inter AS DOUBLE) / least(sa.n_tok, sb.n_tok) AS cont
+        |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) t
+        |WHERE cont >= 0.85 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
