@@ -761,6 +761,31 @@ object TextPipeline {
         .orderBy("lang", "shard", "bin")
     },
 
+    "pipeline_interleave_sources" -> { (s, d) =>
+      // Deterministic round-robin source interleaving — the curriculum
+      // knob between "shuffle everything" (shuffle_global) and "one
+      // source at a time": position p cycles through sources so every
+      // training window sees the full mix. Shape mirrors
+      // shuffle_global's two-level trick: the only unpartitioned
+      // windows run on the ≤|sources| distinct-source table (bounded at
+      // any corpus size), docs rank within their source partition, and
+      // pos = (rank−1)·n_src + src_idx−1 is a total order with no
+      // global window ever touching the corpus.
+      val h = md5(concat(lit("graft-ilv:"), col("doc_id").cast(StringType)))
+      val wSrc = Window.orderBy("source")
+      val srcs = documents(s, d).select("source").distinct()
+        .withColumn("src_idx", row_number().over(wSrc).cast(LongType))
+        .withColumn("n_src", count(lit(1)).over(
+          Window.partitionBy(lit(1))).cast(LongType))
+      val wIn = Window.partitionBy("source").orderBy(h, col("doc_id"))
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(srcs), "source")
+        .withColumn("rk", row_number().over(wIn).cast(LongType))
+        .select(((col("rk") - 1) * col("n_src") + col("src_idx") - 1).as("pos"),
+          col("doc_id"), col("source"))
+        .orderBy("pos")
+    },
+
     "shuffle_global" -> { (s, d) =>
       // Deterministic global corpus shuffle — the "shuffle your training
       // data before packing" step — WITHOUT the single-partition trap: a
@@ -960,6 +985,21 @@ object TextPipeline {
         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |  round(sqrt(count(*)), 4) AS weight, min(n_chars) AS n_chars
         |FROM tripled GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "pipeline_interleave_sources" ->
+      """WITH srcs AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_src
+        |  FROM (SELECT DISTINCT source FROM documents) u),
+        |r AS (
+        |  SELECT doc_id, d.source, src_idx, n_src,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5('graft-ilv:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM documents d JOIN srcs ON d.source = srcs.source)
+        |SELECT (rk - 1) * n_src + src_idx - 1 AS pos, doc_id, source
+        |FROM r ORDER BY pos""".stripMargin,
 
     "dedup_jaccard_pairs" -> jaccardPairsSql,
 
