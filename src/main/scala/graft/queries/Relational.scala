@@ -56,37 +56,38 @@ object Relational {
     */
   private val typeGlobRegex = Glob.toRegex("{STANDARD,SMALL}*")
 
-  /** Year-partitioned orders layout shared by the two pruning
-    * witnesses. Written once per (app, tier): the _SUCCESS marker skips
-    * redundant rewrites across the two queries and across bench
-    * repeats — the data is a pure function of the tier, and the
-    * app-unique scratch path can't be a stale leftover.
+  /** One-time scratch layouts (year-partitioned orders, the two
+    * clustered lineitems). Written once per (app, tier): the _SUCCESS
+    * marker skips redundant rewrites across queries and bench repeats —
+    * each layout is a pure function of the tier, and the app-unique
+    * scratch path can't be a stale leftover. The single lock
+    * serializes the check-then-write so a harness running two layout
+    * consumers concurrently in one JVM (same appId → same scratch
+    * path) can't race.
     */
   private val layoutLock = new Object
-  private def partitionedOrders(s: SparkSession, d: String): String = layoutLock.synchronized {
-    // synchronized: the two pruning witnesses share this layout, and the
-    // check-then-write below must not race if a harness ever runs them
-    // concurrently in one JVM (same appId → same scratch path).
-    val tmp = scratch(s, "part_orders", d)
-    if (!new java.io.File(tmp, "_SUCCESS").exists())
-      orders(s, d).withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+  private def oneTimeLayout(s: SparkSession, tag: String, d: String)(
+      write: String => Unit): String = layoutLock.synchronized {
+    val tmp = scratch(s, tag, d)
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) write(tmp)
     tmp
   }
 
-  /** Range-clustered lineitem layout for the data-skipping witness —
-    * same one-time-write contract as [[partitionedOrders]]. Small
+  private def partitionedOrders(s: SparkSession, d: String): String =
+    oneTimeLayout(s, "part_orders", d) { tmp =>
+      orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    }
+
+  /** Range-clustered lineitem for the 1-D data-skipping witness. Small
     * parquet blocks force many row groups so skipping granularity is
-    * visible even at test scale.
+    * visible even at test scale. Clusters on a DATE key: parquet
+    * row-group skipping evaluates date stats, while TIMESTAMP_NTZ
+    * stats are pushed but not evaluated by the reader (verified
+    * empirically — an NTZ-keyed layout skips nothing).
     */
-  private val sortedLock = new Object
-  private def sortedLineitem(s: SparkSession, d: String): String = sortedLock.synchronized {
-    val tmp = scratch(s, "sorted_li", d)
-    if (!new java.io.File(tmp, "_SUCCESS").exists())
-      // Cluster on a DATE key: parquet row-group skipping evaluates
-      // date stats, while TIMESTAMP_NTZ stats are pushed but not
-      // evaluated by the reader (verified empirically — an NTZ-keyed
-      // layout skips nothing).
+  private def sortedLineitem(s: SparkSession, d: String): String =
+    oneTimeLayout(s, "sorted_li", d) { tmp =>
       lineitem(s, d)
         .withColumn("ship_date", to_date(col("l_shipdate")))
         .repartitionByRange(8, col("ship_date"), col("l_orderkey"))
@@ -94,8 +95,7 @@ object Relational {
         .write.mode("overwrite")
         .option("parquet.block.size", 131072)
         .parquet(tmp)
-    tmp
-  }
+    }
 
   /** Morton (z-order) bit-spread of the low 16 bits: bit i of the input
     * lands at position 2i. Pure column arithmetic — shifts and masks —
@@ -117,10 +117,8 @@ object Relational {
     * a cell), never correctness: predicates stay on the original
     * columns. Same one-time-write contract as the other layouts.
     */
-  private val zorderLock = new Object
-  private def zorderLineitem(s: SparkSession, d: String): String = zorderLock.synchronized {
-    val tmp = scratch(s, "zorder_li", d)
-    if (!new java.io.File(tmp, "_SUCCESS").exists())
+  private def zorderLineitem(s: SparkSession, d: String): String =
+    oneTimeLayout(s, "zorder_li", d) { tmp =>
       lineitem(s, d)
         .withColumn("z",
           spread16(col("l_partkey")).bitwiseOR(shiftleft(spread16(col("l_suppkey")), 1)))
@@ -130,7 +128,43 @@ object Relational {
         .write.mode("overwrite")
         .option("parquet.block.size", 131072)
         .parquet(tmp)
-    tmp
+    }
+
+  /** Pre-execution physical plan with the AQE wrapper peeled — the tree
+    * whose node instances (and metric accumulators) the first adaptive
+    * stage executes.
+    */
+  private def initialPlanOf(df: DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+
+  /** Runtime data-skipping gate, enforced ONCE per layout per JVM: the
+    * first consumer executes the probe and require()s the scan's
+    * numOutputRows metric under half the table (skipped below a
+    * 10k-row floor where row-group granularity cannot show). Later
+    * consumers — Bench's timed repeats after its untimed warm-up —
+    * return the lazy result directly, so min-of-N times ONLY the
+    * clustered read, never the probe (BASELINE.md write policy).
+    */
+  private val witnessedLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def skippingGate(res: DataFrame, layout: String, tag: String)(
+      totalDf: => DataFrame): DataFrame = {
+    if (!witnessedLayouts.contains(layout)) {
+      res.collect()
+      val scanned = initialPlanOf(res).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+      val totalRows = totalDf.count()
+      require(scanned > 0 && (totalRows < 10000 || scanned * 2 < totalRows),
+        s"$tag skipping ineffective: scan emitted $scanned of $totalRows rows")
+      witnessedLayouts.add(layout)
+    }
+    res
   }
 
   // ---------------------------------------------------------------- 2a scans
@@ -368,11 +402,7 @@ object Relational {
       // evidence lives on the physical scan's selectedPartitions (under
       // the AQE wrapper). 7 year-partitions exist; exactly one may
       // survive.
-      val initial = pruned.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
-        case p => p
-      }
-      val scans = initial.collect {
+      val scans = initialPlanOf(pruned).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
       val nParts = scans.map(_.selectedPartitions.partitionCount).sum
@@ -402,29 +432,16 @@ object Relational {
       // so the gate also proves re-layout is semantics-free.
       val lo = lit("1996-01-01").cast("date")
       val hi = lit("1996-06-30").cast("date")
-      val res = s.read.parquet(sortedLineitem(s, d))
+      val layout = sortedLineitem(s, d)
+      val res = s.read.parquet(layout)
         .filter(col("ship_date").between(lo, hi))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag")
-      res.collect()
-      // Read the metric off the INITIAL plan: AQE's final plan hides
-      // the scan inside a materialized QueryStageExec (a leaf collect()
-      // won't traverse), but the first stage is built from these same
-      // node instances, so their accumulators carry the executed counts.
-      val initial = res.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.initialPlan
-        case p => p
-      }
-      val scanned = initial.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics("numOutputRows").value
-      }.sum
-      val totalRows = lineitem(s, d).count()
-      require(scanned > 0 && scanned * 2 < totalRows,
-        s"row-group skipping ineffective: scan emitted $scanned of $totalRows rows")
-      res
+      // Metric read off the INITIAL plan: AQE's final plan hides the
+      // scan inside a materialized QueryStageExec, but the first stage
+      // executes these same node instances (see skippingGate).
+      skippingGate(res, layout, "row-group")(lineitem(s, d))
     },
 
     "scan_zorder_skipping" -> { (s, d) =>
@@ -435,30 +452,18 @@ object Relational {
       // only one of the two dimensions. Same runtime metric gate: the
       // probe executes once and the scan must emit under half the
       // table; the aggregate is oracled against the unclustered source.
-      val res = s.read.parquet(zorderLineitem(s, d))
+      // Size floor matters here: at sf0.001 the box spans a third of
+      // the tiny key space (TPC-H correlates partkey/suppkey), so
+      // clustering granularity cannot show — the witness tier is
+      // sf0.01+ where the box is <6% per dimension.
+      val layout = zorderLineitem(s, d)
+      val res = s.read.parquet(layout)
         .filter(col("l_partkey").between(20, 119) &&
           col("l_suppkey").between(1, 6))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("l_returnflag")
-      res.collect()
-      val initial = res.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.initialPlan
-        case p => p
-      }
-      val scanned = initial.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics("numOutputRows").value
-      }.sum
-      val totalRows = lineitem(s, d).count()
-      // Ratio-gate only above a size floor: at sf0.001 the box spans a
-      // third of the tiny key space (TPC-H correlates partkey/suppkey),
-      // so clustering granularity cannot show — the witness tier is
-      // sf0.01+ where the box is <6% per dimension.
-      require(scanned > 0 && (totalRows < 10000 || scanned * 2 < totalRows),
-        s"z-order skipping ineffective: scan emitted $scanned of $totalRows rows")
-      res
+      skippingGate(res, layout, "z-order")(lineitem(s, d))
     },
 
     "scan_dynamic_pruning" -> { (s, d) =>
@@ -511,10 +516,7 @@ object Relational {
       // Assert on plan NODE TYPES, not plan-string matching: collect the
       // actual SortMergeJoinExec / ShuffleExchangeExec nodes under the
       // AQE wrapper's initial plan.
-      val initial = joined.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
-        case p => p
-      }
+      val initial = initialPlanOf(joined)
       val smjs = initial.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       }
@@ -634,7 +636,9 @@ object Relational {
         .withColumn("tot", sum(col("n")).over(w).cast(DoubleType))
         .groupBy("user_id")
         .agg(sum(col("n")).as("n_events"),
-          round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 6)
+          // + 0.0 normalizes IEEE -0.0 (a zero-entropy group) to +0.0 —
+          // mirrored in the oracle, where DuckDB's round keeps the sign.
+          (round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 6) + lit(0.0))
             .as("entropy"))
         .orderBy("user_id")
     },
@@ -1433,7 +1437,7 @@ object Relational {
 
     "agg_entropy" ->
       """SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
-        |  round(-sum((n / tot) * ln(n / tot)), 6) AS entropy
+        |  round(-sum((n / tot) * ln(n / tot)), 6) + 0.0 AS entropy
         |FROM (
         |  SELECT user_id, n,
         |    CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
