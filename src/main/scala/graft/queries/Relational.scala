@@ -101,7 +101,7 @@ object Relational {
     * lands at position 2i. Pure column arithmetic — shifts and masks —
     * so the whole z-value computation stays inside codegen.
     */
-  private def spread16(c: Column): Column = {
+  private[graft] def spread16(c: Column): Column = {
     var x = c.bitwiseAND(lit(0xFFFFL))
     x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
     x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
