@@ -97,6 +97,27 @@ object Relational {
         .parquet(tmp)
     }
 
+  /** Randomly-scattered lineitem with a parquet BLOOM FILTER on
+    * l_orderkey — the point-lookup complement of the clustered layouts:
+    * on a shuffled high-cardinality key, row-group min/max spans the
+    * whole domain (stats prune nothing) and dictionary encoding is
+    * explicitly disabled on the column (at real scale a 10⁹-value
+    * column overflows dictionaries anyway), so the bloom filter is the
+    * ONLY thing standing between a point probe and a full-table read.
+    * Small blocks make the granularity visible at test scale.
+    */
+  private def bloomLineitem(s: SparkSession, d: String): String =
+    oneTimeLayout(s, "bloom_li", d) { tmp =>
+      lineitem(s, d)
+        .repartition(8, col("l_partkey")) // scatter orderkeys across files
+        .write.mode("overwrite")
+        .option("parquet.block.size", 131072)
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "1000000")
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .parquet(tmp)
+    }
+
   /** Morton (z-order) bit-spread of the low 16 bits: bit i of the input
     * lands at position 2i. Pure column arithmetic — shifts and masks —
     * so the whole z-value computation stays inside codegen.
@@ -789,6 +810,44 @@ object Relational {
         .orderBy("event_type")
     },
 
+    "agg_corr_matrix" -> { (s, d) =>
+      // Pairwise Pearson correlation of the four lineitem measures in
+      // ONE pass: a single global aggregate emits every Σx/Σx²/Σxy
+      // partial (map-side combine reduces each task to one 15-number
+      // row, so bytes-over-network is O(tasks), data-size-invariant),
+      // then the 6 correlations are pure arithmetic on the 1-row
+      // result. The built-in corr() accumulates doubles in partition
+      // order — nondeterministic across engines/parallelism — so the
+      // sums go through exact DECIMAL(18,6) capture instead (products
+      // at (37,12), exact; see ts_anomaly_zscore for the width
+      // argument) and the corr formula runs on bit-identical doubles.
+      val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val d6: String => org.apache.spark.sql.Column =
+        c => col(c).cast(DecimalType(18, 6))
+      val pairs = for {
+        i <- measures.indices; j <- measures.indices if i < j
+      } yield (measures(i), measures(j))
+      val sums =
+        Seq(count(lit(1)).cast(DoubleType).as("n")) ++
+          measures.map(c => sum(d6(c)).cast(DoubleType).as(s"s_$c")) ++
+          measures.map(c => sum(d6(c) * d6(c)).cast(DoubleType).as(s"ss_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(d6(a) * d6(b)).cast(DoubleType).as(s"sp_${a}_$b")
+          }
+      val corrRows = pairs.map { case (a, b) =>
+        struct(lit(a).as("x_col"), lit(b).as("y_col"),
+          round((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+              sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))),
+            6).as("corr"))
+      }
+      lineitem(s, d)
+        .agg(sums.head, sums.tail: _*)
+        .select(explode(array(corrRows: _*)).as("r"))
+        .select(col("r.x_col"), col("r.y_col"), col("r.corr"))
+        .orderBy("x_col", "y_col")
+    },
+
     "agg_percentile" -> ((s, d) =>
       orders(s, d)
         .groupBy("o_orderstatus")
@@ -1122,6 +1181,36 @@ object Relational {
   )
 
   // -------------------------------------------------------------- oracles
+  /** agg_corr_matrix oracle, generated from the same measure/pair lists
+    * as the Spark side so the two column inventories can't drift.
+    * DECIMAL(19,6) (not 18): DuckDB backs width ≤18 with int64 and its
+    * multiply does NOT widen, so an (18,6)² square of l_extendedprice
+    * overflows int64; width 19 forces int128 storage and the product
+    * lands exact at (38,12) — same value Spark's (18,6)² computes at
+    * (37,12).
+    */
+  private def corrMatrixOracle: String = {
+    val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d6(c: String) = s"CAST($c AS DECIMAL(19,6))"
+    val pairs = for { i <- ms.indices; j <- ms.indices if i < j }
+      yield (ms(i), ms(j))
+    val sums =
+      Seq("CAST(count(*) AS DOUBLE) AS n") ++
+        ms.map(c => s"CAST(sum(${d6(c)}) AS DOUBLE) AS s_$c") ++
+        ms.map(c => s"CAST(sum(${d6(c)} * ${d6(c)}) AS DOUBLE) AS ss_$c") ++
+        pairs.map { case (a, b) =>
+          s"CAST(sum(${d6(a)} * ${d6(b)}) AS DOUBLE) AS sp_${a}_$b"
+        }
+    val rows = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS x_col, '$b' AS y_col, " +
+        s"round((n * sp_${a}_$b - s_$a * s_$b) / " +
+        s"(sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)), 6) " +
+        s"AS corr FROM a"
+    }
+    s"WITH a AS (SELECT ${sums.mkString(", ")} FROM lineitem)\n" +
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY x_col, y_col")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "agg_groupby" -> q1Oracle,
 
@@ -1363,6 +1452,8 @@ object Relational {
         |SELECT event_type, CAST(n AS BIGINT) AS n_events, slope,
         |  (sy - slope * sx) / n AS intercept
         |FROM sl ORDER BY event_type""".stripMargin,
+
+    "agg_corr_matrix" -> corrMatrixOracle,
 
     "agg_stats" ->
       """SELECT l_returnflag,

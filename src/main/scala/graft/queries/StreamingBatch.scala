@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Tables._
 
 /** Batch-equivalent forms of the streaming operators (SURVEY.md §2j).
@@ -246,6 +247,37 @@ object StreamingBatch {
               |(acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE))""".stripMargin),
             4).as("ewma"))
         .orderBy("user_id")
+    },
+
+    "ts_anomaly_zscore" -> { (s, d) =>
+      // Per-user z-score outliers: flag events whose value sits >3σ from
+      // that user's mean. Mean/σ come from EXACT decimal sums (Σv, Σv²)
+      // over an unbounded frame — Spark computes whole-partition frames
+      // in one pass per key, so this is ONE shuffle on user_id and the
+      // stats never leave the partition that owns the key; the same
+      // shape holds for 10⁹ users. Determinism: decimal capture at
+      // scale 6 makes both sums order-free; everything after (mean,
+      // sample variance, sqrt, the 3σ comparison) is pure IEEE double
+      // arithmetic on identical inputs, so the flag set — not just the
+      // rounded z — is engine-independent. Squares go through
+      // DECIMAL(18,6) so the product type (37,12) stays exact within
+      // 38 digits (dec's (28,6) would square past precision 38 and
+      // trigger Spark's lossy downscale).
+      val d6 = col("value").cast(DecimalType(18, 6))
+      val w = Window.partitionBy("user_id")
+      val sx = sum(d6).over(w).cast(DoubleType)
+      val sxx = sum(d6 * d6).over(w).cast(DoubleType)
+      val n = count(lit(1)).over(w)
+      val mean = sx / n
+      val m2 = sxx - sx * sx / n
+      val z = (col("value") - mean) / sqrt(m2 / (n - 1))
+      eventsTs(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          n.as("n"), m2.as("m2"), z.as("z_raw"))
+        .filter(col("n") > 1 && col("m2") > 0 && abs(col("z_raw")) > 3)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (floor(col("z_raw") * 10000 + 0.5).cast(DoubleType) / 10000.0).as("z"))
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -404,6 +436,25 @@ object StreamingBatch {
         |  round(list_reduce(list(value ORDER BY ts, event_id),
         |    (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE)), 4)
         |    AS ewma
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_anomaly_zscore" ->
+      """WITH st AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6)))
+        |      OVER w AS DOUBLE) AS sxx,
+        |    count(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id)),
+        |z AS (
+        |  SELECT user_id, event_id, value, n,
+        |    sxx - sx * sx / n AS m2,
+        |    (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z_raw
+        |  FROM st)
+        |SELECT user_id, event_id, value,
+        |  floor(z_raw * 10000 + 0.5) / 10000.0 AS z
+        |FROM z WHERE n > 1 AND m2 > 0 AND abs(z_raw) > 3
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

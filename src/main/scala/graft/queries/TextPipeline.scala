@@ -383,6 +383,38 @@ object TextPipeline {
         length(regexp_replace(col("text"), "[^a-z0-9]", "")).as("n_alnum_chars"))
         .orderBy("doc_id")),
 
+    "text_unigram_logprob" -> { (s, d) =>
+      // Corpus-LM quality score (the perplexity-filter primitive): a
+      // unigram LM is fit on the corpus itself and each doc scored by
+      // its mean token log-probability — low scores mark gibberish /
+      // rare-token docs, the classic pretraining quality gate. Shape:
+      // one explode+groupBy corpus pass builds the vocab counts (the
+      // only data-sized shuffle), the ~vocab-sized logp table rides a
+      // BROADCAST join back onto tokens (vocab is Zipf-bounded — even
+      // web-scale corpora hold ~10⁷ distinct whitespace tokens, far
+      // under the broadcast ceiling at 16 bytes/row; were it larger the
+      // same plan degrades to a shuffle join, not a different shape),
+      // and the per-doc mean rides one shuffle on doc_id. Determinism:
+      // ln(cnt/total) is rounded at 1e-6 then decimal-captured, so the
+      // per-doc sum is order-free; the final mean uses the floor
+      // half-up formula on exact inputs (Tables.davg policy).
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .persist() // 2 consumers (total + logp) — uncached each would
+                   // re-run the explode+groupBy corpus pass (tfidf's r2
+                   // lesson); the cached table is vocab-sized, not corpus-sized
+      val tot = cnt.agg(sum("cnt").as("tot"))
+      val logp = cnt.crossJoin(broadcast(tot))
+        .select(col("term"), round(log(col("cnt") / col("tot")), 6).as("logp"))
+      toks.join(broadcast(logp), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (floor(sum(dec(col("logp"))).cast(DoubleType) / count(lit(1)) * 1000000 + 0.5)
+            .cast(DoubleType) / 1000000.0).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
     "text_langid" -> { (s, d) =>
       // Language-ID by character-trigram profiles, self-trained: per-lang
       // top-20 trigrams (freq desc, trigram asc) form the profile; a doc
@@ -1093,6 +1125,18 @@ object TextPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
         |  CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS INTEGER) AS n_alnum_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_logprob" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS tot FROM cnt),
+        |lp AS (SELECT term, round(ln(cnt / tot), 6) AS logp FROM cnt, tot)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  floor(CAST(sum(CAST(logp AS $oD)) AS DOUBLE) / count(*) * 1000000 + 0.5)
+        |    / 1000000.0 AS avg_logprob
+        |FROM toks t JOIN lp USING (term)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH tris AS (

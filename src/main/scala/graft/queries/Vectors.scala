@@ -240,6 +240,42 @@ object Vectors {
           round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(20)
+    },
+
+    "sim_kmeans_step" -> { (s, d) =>
+      // One Lloyd iteration over the embedding corpus (semantic-cluster
+      // curation / SemDeDup-style pipelines run a handful of these):
+      // k=8 seed centroids (vec_id 0..7), each vector assigned to its
+      // nearest centroid by squared L2, then per-cluster per-dimension
+      // means re-derive the centroids. Scale shape: the 8 centroids
+      // collapse to ONE broadcast row, so assignment is MAP-ONLY — no
+      // shuffle touches the corpus until the recompute groupBy, whose
+      // key space is k×dim=512, so map-side combine reduces every task
+      // to ≤512 partial rows regardless of input size. Determinism:
+      // dist² = a·a − 2a·b + b·b from three left-fold dots (identical
+      // fold in DuckDB), rounded at 1e-6 BEFORE the argmin so the
+      // assignment itself is engine-independent (ties → lower cid, the
+      // struct ordering); member values round at 1e-6 then go through
+      // exact decimal capture so the mean is order-free.
+      GraftFunctions.register(s)
+      val emb = embeddings(s, d)
+      val cRow = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
+        .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cs"))
+      emb.crossJoin(broadcast(cRow))
+        .withColumn("best", expr(
+          """array_min(transform(cs, c -> named_struct(
+            |  'dist2', round(graft_dot(embedding, embedding)
+            |             - 2 * graft_dot(embedding, c.cemb)
+            |             + graft_dot(c.cemb, c.cemb), 6),
+            |  'cid', c.cid)))""".stripMargin))
+        .select(col("best.cid").as("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n_members"),
+          (floor(sum(dec(round(col("v").cast("double"), 6))).cast("double")
+            / count(lit(1)) * 1000000 + 0.5).cast("double") / 1000000.0)
+            .as("centroid"))
+        .orderBy("cid", "dim")
     }
   )
 
@@ -261,6 +297,31 @@ object Vectors {
       |      (acc, x) -> acc + x)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_kmeans_step" -> {
+      def dot(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
+      s"""WITH c AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cemb
+        |  FROM embeddings WHERE vec_id < 8),
+        |a AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, round(
+        |    ${dot("e.embedding", "e.embedding")}
+        |    - 2 * ${dot("e.embedding", "c.cemb")}
+        |    + ${dot("c.cemb", "c.cemb")}, 6) AS dist2
+        |  FROM embeddings e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |  FROM a),
+        |ex AS (
+        |  SELECT cid, CAST(i AS INTEGER) AS dim,
+        |    round(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE), 6) AS v
+        |  FROM best, (SELECT unnest(range(64)) AS i) dims WHERE rn = 1)
+        |SELECT cid, dim, count(*) AS n_members,
+        |  floor(CAST(sum(CAST(v AS $oD)) AS DOUBLE) / count(*) * 1000000 + 0.5)
+        |    / 1000000.0 AS centroid
+        |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+    },
+
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(
