@@ -487,6 +487,32 @@ object Relational {
       skippingGate(res, layout, "z-order")(lineitem(s, d))
     },
 
+    "scan_bloom_skipping" -> { (s, d) =>
+      // Point-lookup data skipping on a key you CAN'T cluster by — the
+      // third member of the skipping triad (partition dirs → range
+      // cluster → bloom): when the table is laid out for some other
+      // access path, an orderkey probe finds row-group min/max spanning
+      // the whole domain and (dictionary disabled, as high-cardinality
+      // columns are at real scale) the only row groups the reader can
+      // drop are those whose BLOOM FILTER proves the key absent. At
+      // 100 TB this turns needle-in-haystack lookups from a full-table
+      // read into a few row groups of false positives. Same runtime
+      // gate as the other skipping witnesses: the probe executes once
+      // and the scan must emit well under half the table; the row
+      // output is oracled against the unscattered source, so the gate
+      // also proves the bloom-annotated rewrite is semantics-free.
+      val layout = bloomLineitem(s, d)
+      val res = s.read.parquet(layout)
+        .filter(col("l_orderkey").isin(1L, 32L, 69L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        // Sort by ALL output columns: the synthetic lineitem does not
+        // enforce (orderkey, linenumber) uniqueness, so anything less
+        // is a partial order and the oracle compare sees tie shuffles.
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      skippingGate(res, layout, "bloom")(lineitem(s, d))
+    },
+
     "scan_dynamic_pruning" -> { (s, d) =>
       // Dynamic partition pruning — the JOIN-time analogue of
       // scan_partition_pruning: the fact side is partitioned by year,
@@ -1235,6 +1261,11 @@ object Relational {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 20 AND 119 AND l_suppkey BETWEEN 1 AND 6
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "scan_bloom_skipping" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_orderkey IN (1, 32, 69)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
 
     "scan_dynamic_pruning" ->
       s"""SELECT o_orderpriority, count(*) AS n, ${oSum("o_totalprice")} AS total

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -99,6 +101,43 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (lo, hi) = (bounds.getFloat(0).toDouble, bounds.getFloat(1).toDouble)
     rows.values.foreach { case (_, c) =>
       assert(c >= lo - 1e-6 && c <= hi + 1e-6, s"centroid $c outside [$lo,$hi]")
+    }
+  }
+
+  test("scan_bloom_skipping layout: bloom present, dictionary off, probe exact") {
+    // Executing the query also writes the one-time scattered layout
+    // (and its skippingGate require() already proves the scan emitted
+    // <half the table). Here: pin that the mechanism is really the
+    // BLOOM FILTER — footer carries one for l_orderkey, dictionary
+    // encoding is off for that column (so dictionary filtering can't
+    // be the pruner), and the probe returns exactly the source rows.
+    val got = SparkEntry.queries("scan_bloom_skipping")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey").isin(1L, 32L, 69L))
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+    val layout = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_li_" +
+      s"${sf.hashCode.toHexString}_${spark.sparkContext.applicationId}"
+    val parts = new java.io.File(layout).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty, s"no part files under $layout")
+    val conf = spark.sparkContext.hadoopConfiguration
+    parts.foreach { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getRowGroups.forEach { rg =>
+          val okCol = rg.getColumns.asScala
+            .find(_.getPath.toDotString == "l_orderkey").get
+          assert(okCol.getBloomFilterOffset >= 0,
+            s"${p.getName}: l_orderkey row group lacks a bloom filter")
+          assert(!okCol.getEncodings.asScala.exists(_.usesDictionary),
+            s"${p.getName}: l_orderkey unexpectedly dictionary-encoded")
+        }
+      } finally reader.close()
     }
   }
 
