@@ -53,6 +53,8 @@ object Bench {
     catch { case _: Throwable => }
     try SparkEntry.queries("scan_zorder_skipping")(spark, sfDir).count()
     catch { case _: Throwable => }
+    try SparkEntry.queries("scan_bloom_skipping")(spark, sfDir).count()
+    catch { case _: Throwable => }
     // Round 3's driver-recorded total (113.7 s) vs the same commit on a
     // quiet box (48.2 s) proved machine load alone can fabricate a >2×
     // swing. Min-of-N per query filters that contention noise out;

@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.TextPipeline.queries ++
       graft.queries.Vectors.queries ++
       graft.queries.Multimodal.queries ++
-      graft.queries.StreamingBatch.queries
+      graft.queries.StreamingBatch.queries ++
+      graft.queries.Graph.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.TextPipeline.oracleSql ++
       graft.queries.Vectors.oracleSql ++
       graft.queries.Multimodal.oracleSql ++
-      graft.queries.StreamingBatch.oracleSql
+      graft.queries.StreamingBatch.oracleSql ++
+      graft.queries.Graph.oracleSql
 }

@@ -242,6 +242,54 @@ object Vectors {
         .limit(20)
     },
 
+    "dedup_semantic" -> { (s, d) =>
+      // SemDeDup-style semantic dedup: coarse clusters BOUND the O(n²)
+      // pair search (candidates are same-cluster only — at 10⁹ docs k
+      // grows with the corpus so block size stays fixed), then
+      // near-identical members within a cluster collapse to the
+      // lowest-id survivor. Complements the dedup family: minhash
+      // catches lexical copies, this catches SEMANTIC redundancy that
+      // shares no tokens. Same planted +0.005 copies as
+      // dedup_embedding (corpus has no natural near-dups); assignment
+      // is the sim_kmeans_step argmin (map-only over a broadcast
+      // centroid row, dist² rounded before argmin so it's
+      // engine-independent); verify cosine rounds at 1e-6 before the
+      // 0.9 threshold. Whole rule is RNG-free, so the oracle replicates
+      // plant → assign → pair → anti-join and the hash gate checks the
+      // exact survivor set.
+      GraftFunctions.register(s)
+      val base = embeddings(s, d)
+      val corpus = base.select(col("vec_id"), col("embedding"))
+        .unionByName(
+          base.filter(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"),
+                x => (x.cast(DoubleType) + lit(0.005)).cast(FloatType)).as("embedding")))
+      val cRow = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
+        .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cs"))
+      val assigned = corpus.crossJoin(broadcast(cRow))
+        .withColumn("cid", expr(
+          """array_min(transform(cs, c -> named_struct(
+            |  'dist2', round(graft_dot(embedding, embedding)
+            |             - 2 * graft_dot(embedding, c.cemb)
+            |             + graft_dot(c.cemb, c.cemb), 6),
+            |  'cid', c.cid))).cid""".stripMargin))
+        .select(col("vec_id"), col("cid"), col("embedding"))
+        .persist() // 3 consumers: both pair sides + the survivor base
+      val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"))
+      val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      val removed = a.join(b, col("cid") === col("cid_b") && col("id_a") < col("id_b"))
+        .filter(round(cosine(col("emb_a"), col("emb_b")), 6) >= 0.9)
+        .select(col("id_b"))
+        .distinct()
+      assigned.join(removed, col("vec_id") === col("id_b"), "left_anti")
+        .select(col("vec_id"), col("cid"))
+        .orderBy("vec_id")
+    },
+
     "sim_kmeans_step" -> { (s, d) =>
       // One Lloyd iteration over the embedding corpus (semantic-cluster
       // curation / SemDeDup-style pipelines run a handful of these):
@@ -297,6 +345,42 @@ object Vectors {
       |      (acc, x) -> acc + x)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Full replication of the SemDeDup pipeline: planted copies, the
+    // kmeans-step argmin assignment (row_number ≡ the struct array_min
+    // ordering: dist2 then cid), within-cluster rounded-cosine pairs,
+    // lowest-id-survivor anti-join.
+    "dedup_semantic" -> {
+      def dot(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
+      s"""WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.005 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cemb
+        |  FROM embeddings WHERE vec_id < 8),
+        |a AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, round(
+        |    ${dot("e.embedding", "e.embedding")}
+        |    - 2 * ${dot("e.embedding", "c.cemb")}
+        |    + ${dot("c.cemb", "c.cemb")}, 6) AS dist2
+        |  FROM corpus e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |  FROM a),
+        |asg AS (SELECT vec_id, embedding, cid FROM best WHERE rn = 1),
+        |removed AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |    ${oCos.replace("%A", "a.embedding").replace("%B", "b.embedding")}, 6) >= 0.9)
+        |SELECT vec_id, cid FROM asg
+        |WHERE vec_id NOT IN (SELECT id_b FROM removed)
+        |ORDER BY vec_id""".stripMargin
+    },
+
     "sim_kmeans_step" -> {
       def dot(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
       s"""WITH c AS (

@@ -306,6 +306,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the original ${originals.size} ids to survive, got ${survivors.size}")
   }
 
+  test("dedup_semantic removes the planted copies and partitions survivors") {
+    val sp = spark
+    import sp.implicits._
+    val out = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val survivors = out.map(_._1).toSet
+    val originals = Tables.embeddings(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    // A planted copy sits ~0.005/component from its original, so both
+    // land in the same nearest-centroid cluster and the copy (always the
+    // higher id) is removed; originals have no ≥0.9-cosine partner.
+    assert(survivors === originals,
+      s"expected the original ${originals.size} ids to survive, got ${survivors.size}")
+    // Cluster assignment must agree with the kmeans-step argmin family:
+    // every survivor carries a cid in [0, 8).
+    assert(out.forall { case (_, cid) => cid >= 0 && cid < 8 })
+  }
+
+  test("graph_pagerank_step conserves damped supplier mass") {
+    val rows = SparkEntry.queries("graph_pagerank_step")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val n = rows.length
+    val nSupp = rows.count(_._1 == "s")
+    // Suppliers receive no in-edges: rank exactly the teleport term.
+    rows.filter(_._1 == "s").foreach { case (_, id, pr) =>
+      assert(math.abs(pr - 0.15 / n) < 1e-12, s"supplier $id pr=$pr")
+    }
+    // One damped step from uniform: total mass = teleport (0.15) plus
+    // 0.85 × the mass suppliers held (each 1/N, fully distributed — sink
+    // mass is dropped by design, so parts' 1/N never re-enters).
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - (0.15 + 0.85 * nSupp.toDouble / n)) < 1e-6,
+      s"total=$total n=$n nSupp=$nSupp")
+  }
+
   test("shuffle_global emits the exact md5-order permutation") {
     val out = SparkEntry.queries("shuffle_global")(spark, sf).collect()
     val n = out.length
