@@ -1041,6 +1041,41 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    "merge_cdc_apply" -> { (s, d) =>
+      // CDC batch apply with explicit op classes — the MERGE INTO of
+      // the lakehouse world, completing the merge family
+      // (merge_latest_per_key resolves versions, delta_snapshot_diff
+      // classifies, this APPLIES): a change batch of disjoint
+      // delete / update / insert records hits the snapshot in ONE
+      // co-partitioned pass — delete anti-join and update left-join
+      // override share the o_orderkey shuffle, inserts are new keys so
+      // they union in without touching it (and with bucketed layouts
+      // the exchange itself disappears, join_bucketed_colocated). The
+      // op sets are deterministically derived and DISJOINT (updates
+      // exclude delete keys; insert keys are offset beyond the domain)
+      // so the apply needs no precedence resolution. Output: per-status
+      // rollup of the post-merge snapshot under the exact-decimal money
+      // policy, inserts surfacing as the synthetic 'N' status.
+      val snap = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val delKeys = snap.filter(col("o_orderkey") % 13 === 0).select("o_orderkey")
+      val upd = snap
+        .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("new_price"))
+      val ins = snap.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          (col("o_totalprice") / 2).as("o_totalprice"))
+      snap.join(delKeys, Seq("o_orderkey"), "left_anti")
+        .join(upd, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+        .unionByName(ins)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     "delta_snapshot_diff" -> { (s, d) =>
       // Snapshot diff — classify every key across two table versions as
       // insert / delete / update / unchanged (the reconciliation pass
@@ -1320,6 +1355,23 @@ object Relational {
       """SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, CAST(1 AS BIGINT) AS version
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_cdc_apply" ->
+      s"""WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice + 1000 AS new_price FROM snap
+        |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 13 <> 0),
+        |merged AS (
+        |  SELECT s.o_orderkey, s.o_orderstatus,
+        |    coalesce(u.new_price, s.o_totalprice) AS o_totalprice
+        |  FROM snap s LEFT JOIN upd u USING (o_orderkey)
+        |  WHERE s.o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000, 'N', o_totalprice / 2 FROM snap
+        |  WHERE o_orderkey % 17 = 0)
+        |SELECT o_orderstatus, count(*) AS n, ${oSum("o_totalprice")} AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_snapshot_diff" ->
       """WITH neu AS (

@@ -278,10 +278,56 @@ object StreamingBatch {
         .select(col("user_id"), col("event_id"), col("value"),
           (floor(col("z_raw") * 10000 + 0.5).cast(DoubleType) / 10000.0).as("z"))
         .orderBy("user_id", "event_id")
+    },
+
+    "agg_decay_halflife" -> { (s, d) =>
+      // Recency-weighted rollup — the freshness prior behind trending /
+      // replay-weighting signals: an event's weight halves for every 3
+      // whole DAYS of age relative to the corpus's newest day. The STEP
+      // decay keeps the hash gate exact across engines: age is an
+      // integer day difference, so weight = 1 / 2^(age div 3) is one
+      // long shift and one division by a power of two — bit-exact
+      // IEEE doubles in both engines, no libm pow in sight. The weight
+      // (≤10 halvings over this corpus' 30-day span) is captured
+      // exactly by DECIMAL(28,10), so the per-type rollup is
+      // summation-order-free; the value-weighted sum rounds the exact
+      // product at 1e-6 first (money policy). Scale shape: the newest
+      // day is a 1-row broadcast, weighting is map-only, and the
+      // groupBy key space is |event_type|, so map-side combine sends a
+      // handful of partials per task at any input size.
+      val ev = eventsTs(s, d).withColumn("day", to_date(col("ts_t")))
+      val ref = ev.agg(max(col("day")).as("ref_day"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("age3",
+          floor(datediff(col("ref_day"), col("day")).cast(DoubleType) / 3.0)
+            .cast("int"))
+        .withColumn("w", expr("1.0 / shiftleft(CAST(1 AS BIGINT), age3)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("w").cast(DecimalType(28, 10))).cast(DoubleType).as("decayed_n"),
+          sum((floor(col("w") * col("value") * 1000000 + 0.5).cast(DoubleType)
+            / 1000000.0).cast(DecimalType(28, 6)))
+            .cast(DoubleType).as("decayed_value"))
+        .orderBy("event_type")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_decay_halflife" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, CAST(ts AS DATE) AS day FROM events),
+        |ref AS (SELECT max(day) AS ref_day FROM ev)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(1.0 / (CAST(1 AS BIGINT) << CAST(
+        |    floor(CAST(date_diff('day', day, ref_day) AS DOUBLE) / 3.0) AS INTEGER))
+        |    AS DECIMAL(28,10))) AS DOUBLE) AS decayed_n,
+        |  CAST(sum(CAST(floor(1.0 / (CAST(1 AS BIGINT) << CAST(
+        |    floor(CAST(date_diff('day', day, ref_day) AS DOUBLE) / 3.0) AS INTEGER))
+        |    * value * 1000000 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS decayed_value
+        |FROM ev CROSS JOIN ref
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_tumbling_counts" ->
       s"""SELECT make_timestamp(epoch_us(ts) // $hourUs * $hourUs) AS hour_start,
         |  event_type, count(*) AS n, ${oAvg("value")} AS avg_value

@@ -383,6 +383,28 @@ object TextPipeline {
         length(regexp_replace(col("text"), "[^a-z0-9]", "")).as("n_alnum_chars"))
         .orderBy("doc_id")),
 
+    "bpe_pair_counts" -> { (s, d) =>
+      // Tokenizer TRAINING primitive — one BPE merge round over a
+      // character vocabulary: count adjacent symbol pairs within words
+      // across the whole corpus and surface the top merge candidates
+      // (rank 1 is the pair BPE would merge first). Shape: the word
+      // explode and per-word pair generation are map-side
+      // (codegen'd sequence+transform, no UDF); the ONLY shuffle
+      // carries (pair, partial count) with a key space bounded by
+      // alphabet² — map-side combine reduces every task to ≤~700
+      // partial rows no matter how many petabytes of text flow in;
+      // top-20 is a TakeOrdered, never a global sort.
+      documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(20)
+    },
+
     "text_unigram_logprob" -> { (s, d) =>
       // Corpus-LM quality score (the perplexity-filter primitive): a
       // unigram LM is fit on the corpus itself and each doc scored by
@@ -1125,6 +1147,17 @@ object TextPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
         |  CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS INTEGER) AS n_alnum_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "bpe_pair_counts" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+        |pairs AS (
+        |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+        |  FROM w2, unnest(range(1, length(w))) AS t(i))
+        |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     "text_unigram_logprob" ->
       s"""WITH toks AS (
