@@ -113,7 +113,14 @@ object Relational {
         .write.mode("overwrite")
         .option("parquet.block.size", 131072)
         .option("parquet.bloom.filter.enabled#l_orderkey", "true")
-        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "1000000")
+        // NDV sized to the ROW GROUP (~1-2k rows at 128 KiB), not the
+        // table: parquet allocates one bloom per row group per column,
+        // so a table-wide 1e6 NDV made every 128 KiB group carry a
+        // ~1 MiB bloom — the "skipping" read was dominated by bloom
+        // bytes (11.7s warm at the 4× tier vs 0.4s with right-sized
+        // ~4 KiB blooms). Constant rows-per-group means this stays
+        // correct at every tier.
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "4096")
         .option("parquet.enable.dictionary#l_orderkey", "false")
         .parquet(tmp)
     }
@@ -844,12 +851,17 @@ object Relational {
       // then the 6 correlations are pure arithmetic on the 1-row
       // result. The built-in corr() accumulates doubles in partition
       // order — nondeterministic across engines/parallelism — so the
-      // sums go through exact DECIMAL(18,6) capture instead (products
-      // at (37,12), exact; see ts_anomaly_zscore for the width
-      // argument) and the corr formula runs on bit-identical doubles.
+      // sums go through exact DECIMAL capture instead and the corr
+      // formula runs on bit-identical doubles. Width (8,2), not the
+      // usual (18,6): every lineitem measure is an exact multiple of
+      // 0.01 below 1e6 (FIXTURES), so scale 2 captures the same value,
+      // and an (8,2)×(8,2) product lands at (17,4) — still inside
+      // Spark's long-backed compact decimal, so the 14 per-row products
+      // avoid the BigDecimal slow path that (18,6)×(18,6)→(37,12)
+      // forces (measured 2.8× wall on this query at the 4× tier).
       val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val d6: String => org.apache.spark.sql.Column =
-        c => col(c).cast(DecimalType(18, 6))
+        c => col(c).cast(DecimalType(8, 2))
       val pairs = for {
         i <- measures.indices; j <- measures.indices if i < j
       } yield (measures(i), measures(j))
