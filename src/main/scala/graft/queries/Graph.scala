@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -55,6 +56,99 @@ object Graph {
           round(lit(0.15) / col("n") + lit(0.85) * coalesce(col("msum"), lit(0.0)), 12)
             .as("pr"))
         .orderBy("ntype", "node_id")
+    },
+
+    "graph_triangles" -> { (s, d) =>
+      // Exact triangle count over the part co-occurrence graph (parts
+      // sharing an order are connected — the fixture's stand-in for a
+      // doc-link or co-citation graph; clustering coefficient and
+      // community signals start here). The distributed shape is the
+      // standard degree-ordered orientation: each undirected edge is
+      // directed from its (degree, id)-smaller endpoint, which bounds
+      // every node's OUT-degree at O(sqrt(m)) — so the wedge self-join,
+      // the only superlinear step, generates at most m^1.5 candidates
+      // total instead of sum(deg²) on hub nodes. Each triangle is then
+      // counted exactly once by the closure equi-join. No driver
+      // collect, no cartesian: per-order pair expansion is bounded by
+      // order size, the wedge join is an equi-join on src with an
+      // ordering residual, and closure is an equi-join on (y, z).
+      val op = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist() // 3 consumers: degree count, orientation, edge count
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // Node-count table is |V| rows — broadcast onto the edge list.
+      val ordered = und
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val ori = ordered.select(
+          when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"),
+          when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+        .persist() // 3 consumers: both wedge sides + closure probe
+      val wedges = ori.as("a").join(ori.as("b"),
+          col("a.src") === col("b.src") &&
+            (col("a.ddeg") < col("b.ddeg") ||
+              (col("a.ddeg") === col("b.ddeg") && col("a.dst") < col("b.dst"))))
+        .select(col("a.dst").as("y"), col("b.dst").as("z"))
+      val tri = wedges
+        .join(ori.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(tri))
+    },
+
+    "graph_jaccard_neighbors" -> { (s, d) =>
+      // Per-node most-similar neighbor by neighborhood Jaccard — the
+      // node-similarity primitive behind "related items" / host-level
+      // near-dup detection on the link graph. Candidates come from the
+      // wedge EQUI-join on the shared neighbor (two nodes with
+      // disjoint neighborhoods never pair, so no n² comparison);
+      // |N(u)∩N(v)| is the wedge count, |N(u)∪N(v)| = du+dv-common
+      // from a broadcast degree table (|V| rows), and the per-node
+      // argmax is a row_number window over the candidate pairs —
+      // partitioned by node, so it shuffles candidate pairs, never the
+      // corpus. Determinism: common/du/dv are exact longs; the Jaccard
+      // double is the same correctly-rounded division in both engines,
+      // and the argmax tie-breaks on (jac DESC, nbr ASC). The %5
+      // node filter bounds the gate output; the schedule itself is
+      // degree-bounded (wedges ≤ Σ deg(shared)²), the published
+      // hub-salting escape applying if a crawl graph needs it.
+      val op = lineitem(s, d).filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+        .persist() // 3 consumers: degree + both wedge sides
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      val common = adj.as("a").join(adj.as("b"),
+          col("a.nbr") === col("b.nbr") && col("a.node") =!= col("b.node"))
+        .groupBy(col("a.node").as("node"), col("b.node").as("cand"))
+        .agg(count(lit(1)).as("common"))
+      val scored = common
+        .join(broadcast(deg.select(col("node"), col("deg").as("dn"))), "node")
+        .join(broadcast(deg.select(col("node").as("cand"), col("deg").as("dc"))),
+          "cand")
+        .withColumn("jac",
+          floor(col("common").cast(DoubleType)
+            / (col("dn") + col("dc") - col("common")) * 1000000 + 0.5)
+            .cast(DoubleType) / 1000000.0)
+      val w = Window.partitionBy("node")
+        .orderBy(col("jac").desc, col("cand").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("cand").as("best_match"), col("common"),
+          col("jac"))
+        .orderBy("node")
     }
   )
 
@@ -77,6 +171,63 @@ object Graph {
         |  round(0.15 / nn.n + 0.85 * coalesce(c.msum, 0.0), 12) AS pr
         |FROM nodes CROSS JOIN nn
         |LEFT JOIN contrib c ON nodes.ntype = 'p' AND nodes.node_id = c.dst
-        |ORDER BY ntype, node_id""".stripMargin
+        |ORDER BY ntype, node_id""".stripMargin,
+
+    // Integer-only replica of the degree-ordered orientation, so the
+    // triangle set — not just the count — is engine-independent.
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+        |  GROUP BY node),
+        |e AS (
+        |  SELECT u, v, du.deg AS du, dv.deg AS dv
+        |  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+        |ori AS (
+        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+        |  FROM e),
+        |w AS (
+        |  SELECT a.dst AS y, b.dst AS z FROM ori a JOIN ori b
+        |  ON a.src = b.src AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM w JOIN ori ON w.y = ori.src AND w.z = ori.dst)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM und) AS n_edges, n_triangles
+        |FROM tri""".stripMargin,
+
+    "graph_jaccard_neighbors" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |adj AS (
+        |  SELECT u AS node, v AS nbr FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+        |common AS (
+        |  SELECT a.node AS node, b.node AS cand, count(*) AS common
+        |  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node <> b.node
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT common.node AS node, common.cand AS cand, common.common AS common,
+        |    floor(CAST(common.common AS DOUBLE) / (dn.deg + dc.deg - common.common)
+        |      * 1000000 + 0.5) / 1000000.0 AS jac
+        |  FROM common JOIN deg dn ON common.node = dn.node
+        |  JOIN deg dc ON common.cand = dc.node),
+        |top AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY node ORDER BY jac DESC, cand ASC) AS rn
+        |  FROM scored)
+        |SELECT node, cand AS best_match, common, jac
+        |FROM top WHERE rn = 1 ORDER BY node""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -310,6 +310,44 @@ object Joins {
         "runtime bloom filter was not injected into the fact-side scan:\n" +
           joined.queryExecution.optimizedPlan)
       joined
+    },
+
+    "join_fuzzy_key" -> { (s, d) =>
+      // Entity-resolution join: match keys within Levenshtein distance
+      // 1 WITHOUT a cross join, via deletion-neighborhood blocking
+      // (the FastSS scheme): every string blocks to itself plus its
+      // L one-character deletions, two strings within edit distance 1
+      // are guaranteed to share a block key, so candidates come from a
+      // plain EQUI-join on the variant — O(L) expansion instead of
+      // O(n·m) comparison — and an exact levenshtein() residual keeps
+      // only true matches (the neighborhood admits a few distance-2
+      // pairs: delete-at-i = delete-at-j collisions). The probe set is
+      // derived from the table itself — every 7th supplier name with
+      // one key-dependent character deleted — so the whole rule is
+      // deterministic and the oracle can brute-force the same truth.
+      val sup = supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      def variants(src: String): Column = explode(expr(
+        s"""array_append(
+           |  transform(sequence(1, length($src)),
+           |    i -> concat(substring($src, 1, i - 1),
+           |                substring($src, i + 1, length($src)))),
+           |  $src)""".stripMargin))
+      val probes = sup.filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey").as("probe_id"),
+          expr("""concat(substring(s_name, 1, cast(s_suppkey % 18 as int)),
+                 |       substring(s_name, cast(s_suppkey % 18 as int) + 2,
+                 |                 length(s_name)))""".stripMargin).as("probe_name"))
+        .select(col("probe_id"), col("probe_name"), variants("probe_name").as("vkey"))
+      val cands = sup
+        .select(col("s_suppkey"), col("s_name"), variants("s_name").as("vkey"))
+        .join(probes, "vkey")
+      cands
+        .filter(levenshtein(col("probe_name"), col("s_name")) <= 1)
+        .select(col("probe_id"), col("probe_name"), col("s_suppkey"),
+          col("s_name"),
+          levenshtein(col("probe_name"), col("s_name")).cast("int").as("dist"))
+        .distinct()
+        .orderBy("probe_id", "s_suppkey")
     }
   )
 
@@ -471,6 +509,20 @@ object Joins {
         |  ${oSum("l_extendedprice")} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Brute-force truth: the O(n·m) cross join the blocked form must
+    // reproduce exactly (tractable at oracle scale).
+    "join_fuzzy_key" ->
+      """WITH probes AS (
+        |  SELECT s_suppkey AS probe_id,
+        |    substring(s_name, 1, CAST(s_suppkey % 18 AS INTEGER)) ||
+        |    substring(s_name, CAST(s_suppkey % 18 AS INTEGER) + 2) AS probe_name
+        |  FROM supplier WHERE s_suppkey % 7 = 0)
+        |SELECT probe_id, probe_name, s_suppkey, s_name,
+        |  CAST(levenshtein(probe_name, s_name) AS INTEGER) AS dist
+        |FROM probes CROSS JOIN supplier
+        |WHERE levenshtein(probe_name, s_name) <= 1
+        |ORDER BY probe_id, s_suppkey""".stripMargin
   )
 }

@@ -309,6 +309,100 @@ object StreamingBatch {
             / 1000000.0).cast(DecimalType(28, 6)))
             .cast(DoubleType).as("decayed_value"))
         .orderBy("event_type")
+    },
+
+    "ts_retention" -> { (s, d) =>
+      // Cohort retention matrix — the canonical product-analytics
+      // rollup: users are grouped by the week of their FIRST event
+      // (cohort), and each cell counts how many of them were active
+      // `week_offset` weeks later. Shape: the one data-sized shuffle
+      // is the groupBy(user_id) — min week and the distinct active-week
+      // set reduce per user in one pass (collect_set is bounded by the
+      // corpus's week span, a few dozen entries at any data size); the
+      // exploded (cohort, offset) rollup and the per-cohort base-size
+      // window then run on user-count-sized data, and the matrix
+      // itself is O(weeks²). Retention is a ratio of exact longs, so
+      // the doubles are bit-identical in any engine.
+      val weekUs = 7L * 86400000000L
+      val byUser = eventsTs(s, d)
+        .select(col("user_id"), expr(s"us DIV ${weekUs}L").as("wk"))
+        .groupBy("user_id")
+        .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("wks"))
+      val m = byUser
+        .select(col("cohort"), explode(col("wks")).as("wk"))
+        .select(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+      val base = Window.partitionBy("cohort")
+      m.withColumn("retention",
+          round(col("n_users") /
+            max(when(col("week_offset") === 0, col("n_users"))).over(base), 6))
+        .orderBy("cohort", "week_offset")
+    },
+
+    "ts_interpolate" -> { (s, d) =>
+      // Linear interpolation across hourly gaps — the other half of the
+      // regularization story next to ts_gapfill's forward-carry step:
+      // numeric features want a ramp, not a plateau. Identical scale
+      // shape to ts_gapfill: the hourly rollup is THE data-sized
+      // shuffle (map-side partials), lead() rides the reduced hourly
+      // table, and explode(sequence) manufactures only the gap hours —
+      // no dense calendar spine is ever joined. Determinism: v0/v1 are
+      // 4-dp davg outputs (exact), the ramp v0 + (v1-v0)·frac is the
+      // same IEEE expression on identical doubles in both engines,
+      // floored at 1e-6; the trailing observation (no next) and the
+      // observed hour itself (frac = 0) both coalesce to exactly v0.
+      val hourly = eventsTs(s, d)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), expr(s"us DIV $hourUs * $hourUs").as("h0"))
+        .agg(davg(col("value")).as("v0"))
+      val w = Window.partitionBy("user_id").orderBy("h0")
+      hourly
+        .withColumn("next0", lead(col("h0"), 1).over(w))
+        .withColumn("v1", lead(col("v0"), 1).over(w))
+        .withColumn("hour_us", explode(sequence(col("h0"),
+          coalesce(col("next0") - hourUs, col("h0")), lit(hourUs))))
+        .withColumn("frac",
+          (col("hour_us") - col("h0")).cast(DoubleType) /
+            (col("next0") - col("h0")).cast(DoubleType))
+        .select(col("user_id"), col("hour_us"),
+          (floor((col("v0") +
+              coalesce((col("v1") - col("v0")) * col("frac"), lit(0.0)))
+            * 1000000 + 0.5).cast(DoubleType) / 1000000.0).as("v_interp"),
+          (col("hour_us") =!= col("h0")).as("is_interp"))
+        .orderBy("user_id", "hour_us")
+    },
+
+    "ts_lag_features" -> { (s, d) =>
+      // One-pass feature engineering (the feature-store pattern): daily
+      // per-user spend plus calendar lag-1, lag-7, trailing-7-day mean,
+      // and day-over-day delta. Every window shares
+      // partitionBy(user_id).orderBy(day_idx), so Spark plans ONE
+      // exchange + one sort for all four features — N features never
+      // cost N shuffles. Lags use single-point RANGE frames on the day
+      // index (calendar-correct: a gap day yields NULL, a row-offset
+      // lag would silently misalign). Determinism: v is the exact
+      // decimal day sum emitted as double; lags copy those doubles;
+      // the 7-day mean re-captures them as decimals (exact sum / exact
+      // count, floored at 1e-4); delta subtracts two exact-at-6dp
+      // doubles.
+      val dayUs = 86400000000L
+      val daily = eventsTs(s, d)
+        .groupBy(col("user_id"), expr(s"us DIV ${dayUs}L").as("day_idx"))
+        .agg(dsum(col("value")).as("v"))
+      def at(off: Int) = Window.partitionBy("user_id").orderBy("day_idx")
+        .rangeBetween(off, off)
+      val w7 = Window.partitionBy("user_id").orderBy("day_idx")
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("lag1", max(col("v")).over(at(-1)))
+        .withColumn("lag7", max(col("v")).over(at(-7)))
+        .withColumn("mean7",
+          floor(sum(dec(col("v"))).over(w7).cast(DoubleType) /
+            count(lit(1)).over(w7) * 10000 + 0.5)
+            .cast(DoubleType) / 10000.0)
+        .withColumn("delta1", col("v") - col("lag1"))
+        .orderBy("user_id", "day_idx")
     }
   )
 
@@ -501,6 +595,63 @@ object StreamingBatch {
         |SELECT user_id, event_id, value,
         |  floor(z_raw * 10000 + 0.5) / 10000.0 AS z
         |FROM z WHERE n > 1 AND m2 > 0 AND abs(z_raw) > 3
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "ts_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+        |uw AS (
+        |  SELECT DISTINCT e.user_id, cohort, wk - cohort AS week_offset
+        |  FROM e JOIN c USING (user_id)),
+        |m AS (
+        |  SELECT cohort, week_offset, count(*) AS n_users
+        |  FROM uw GROUP BY cohort, week_offset)
+        |SELECT cohort, week_offset, n_users,
+        |  round(n_users / max(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort), 6) AS retention
+        |FROM m ORDER BY cohort, week_offset""".stripMargin,
+
+    "ts_interpolate" ->
+      s"""WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // $hourUs * $hourUs AS h0,
+        |    ${oAvg("value")} AS v0
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |led AS (
+        |  SELECT *,
+        |    lead(h0) OVER (PARTITION BY user_id ORDER BY h0) AS next0,
+        |    lead(v0) OVER (PARTITION BY user_id ORDER BY h0) AS v1
+        |  FROM hourly),
+        |sp AS (
+        |  SELECT user_id, h0, v0, v1, next0,
+        |    unnest(generate_series(h0, coalesce(next0 - $hourUs, h0), $hourUs))
+        |      AS hour_us
+        |  FROM led)
+        |SELECT user_id, hour_us,
+        |  floor((v0 + coalesce((v1 - v0) *
+        |      (CAST(hour_us - h0 AS DOUBLE) / CAST(next0 - h0 AS DOUBLE)), 0.0))
+        |    * 1000000 + 0.5) / 1000000.0 AS v_interp,
+        |  hour_us <> h0 AS is_interp
+        |FROM sp ORDER BY user_id, hour_us""".stripMargin,
+
+    "ts_lag_features" ->
+      s"""WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+        |    ${oSum("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day_idx, v,
+        |  max(v) OVER (PARTITION BY user_id ORDER BY day_idx
+        |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag1,
+        |  max(v) OVER (PARTITION BY user_id ORDER BY day_idx
+        |    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7,
+        |  floor(CAST(sum(CAST(v AS $oD)) OVER (PARTITION BY user_id
+        |      ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY day_idx
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000 + 0.5)
+        |    / 10000.0 AS mean7,
+        |  v - max(v) OVER (PARTITION BY user_id ORDER BY day_idx
+        |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS delta1
+        |FROM daily ORDER BY user_id, day_idx""".stripMargin
   )
 }

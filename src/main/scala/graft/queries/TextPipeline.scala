@@ -124,6 +124,43 @@ object TextPipeline {
         .orderBy("lang")
     },
 
+    "dedup_url" -> { (s, d) =>
+      // Crawl-frontier URL dedup: canonicalize, then keep one doc per
+      // canonical URL. Canonicalization = case-fold scheme/host (and,
+      // aggressively, path), strip the #fragment, drop utm_* tracking
+      // params, SORT the surviving query params — the noise classes
+      // that make byte-equal pages look distinct in a crawl. The
+      // fixture has no url column, so one is synthesized from doc
+      // columns with the noise planted BY CONSTRUCTION (case flips,
+      // utm params, fragments keyed off doc_id residues; doc_id DIV 4
+      // shares the path) — collisions exist iff canonicalization
+      // erases every noise class, which the hash gate then proves.
+      // Scale shape: canonicalization is pure map-side string work;
+      // the only shuffle is the groupBy(canonical) — the same
+      // one-pass hash dedup as dedup_exact, keyed on the canonical
+      // form instead of the body hash.
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://WWW.Example.COM"))
+          .otherwise(lit("http://www.example.com")),
+        lit("/"), col("lang"), lit("/doc-"), expr("doc_id DIV 4"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed&ref="))
+          .otherwise(lit("?ref=")),
+        col("source"),
+        when(col("doc_id") % 3 === 1, lit("&utm_campaign=x")).otherwise(lit("")),
+        lit("&page="), col("doc_id") % 2,
+        when(col("doc_id") % 5 === 0, lit("#sec-3")).otherwise(lit("")))
+      val nofrag = regexp_replace(url, "#.*$", "")
+      val base = substring_index(nofrag, "?", 1)
+      val params = sort_array(filter(split(substring_index(nofrag, "?", -1), "&"),
+        p => !p.startsWith("utm")))
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(lower(base), lit("?"), array_join(params, "&")).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .orderBy("canon")
+    },
+
     "dedup_weighted" -> { (s, d) =>
       // Soft dedup — the training-mix alternative to dropping copies:
       // keep ONE survivor per exact-dup cluster but carry the cluster's
@@ -403,6 +440,32 @@ object TextPipeline {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("pair"))
         .limit(20)
+    },
+
+    "doc_chunk" -> { (s, d) =>
+      // Context-window chunking — the op every pretraining pipeline
+      // runs between cleaning and tokenization: split each doc into
+      // overlapping token windows (size 32, stride 16 here; 2048/1024
+      // in production — constants, not data-dependent). Entirely
+      // map-side: split + sequence + slice are codegen'd, explode fans
+      // out rows without a shuffle, so this scales embarrassingly at
+      // any corpus size. A trailing window is emitted only if it
+      // extends past the previous window's end (len > size - stride),
+      // so no chunk is a subset of its predecessor — the rule both
+      // engines state identically on integers. chunk_md5 pins the
+      // exact chunk CONTENT, not just the counts.
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), col("arr"),
+          explode(expr("sequence(0L, cast(size(arr) - 1 as bigint), 16L)"))
+            .as("start"))
+        .filter(col("start") === 0 || size(col("arr")) - col("start") > 16)
+        .select(col("doc_id"), expr("start DIV 16").as("chunk_idx"),
+          expr("slice(arr, cast(start + 1 as int), 32)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     },
 
     "text_unigram_logprob" -> { (s, d) =>
@@ -1021,6 +1084,30 @@ object TextPipeline {
     "dedup_minhash" -> shingleTruthSql,
     "dedup_simhash" -> shingleTruthSql,
 
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example.COM'
+        |          ELSE 'http://www.example.com' END)
+        |    || '/' || lang || '/doc-' || CAST(doc_id // 4 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref='
+        |             ELSE '?ref=' END)
+        |    || source
+        |    || (CASE WHEN doc_id % 3 = 1 THEN '&utm_campaign=x' ELSE '' END)
+        |    || '&page=' || CAST(doc_id % 2 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '#sec-3' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(split_part(regexp_replace(url, '#.*$', ''), '?', 1)) || '?' ||
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(split_part(regexp_replace(url, '#.*$', ''), '?', 2),
+        |        '&'),
+        |      p -> NOT starts_with(p, 'utm'))), '&') AS canon
+        |  FROM u)
+        |SELECT canon, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
+
     "dedup_exact" ->
       """WITH dup AS (
         |  SELECT doc_id, text, lang FROM documents
@@ -1147,6 +1234,18 @@ object TextPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
         |  CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS INTEGER) AS n_alnum_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_chunk" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |st AS (
+        |  SELECT doc_id, arr, unnest(range(0, len(arr), 16)) AS start FROM a),
+        |keep AS (
+        |  SELECT doc_id, start // 16 AS chunk_idx,
+        |    list_slice(arr, CAST(start + 1 AS INTEGER), CAST(start + 32 AS INTEGER)) AS chunk
+        |  FROM st WHERE start = 0 OR len(arr) - start > 16)
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM keep ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "bpe_pair_counts" ->
       """WITH words AS (

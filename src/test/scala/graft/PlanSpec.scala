@@ -272,17 +272,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The global anti-pattern net: at 100 TB a CartesianProduct or
     // BroadcastNestedLoopJoin anywhere is a scale-killer, so every
     // banded/blocked operator must keep planning as an equi-join.
-    // Exempt: the explicitly-cartesian operator, and the four
+    // Exempt: the explicitly-cartesian operator, and the
     // scalar-attach crossJoin(broadcast(...)) sites whose build side is
-    // O(1) rows BY CONSTRUCTION — a 1-row corpus count (text_tfidf), a
-    // 1-row query vector (sim_cosine_topk), a per-language profile
-    // (text_langid), centroids × 1 query vector (sim_ann_ivf), and the
-    // 1-row quantized query codes (sim_quantized_rerank).
-    // A BNLJ over a bounded broadcast is a map-side attach, not a join
-    // explosion; anything NEW showing up here needs the same argument.
+    // O(1) rows BY CONSTRUCTION — each is a broadcast of a global
+    // no-groupBy aggregate (or a literal query row), so the "nested
+    // loop" is a map-side attach of one row, not a join explosion:
+    // a 1-row corpus count (text_tfidf), a 1-row query vector
+    // (sim_cosine_topk), a per-language profile (text_langid),
+    // centroids × 1 query vector (sim_ann_ivf), 1-row quantized query
+    // codes (sim_quantized_rerank), 1-row newest-day ref
+    // (agg_decay_halflife), 1-row collect_list of the 8 fixed centroids
+    // (dedup_semantic, sim_kmeans_step), 1-row node count
+    // (graph_pagerank_step), 1-row corpus token total
+    // (text_unigram_logprob), and 1-row node/edge/triangle counts
+    // (graph_triangles). Anything NEW showing up here needs the same
+    // bounded-by-construction argument.
     val allowed = Set("join_cross",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
-      "sim_quantized_rerank")
+      "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
+      "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
+      "graph_triangles")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>
