@@ -149,6 +149,29 @@ object Graph {
         .select(col("node"), col("cand").as("best_match"), col("common"),
           col("jac"))
         .orderBy("node")
+    },
+
+    "graph_degree_dist" -> { (s, d) =>
+      // Degree distribution of the co-order part graph in power-of-two
+      // buckets — the power-law audit run before any graph algorithm
+      // ships (it decides whether hub-salting is needed). Bucket =
+      // BINARY DIGIT COUNT of the degree (⌊log2⌋+1 computed exactly on
+      // integers via bin(); a floating log2 could tie at bucket edges).
+      // Shape: edge derivation + one degree shuffle; the histogram
+      // rollup reduces |V| rows to ≤64 — map-side combine makes the
+      // second shuffle bytes trivial at any graph size.
+      val op = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy(length(bin(col("deg"))).as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy("bucket")
     }
   )
 
@@ -228,6 +251,19 @@ object Graph {
         |    OVER (PARTITION BY node ORDER BY jac DESC, cand ASC) AS rn
         |  FROM scored)
         |SELECT node, cand AS best_match, common, jac
-        |FROM top WHERE rn = 1 ORDER BY node""".stripMargin
+        |FROM top WHERE rn = 1 ORDER BY node""".stripMargin,
+
+    "graph_degree_dist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+        |  GROUP BY node)
+        |SELECT CAST(length(bin(deg)) AS INTEGER) AS bucket,
+        |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

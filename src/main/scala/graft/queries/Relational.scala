@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -931,6 +932,33 @@ object Relational {
         .orderBy("user_id")
     },
 
+    "agg_weighted_median" -> { (s, d) =>
+      // Weighted median — each row counts l_quantity times (the
+      // data-mixing primitive: "median over the corpus where docs
+      // carry sampling weights"). No builtin expresses it, but two
+      // windows on the SAME partition key decompose it exactly: a
+      // cumulative weight (ROWS frame over the unique price ordering)
+      // and the partition total; the median is the first price whose
+      // doubled cumulative weight reaches the total. Both windows and
+      // the final rollup share one l_returnflag exchange. Weights
+      // accumulate as exact decimals, so the crossing row — hence the
+      // answer — is engine-independent; prices pass through min()
+      // untouched.
+      val wOrd = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"), dec(col("l_quantity")).as("q"))
+        .withColumn("cum", sum(col("q")).over(wOrd))
+        .withColumn("tot", sum(col("q")).over(wAll))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).cast(DoubleType).as("wmedian"))
+        .orderBy("l_returnflag")
+    },
+
     "subquery_correlated" -> { (s, d) =>
       // Correlated scalar subquery — exercises Catalyst's
       // RewriteCorrelatedScalarSubquery decorrelation (SURVEY.md §4b).
@@ -1583,6 +1611,19 @@ object Relational {
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_weighted_median" ->
+      s"""WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    sum(CAST(l_quantity AS $oD)) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(CAST(l_quantity AS $oD))
+        |      OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(min(l_extendedprice) AS DOUBLE) AS wmedian
+        |FROM t WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,

@@ -403,6 +403,40 @@ object StreamingBatch {
             .cast(DoubleType) / 10000.0)
         .withColumn("delta1", col("v") - col("lag1"))
         .orderBy("user_id", "day_idx")
+    },
+
+    "ts_changepoint" -> { (s, d) =>
+      // CUSUM changepoint detection: per user, the event where the
+      // cumulative deviation from the user's mean peaks — the standard
+      // level-shift locator. Three windows (whole-partition mean,
+      // ordered cumulative sum, argmax rank) all partition by user_id,
+      // so Spark plans ONE exchange; parallelism scales with users,
+      // not series length per task. Determinism: the mean is floored
+      // at 1e-4 (pure IEEE), per-row deviations are floored at 1e-4
+      // then decimal-captured EXACTLY, so every prefix sum is
+      // order-free-exact and the argmax (tie-broken on us, event_id)
+      // picks the same row in any engine.
+      val wAll = Window.partitionBy("user_id")
+      val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = eventsTs(s, d)
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("us"), col("event_id"), col("value"))
+        .withColumn("mean",
+          floor(sum(dec(col("value"))).over(wAll).cast(DoubleType) /
+            count(lit(1)).over(wAll) * 10000 + 0.5)
+            .cast(DoubleType) / 10000.0)
+        .withColumn("dev4",
+          floor((col("value") - col("mean")) * 10000 + 0.5)
+            .cast(DoubleType) / 10000.0)
+        .withColumn("cusum", sum(dec(col("dev4"))).over(wOrd).cast(DoubleType))
+      val wTop = Window.partitionBy("user_id")
+        .orderBy(abs(col("cusum")).desc, col("us"), col("event_id"))
+      base.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("us").as("cp_us"),
+          col("cusum").as("max_cusum"))
+        .orderBy("user_id")
     }
   )
 
@@ -652,6 +686,35 @@ object StreamingBatch {
         |    / 10000.0 AS mean7,
         |  v - max(v) OVER (PARTITION BY user_id ORDER BY day_idx
         |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS delta1
-        |FROM daily ORDER BY user_id, day_idx""".stripMargin
+        |FROM daily ORDER BY user_id, day_idx""".stripMargin,
+
+    "ts_changepoint" ->
+      s"""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (
+        |  SELECT user_id, us, event_id, value,
+        |    floor(CAST(sum(CAST(value AS $oD))
+        |        OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY user_id) * 10000 + 0.5)
+        |      / 10000.0 AS mean
+        |  FROM e),
+        |dv AS (
+        |  SELECT user_id, us, event_id,
+        |    floor((value - mean) * 10000 + 0.5) / 10000.0 AS dev4
+        |  FROM m),
+        |c AS (
+        |  SELECT user_id, us, event_id,
+        |    CAST(sum(CAST(dev4 AS $oD)) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS cusum
+        |  FROM dv),
+        |r AS (
+        |  SELECT user_id, us, cusum, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY abs(cusum) DESC, us, event_id) AS rn
+        |  FROM c)
+        |SELECT user_id, us AS cp_us, cusum AS max_cusum
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -147,6 +147,29 @@ object Windows {
         .filter(col("rn") <= 3)
         .select("p_brand", "rn", "p_partkey", "p_retailprice")
         .orderBy("p_brand", "rn")
+    },
+
+    "win_streak" -> { (s, d) =>
+      // Gaps-and-islands: each user's longest run of CONSECUTIVE active
+      // days. The classic trick — day_idx minus row_number over the
+      // distinct active days is constant within a consecutive run — so
+      // islands fall out of one window plus one groupBy, both keyed on
+      // user_id: the distinct, the window, and both rollups ride a
+      // single user partitioning (one exchange). Integer-only output.
+      val dayUs = 86400000000L
+      val days = eventsTs(s, d)
+        .select(col("user_id"), expr(s"us DIV ${dayUs}L").as("day_idx"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day_idx")
+      days
+        .withColumn("island", col("day_idx") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("max_streak"))
+        .orderBy("user_id")
     }
   )
 
@@ -232,6 +255,22 @@ object Windows {
         |  SELECT p_brand, p_partkey, p_retailprice, CAST(row_number()
         |    OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
         |  FROM part) t
-        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "win_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day_idx - row_number()
+        |      OVER (PARTITION BY user_id ORDER BY day_idx) AS island
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, island, count(*) AS len
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, max(len) AS max_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
