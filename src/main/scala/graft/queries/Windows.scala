@@ -155,10 +155,16 @@ object Windows {
       // distinct active days is constant within a consecutive run — so
       // islands fall out of one window plus one groupBy, both keyed on
       // user_id: the distinct, the window, and both rollups ride a
-      // single user partitioning (one exchange). Integer-only output.
+      // single user partitioning (one exchange). The explicit
+      // repartition makes that sharing real — without it the distinct
+      // hashes on (user_id, day_idx) and the window re-shuffles on
+      // user_id; partitioning by the user_id SUBSET up front satisfies
+      // the distinct's ClusteredDistribution too, so Spark plans no
+      // further hash exchange. Integer-only output.
       val dayUs = 86400000000L
       val days = eventsTs(s, d)
         .select(col("user_id"), expr(s"us DIV ${dayUs}L").as("day_idx"))
+        .repartition(col("user_id"))
         .distinct()
       val w = Window.partitionBy("user_id").orderBy("day_idx")
       days

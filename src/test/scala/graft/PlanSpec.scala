@@ -252,8 +252,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stage rides one user-keyed shuffle; a second Exchange would mean a
     // regression re-clustering the corpus per stage.
     // join_asof_nearest's backward+forward windows likewise share one
-    // user-keyed partitioning.
-    for (q <- Seq("merge_scd2", "ts_ohlc_downsample", "join_asof_nearest")) {
+    // user-keyed partitioning. agg_weighted_median (cumulative + total
+    // weight windows + rollup, all on l_returnflag), ts_changepoint
+    // (mean/cusum/argmax windows, all on user_id), and win_streak
+    // (explicit user_id repartition feeding distinct → island window →
+    // two rollups) each make the same single-shuffle claim in their
+    // query comments.
+    for (q <- Seq("merge_scd2", "ts_ohlc_downsample", "join_asof_nearest",
+        "agg_weighted_median", "ts_changepoint", "win_streak")) {
       val p = plan(q)
       val n = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(n === 1, s"$q: expected 1 shuffle, found $n:\n$p")
