@@ -935,24 +935,44 @@ object Relational {
     "agg_weighted_median" -> { (s, d) =>
       // Weighted median — each row counts l_quantity times (the
       // data-mixing primitive: "median over the corpus where docs
-      // carry sampling weights"). No builtin expresses it, but two
-      // windows on the SAME partition key decompose it exactly: a
-      // cumulative weight (ROWS frame over the unique price ordering)
-      // and the partition total; the median is the first price whose
-      // doubled cumulative weight reaches the total. Both windows and
-      // the final rollup share one l_returnflag exchange. Weights
-      // accumulate as exact decimals, so the crossing row — hence the
-      // answer — is engine-independent; prices pass through min()
-      // untouched.
-      val wOrd = Window.partitionBy("l_returnflag")
+      // carry sampling weights"). The naive form (one window per
+      // group key) shuffles the WHOLE table into #groups partitions —
+      // with 3 flags that's parallelism 3 at any cluster size, the
+      // classic low-cardinality-window scale bug (measured here:
+      // 600k rows sorted by 3 tasks). Instead, the standard two-phase
+      // bucket prune: (1) aggregate weight per (flag, price-bucket) —
+      // map-side combine makes the shuffle O(#flags × #buckets), not
+      // O(rows); (2) a running sum over that tiny table locates the
+      // bucket where cumulative weight crosses half the total; (3) only
+      // rows in the crossing bucket (≈ rows/#buckets, broadcast-joined
+      // spec) are sorted to find the exact crossing price. The big
+      // table is scanned, never globally sorted or shuffled whole.
+      // Determinism: weights accumulate as exact decimals in both
+      // phases; bucket = floor(price/1000.0) is one IEEE divide on
+      // identical doubles; prices pass through min() untouched.
+      val base = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"), dec(col("l_quantity")).as("q"),
+          floor(col("l_extendedprice") / 1000.0).cast(LongType).as("bkt"))
+      val bw = base.groupBy("l_returnflag", "bkt").agg(sum(col("q")).as("bq"))
+      val wB = Window.partitionBy("l_returnflag").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy("l_returnflag")
+      val crossing = bw
+        .withColumn("cumb", sum(col("bq")).over(wB))
+        .withColumn("tot", sum(col("bq")).over(wT))
+        .filter(col("cumb") * 2 >= col("tot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("bkt")))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag").as("cf"), col("bkt").as("cb"),
+          (col("cumb") - col("bq")).as("cum_before"), col("tot"))
+      val wIn = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("l_returnflag")
-      lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"), dec(col("l_quantity")).as("q"))
-        .withColumn("cum", sum(col("q")).over(wOrd))
-        .withColumn("tot", sum(col("q")).over(wAll))
+      base.join(broadcast(crossing),
+          col("l_returnflag") === col("cf") && col("bkt") === col("cb"))
+        .withColumn("cum", col("cum_before") + sum(col("q")).over(wIn))
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy("l_returnflag")
         .agg(min(col("l_extendedprice")).cast(DoubleType).as("wmedian"))

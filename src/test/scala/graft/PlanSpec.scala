@@ -252,18 +252,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stage rides one user-keyed shuffle; a second Exchange would mean a
     // regression re-clustering the corpus per stage.
     // join_asof_nearest's backward+forward windows likewise share one
-    // user-keyed partitioning. agg_weighted_median (cumulative + total
-    // weight windows + rollup, all on l_returnflag), ts_changepoint
-    // (mean/cusum/argmax windows, all on user_id), and win_streak
+    // user-keyed partitioning. ts_changepoint
+    // (mean/cusum/argmax windows, all on user_id) and win_streak
     // (explicit user_id repartition feeding distinct → island window →
     // two rollups) each make the same single-shuffle claim in their
     // query comments.
     for (q <- Seq("merge_scd2", "ts_ohlc_downsample", "join_asof_nearest",
-        "agg_weighted_median", "ts_changepoint", "win_streak")) {
+        "ts_changepoint", "win_streak")) {
       val p = plan(q)
       val n = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(n === 1, s"$q: expected 1 shuffle, found $n:\n$p")
     }
+  }
+
+  test("weighted median never shuffles or sorts the full table") {
+    // The two-phase bucket prune's whole claim: with a 3-value group
+    // key, the naive window form shuffles every row into 3 partitions
+    // (parallelism 3 at any cluster size). The pruned form may shuffle
+    // only reduced or pruned data: the bucket rollup (map-side partial
+    // first), its tiny window sort, and the crossing-bucket subset —
+    // while the full-table pass reaches the broadcast join straight
+    // from the scan.
+    val p = plan("agg_weighted_median")
+    assert(p.contains("BroadcastHashJoin"),
+      s"crossing-bucket spec is not broadcast:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 3, s"expected 3 reduced-data shuffles, found $n:\n$p")
+    // The probe side must be Scan → Filter/Project → BroadcastHashJoin
+    // with no Exchange in between (the full table never shuffles). In
+    // the tree rendering, probe-branch lines carry a ':' continuation
+    // mark before the node name; build-side and post-join lines don't.
+    assert(!p.linesIterator.exists(l =>
+        l.indexOf("Exchange") > 0 &&
+        l.substring(0, l.indexOf("Exchange")).contains(":")),
+      s"an Exchange appeared on the probe (full-table) side:\n$p")
   }
 
   test("profile_summary reads the table once and profiles via a single Expand") {
