@@ -180,6 +180,36 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"),
           min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
         .orderBy("bucket")
+    },
+
+    "graph_label_prop" -> { (s, d) =>
+      // One synchronous label-propagation step (community detection's
+      // workhorse): every node adopts the plurality label among its
+      // neighbors, ties broken toward the smaller label — the
+      // deterministic LPA variant. Labels start as id % 64 (coarse
+      // hash communities), so on step 1 a neighbor's label is
+      // derivable from its id and no label-table join is needed;
+      // iterating would turn that select into a shuffled equi-join on
+      // node id, same shape. Distributed schedule: symmetrize the edge
+      // list (map-side union), one map-side-combined groupBy
+      // (node, label) for the votes, and a row_number argmax window
+      // partitioned by node — parallelism scales with nodes, and no
+      // step exceeds O(edges) shuffle bytes. Same %3 witness bound as
+      // graph_triangles (see there).
+      val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      val edges = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      val votes = edges
+        .select(col("u").as("node"), (col("v") % 64).as("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("node").orderBy(col("votes").desc, col("lbl"))
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl").as("new_label"), col("votes"))
+        .orderBy("node")
     }
   )
 
@@ -273,6 +303,23 @@ object Graph {
         |  GROUP BY node)
         |SELECT CAST(length(bin(deg)) AS INTEGER) AS bucket,
         |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
-        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "graph_label_prop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |votes AS (
+        |  SELECT u AS node, v % 64 AS lbl, count(*) AS votes
+        |  FROM edges GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY node ORDER BY votes DESC, lbl) AS rn
+        |  FROM votes)
+        |SELECT node, lbl AS new_label, CAST(votes AS BIGINT) AS votes
+        |FROM r WHERE rn = 1 ORDER BY node""".stripMargin
   )
 }

@@ -979,6 +979,36 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    "agg_ab_ztest" -> { (s, d) =>
+      // Two-proportion z-test — the experimentation readout every
+      // data platform carries: arm = user parity, unit = (user, day),
+      // success = the unit saw a purchase (day-level units keep both
+      // proportions strictly inside (0,1), so z never degenerates).
+      // Shape: the per-unit reduce is the ONE data-sized shuffle
+      // (map-side combine on the unit key); four conditional sums then
+      // collapse the unit table to a single row, so z is computed from
+      // exact longs — identical IEEE doubles in any engine, floored at
+      // 1e-6.
+      val dayUs = 86400000000L
+      val perUnit = eventsTs(s, d)
+        .groupBy(col("user_id"), expr(s"us DIV ${dayUs}L").as("day"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("arm", col("user_id") % 2)
+      val c = perUnit.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+      val p0 = col("c0").cast(DoubleType) / col("n0")
+      val p1 = col("c1").cast(DoubleType) / col("n1")
+      val p = (col("c0") + col("c1")).cast(DoubleType) / (col("n0") + col("n1"))
+      val z = (p0 - p1) / sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      c.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        (floor(z * 1000000 + 0.5).cast(DoubleType) / 1000000.0).as("z"))
+    },
+
     "subquery_correlated" -> { (s, d) =>
       // Correlated scalar subquery — exercises Catalyst's
       // RewriteCorrelatedScalarSubquery decorrelation (SURVEY.md §4b).
@@ -1644,6 +1674,26 @@ object Relational {
         |SELECT l_returnflag, CAST(min(l_extendedprice) AS DOUBLE) AS wmedian
         |FROM t WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_ab_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    user_id % 2 AS arm
+        |  FROM events GROUP BY 1, 2, 4),
+        |c AS (
+        |  SELECT count(*) FILTER (arm = 0) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    count(*) FILTER (arm = 1) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM pu)
+        |SELECT n0, c0, n1, c1,
+        |  floor((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      * (1.0 / n0 + 1.0 / n1))
+        |    * 1000000 + 0.5) / 1000000.0 AS z
+        |FROM c""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,

@@ -437,6 +437,77 @@ object StreamingBatch {
         .select(col("user_id"), col("us").as("cp_us"),
           col("cusum").as("max_cusum"))
         .orderBy("user_id")
+    },
+
+    "ts_rolling_actives" -> { (s, d) =>
+      // Exact rolling 7-day distinct active users per day (the DAU/WAU
+      // family). Distributed shape: the (user, day) distinct is THE
+      // data-sized shuffle (map-side combine); each surviving pair then
+      // fans out to at most 7 observation days — a bounded map-side
+      // explode, never a dense-calendar join — and the per-day
+      // count-distinct shuffles only the already-deduped pairs. Days
+      // past the corpus end (the explode tail) are clipped by a
+      // broadcast semi join against the observed-day set, which is
+      // calendar-bounded and tiny at any data size. All-integer, so
+      // exact in any engine.
+      val dayUs = 86400000000L
+      val du = eventsTs(s, d)
+        .select(col("user_id"), expr(s"us DIV ${dayUs}L").as("day"))
+        .distinct()
+      val days = du.select(col("day").as("obs_day")).distinct()
+      du.withColumn("obs_day", explode(sequence(col("day"), col("day") + 6)))
+        .join(broadcast(days), Seq("obs_day"), "left_semi")
+        .groupBy("obs_day")
+        .agg(countDistinct(col("user_id")).as("dau7"))
+        .orderBy("obs_day")
+    },
+
+    "feat_target_encode" -> { (s, d) =>
+      // Leave-one-out target encoding — the standard categorical
+      // feature for GBDT/linear models: each row's category becomes
+      // the mean target of all OTHER rows in its category, so a row
+      // never leaks its own label. Distributed shape: per-category
+      // (sum, count) reduces map-side into a #categories-row table
+      // that broadcasts back onto the stream — the encode itself is
+      // map-side, the big table never shuffles; with 10^9 categories
+      // the same plan degrades gracefully to a shuffled equi-join.
+      // Determinism: category sums are exact decimals; subtracting the
+      // row's own exact capture stays decimal, and the divide runs on
+      // identical IEEE doubles in both engines, floored at 1e-4.
+      val stats = eventsTs(s, d).groupBy("event_type")
+        .agg(sum(dec(col("value"))).as("sv"), count(lit(1)).as("n"))
+      eventsTs(s, d).filter(col("user_id") % 20 === 0)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          (floor((col("sv") - dec(col("value"))).cast(DoubleType) /
+              (col("n") - 1) * 10000 + 0.5)
+            .cast(DoubleType) / 10000.0).as("te"))
+        .orderBy("event_id")
+    },
+
+    "ts_seasonal_profile" -> { (s, d) =>
+      // Day-of-week seasonal index — the decomposition prior for
+      // traffic forecasting: each dow's mean event value relative to
+      // the overall mean. The data-sized work is ONE map-side-combined
+      // groupBy into 7 rows; the overall mean is recomposed from those
+      // 7 rows (an unpartitioned window over a 7-row table), never a
+      // second scan. dow comes from the epoch-day index by pure
+      // integer arithmetic ((day + 4) % 7; 1970-01-01 was a Thursday,
+      // so 0 = Sunday). Exact decimal sums; the index divides
+      // identical IEEE doubles, floored at 1e-6.
+      val byDow = eventsTs(s, d)
+        .select(expr("(us DIV 86400000000 + 4) % 7").as("dow"), col("value"))
+        .groupBy("dow")
+        .agg(sum(dec(col("value"))).as("sv"), count(lit(1)).as("n"))
+      val wAll = Window.partitionBy(lit(1))
+      byDow
+        .withColumn("sv_all", sum(col("sv")).over(wAll))
+        .withColumn("n_all", sum(col("n")).over(wAll))
+        .select(col("dow"), col("n"),
+          (floor(col("sv").cast(DoubleType) / col("n") /
+              (col("sv_all").cast(DoubleType) / col("n_all")) * 1000000 + 0.5)
+            .cast(DoubleType) / 1000000.0).as("seasonal_idx"))
+        .orderBy("dow")
     }
   )
 
@@ -715,6 +786,42 @@ object StreamingBatch {
         |    ORDER BY abs(cusum) DESC, us, event_id) AS rn
         |  FROM c)
         |SELECT user_id, us AS cp_us, cusum AS max_cusum
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "ts_rolling_actives" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS obs_day FROM du),
+        |ex AS (
+        |  SELECT du.user_id, du.day + x.o AS obs_day
+        |  FROM du CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) x(o))
+        |SELECT obs_day, count(DISTINCT user_id) AS dau7
+        |FROM ex JOIN days USING (obs_day)
+        |GROUP BY obs_day ORDER BY obs_day""".stripMargin,
+
+    "feat_target_encode" ->
+      s"""WITH st AS (
+        |  SELECT event_type, sum(CAST(value AS $oD)) AS sv, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  floor(CAST(sv - CAST(value AS $oD) AS DOUBLE) / (n - 1)
+        |    * 10000 + 0.5) / 10000.0 AS te
+        |FROM events e JOIN st USING (event_type)
+        |WHERE user_id % 20 = 0 ORDER BY event_id""".stripMargin,
+
+    "ts_seasonal_profile" ->
+      s"""WITH b AS (
+        |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    sum(CAST(value AS $oD)) AS sv, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT dow, n, sv,
+        |    sum(sv) OVER () AS sv_all, sum(n) OVER () AS n_all
+        |  FROM b)
+        |SELECT dow, n,
+        |  floor(CAST(sv AS DOUBLE) / n / (CAST(sv_all AS DOUBLE) / n_all)
+        |    * 1000000 + 0.5) / 1000000.0 AS seasonal_idx
+        |FROM t ORDER BY dow""".stripMargin
   )
 }
