@@ -173,8 +173,11 @@ object Graph {
       val und = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
-      und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
+      // Both endpoints from ONE pass: a unionAll of two selects over
+      // `und` re-executes the whole pair-join + distinct subtree per
+      // branch (measured 2× wall at this graph's size); explode emits
+      // u and v from each edge row instead.
+      und.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .groupBy(length(bin(col("deg"))).as("bucket"))
         .agg(count(lit(1)).as("n_nodes"),
@@ -201,9 +204,14 @@ object Graph {
       val und = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
-      val edges = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      val votes = edges
-        .select(col("u").as("node"), (col("v") % 64).as("lbl"))
+      // Symmetrize via explode, not unionAll-of-selects: the union form
+      // re-executes the pair-join + distinct subtree once per direction
+      // (see graph_degree_dist).
+      val votes = und
+        .select(explode(array(
+          struct(col("u").as("node"), (col("v") % 64).as("lbl")),
+          struct(col("v").as("node"), (col("u") % 64).as("lbl")))).as("e"))
+        .select(col("e.node").as("node"), col("e.lbl").as("lbl"))
         .groupBy("node", "lbl").agg(count(lit(1)).as("votes"))
       val w = Window.partitionBy("node").orderBy(col("votes").desc, col("lbl"))
       votes.withColumn("rn", row_number().over(w))

@@ -635,10 +635,15 @@ object TextPipeline {
       // neighbors) — the groupBy that would otherwise just distinct the
       // node ids computes the neighbor min for free, saving one full
       // propagation round of fixed job overhead.
+      // eager=false: the checkpoint RDD still truncates lineage at plan
+      // time, but materialization folds into the convergence aggregate's
+      // job below — one Spark job per round instead of two (the eager
+      // form's checkpoint job + the labelSum job), halving the fixed
+      // per-round overhead that dominates at gate size.
       var labels = edges.groupBy(col("id_a").as("id"))
         .agg(min(col("id_b")).as("nmin"))
         .select(col("id"), least(col("id"), col("nmin")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
         .persist()
       // coalesce: sum over zero rows is NULL — a corpus with no
       // near-dup pairs must yield an empty result, not an NPE.
@@ -665,7 +670,7 @@ object TextPipeline {
         val next = viaEdges.unionByName(viaJump).unionByName(labels)
           .groupBy("id")
           .agg(min(col("label")).as("label"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
           .persist()
         val s2 = labelSum(next) // materializes the cache → stats for round k+1
         converged = s2 == prevSum
