@@ -100,6 +100,15 @@ object Graph {
           when(fwd, col("v")).otherwise(col("u")).as("dst"),
           when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
         .persist() // 3 consumers: both wedge sides + closure probe
+      // Join-strategy note (measured, SCALING.md): the wedge self-join's
+      // input can dip under the broadcast threshold while its OUTPUT
+      // explodes m^1.5-fold; AQE's size-only runtime promotion then
+      // picks a broadcast build that runs ~3x slower than the merge
+      // join (observed only at the synthetic 2x tier). At bench scale
+      // the promotion is right, and at production scale the input never
+      // sits under the threshold — so no hint: pinning merge here was
+      // measured 3x WORSE at 1x. A cluster deployment that hits the
+      // crossover window would set the hint per-site.
       val wedges = ori.as("a").join(ori.as("b"),
           col("a.src") === col("b.src") &&
             (col("a.ddeg") < col("b.ddeg") ||
@@ -138,6 +147,9 @@ object Graph {
         .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
         .persist() // 3 consumers: degree + both wedge sides
       val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      // Same join-strategy crossover as graph_triangles' wedge join
+      // (see note there): no hint, AQE's pick is right at bench and
+      // production sizes.
       val common = adj.as("a").join(adj.as("b"),
           col("a.nbr") === col("b.nbr") && col("a.node") =!= col("b.node"))
         .groupBy(col("a.node").as("node"), col("b.node").as("cand"))

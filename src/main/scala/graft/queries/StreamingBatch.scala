@@ -508,6 +508,38 @@ object StreamingBatch {
               (col("sv_all").cast(DoubleType) / col("n_all")) * 1000000 + 0.5)
             .cast(DoubleType) / 1000000.0).as("seasonal_idx"))
         .orderBy("dow")
+    },
+
+    "feat_quantile_bucketize" -> { (s, d) =>
+      // Quantile discretization of a numeric feature (per-lang length
+      // quartiles) — the standard continuous→categorical step before
+      // crossing features or equal-population sharding. Distributed
+      // shape: the cut points reduce to a #groups-row table (one
+      // map-side-combined agg) that BROADCASTS back onto the corpus;
+      // the bucketize itself is map-side, so the big table shuffles
+      // zero times at any scale. Exact `percentile` sorts per group and
+      // is the gate form; at 100 TB the documented swap is
+      // approx_percentile (same plan shape, bounded sketch memory —
+      // agg_approx_percentile witnesses it). Determinism: n_chars is
+      // integral, so interpolated quartiles are exact binary fractions
+      // (lo + (hi-lo)·{0,.25,.5,.75}) — bit-identical across engines;
+      // bucket edges compare those exact doubles with <=.
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      val cuts = docs.groupBy("lang").agg(
+        percentile(col("n_chars"), lit(0.25)).as("q1"),
+        percentile(col("n_chars"), lit(0.50)).as("q2"),
+        percentile(col("n_chars"), lit(0.75)).as("q3"))
+      docs.join(broadcast(cuts), "lang")
+        .withColumn("bucket",
+          when(col("n_chars") <= col("q1"), 1)
+            .when(col("n_chars") <= col("q2"), 2)
+            .when(col("n_chars") <= col("q3"), 3)
+            .otherwise(4))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "bucket")
     }
   )
 
@@ -822,6 +854,21 @@ object StreamingBatch {
         |SELECT dow, n,
         |  floor(CAST(sv AS DOUBLE) / n / (CAST(sv_all AS DOUBLE) / n_all)
         |    * 1000000 + 0.5) / 1000000.0 AS seasonal_idx
-        |FROM t ORDER BY dow""".stripMargin
+        |FROM t ORDER BY dow""".stripMargin,
+
+    "feat_quantile_bucketize" ->
+      """WITH cuts AS (
+        |  SELECT lang,
+        |    percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+        |    percentile_cont(0.50) WITHIN GROUP (ORDER BY n_chars) AS q2,
+        |    percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang,
+        |  CAST(CASE WHEN n_chars <= q1 THEN 1 WHEN n_chars <= q2 THEN 2
+        |            WHEN n_chars <= q3 THEN 3 ELSE 4 END AS INTEGER) AS bucket,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents d JOIN cuts USING (lang)
+        |GROUP BY d.lang, bucket ORDER BY lang, bucket""".stripMargin
   )
 }

@@ -161,6 +161,72 @@ object TextPipeline {
         .orderBy("canon")
     },
 
+    "dedup_incremental" -> { (s, d) =>
+      // Incremental exact dedup of a new ingest batch against the
+      // accumulated corpus — the daily-crawl shape: the historical
+      // side never re-reads document BODIES, only its fingerprint set
+      // (in production a persisted, fingerprint-partitioned index that
+      // the day's batch anti-joins against; co-partitioning makes the
+      // join exchange-free on the history side). Here history =
+      // doc_id % 10 != 0, the new batch the rest. Within-batch dups
+      // collapse first (min-id survivor, one map-side-combined
+      // groupBy), then the anti-join discards anything history already
+      // has. Shuffle bytes are fingerprints only — 16 bytes/doc at any
+      // corpus size, never text.
+      val fp = documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val hist = fp.filter(col("doc_id") % 10 =!= 0).select("fp").distinct()
+      fp.filter(col("doc_id") % 10 === 0)
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .join(hist, Seq("fp"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    "feat_negative_sampling" -> { (s, d) =>
+      // Deterministic negative sampling for contrastive training:
+      // every anchor doc (doc_id % 97 == 0 — the fixture's stand-in
+      // for a query/positive stream) draws 4 cross-lang negatives,
+      // pseudo-randomly but reproducibly. Scheme: docs land in 64
+      // md5 buckets; an anchor probes the 4 buckets after its own
+      // (stride probing — no second hash), and takes the top-4
+      // candidates by a per-candidate order hash among the probed
+      // buckets' cross-lang members. The scale lever is a LOSSLESS
+      // rank-prefix prune: only the top-4 candidates per
+      // (bucket, lang) can ever appear in ANY anchor's global top-4
+      // (an anchor keeps 4 total, so at most 4 from one slice), so
+      // the corpus collapses into a ≤ 64·#langs·4-row index — built
+      // with one (bucket, lang) shuffle, then BROADCAST. Per-anchor
+      // work is O(1); anchors never join the corpus itself. Ordering
+      // by md5 makes every step engine-portable and rerun-stable
+      // (no rand() seeds).
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      def bkt(id: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit("graft-neg:"), id.cast(StringType))),
+          1, 8), 16, 10).cast(LongType) % 64
+      val prefix = docs
+        .select(col("doc_id").as("cand_id"), col("lang").as("cand_lang"),
+          bkt(col("doc_id")).as("bucket"),
+          md5(concat(lit("graft-ord:"), col("doc_id").cast(StringType))).as("rk"))
+        .withColumn("pn", row_number().over(
+          Window.partitionBy("bucket", "cand_lang").orderBy(col("rk"), col("cand_id"))))
+        .filter(col("pn") <= 4).drop("pn")
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("anchor_id"), col("lang").as("anchor_lang"),
+          bkt(col("doc_id")).as("abkt"))
+        .select(col("anchor_id"), col("anchor_lang"),
+          explode(array((1 to 4).map(t => (col("abkt") + lit(t)) % 64): _*))
+            .as("bucket"))
+      probes.join(broadcast(prefix), "bucket")
+        .filter(col("cand_lang") =!= col("anchor_lang"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("anchor_id").orderBy(col("rk"), col("cand_id"))))
+        .filter(col("rn") <= 4)
+        .select(col("anchor_id"), col("rn").as("neg_rank"),
+          col("cand_id").as("neg_id"))
+        .orderBy("anchor_id", "neg_rank")
+    },
+
     "dedup_weighted" -> { (s, d) =>
       // Soft dedup — the training-mix alternative to dropping copies:
       // keep ONE survivor per exact-dup cluster but carry the cluster's
@@ -1088,6 +1154,40 @@ object TextPipeline {
     // reproduce the same brute-force truth set (see shingleVerify).
     "dedup_minhash" -> shingleTruthSql,
     "dedup_simhash" -> shingleTruthSql,
+
+    "dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0),
+        |batch AS (
+        |  SELECT fp, min(doc_id) AS doc_id FROM fp
+        |  WHERE doc_id % 10 = 0 GROUP BY fp)
+        |SELECT doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    "feat_negative_sampling" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5('graft-neg:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |    md5('graft-ord:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |prefix AS (
+        |  SELECT cand_id, cand_lang, bucket, rk FROM (
+        |    SELECT doc_id AS cand_id, lang AS cand_lang, bucket, rk,
+        |      row_number() OVER (PARTITION BY bucket, lang ORDER BY rk, doc_id) AS pn
+        |    FROM docs) t WHERE pn <= 4),
+        |probes AS (
+        |  SELECT d.doc_id AS anchor_id, d.lang AS anchor_lang,
+        |    (d.bucket + t.t) % 64 AS bucket
+        |  FROM docs d CROSS JOIN (VALUES (1),(2),(3),(4)) AS t(t)
+        |  WHERE d.doc_id % 97 = 0),
+        |ranked AS (
+        |  SELECT anchor_id, cand_id, rk,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY rk, cand_id) AS rn
+        |  FROM probes p JOIN prefix c USING (bucket)
+        |  WHERE c.cand_lang <> p.anchor_lang)
+        |SELECT anchor_id, CAST(rn AS INTEGER) AS neg_rank, cand_id AS neg_id
+        |FROM ranked WHERE rn <= 4 ORDER BY anchor_id, neg_rank""".stripMargin,
 
     "dedup_url" ->
       """WITH u AS (
