@@ -46,11 +46,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanos instead:
-    * exact, and integer ns→µs/ms derivations then match DuckDB's
-    * epoch_us/epoch_ms bit-for-bit (SURVEY.md §7.4). Queries needing a
-    * real timestamp use [[eventsTs]], which adds `ts_t` = µs-precision
+  /** `events.ts` has shipped under two physical types across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as raw int64 nanos — and, since
+    * the 2026-08-13 regeneration, plain timestamp[us] (surfacing as
+    * TIMESTAMP_NTZ). Every downstream query was written against the
+    * int64-nanos shape, so normalize HERE to `ts` = epoch nanos long
+    * regardless of what's on disk: exact in both directions (µs→ns is a
+    * lossless ×1000), and integer ns→µs/ms derivations then match
+    * DuckDB's epoch_us/epoch_ms bit-for-bit (SURVEY.md §7.4) — DuckDB
+    * reads either physical type as a native timestamp, so the oracle SQL
+    * (`epoch_us(ts)`) is generation-independent. Queries needing a real
+    * timestamp use [[eventsTs]], which adds `ts_t` = µs-precision
     * TimestampType plus `us` = epoch micros.
     */
   def events(s: SparkSession, d: String): DataFrame = {
@@ -59,7 +66,19 @@ object Tables {
     // no nanosAsLong key), the set is idempotent, and no other table
     // carries a nanos column, so the widened scope changes nothing else.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw // TIMESTAMP(NANOS) generation, read as nanos
+      case TimestampNTZType =>
+        // NTZ carries no zone; all sessions here pin UTC, so the µs
+        // field count IS epoch micros. unix_micros needs TimestampType;
+        // the UTC-session cast is a zero-shift reinterpretation.
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
 
   /** Events with `us` (epoch µs, exact long) and `ts_t` (µs timestamp). */
