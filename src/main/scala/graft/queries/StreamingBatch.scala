@@ -540,10 +540,109 @@ object StreamingBatch {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("lang", "bucket")
+    },
+
+    "feat_minmax_scale" -> { (s, d) =>
+      // Min-max feature scaling per category — the [0,1] normalization
+      // step before distance-based models. Same distributed shape as
+      // feat_target_encode: per-type (min, max) reduces map-side into a
+      // #types-row table that BROADCASTS back; the scale itself is
+      // map-side, the big table never shuffles. min/max of doubles are
+      // order-free (no accumulation), so the quotient runs on identical
+      // IEEE doubles in both engines, floored at 1e-6; a degenerate
+      // single-value type pins to 0.5 rather than divide by zero.
+      val stats = eventsTs(s, d).groupBy("event_type")
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      eventsTs(s, d).filter(col("user_id") % 20 === 0)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          when(col("mx") === col("mn"), lit(0.5))
+            .otherwise(floor((col("value") - col("mn")) / (col("mx") - col("mn"))
+                * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
+            .as("scaled"))
+        .orderBy("event_id")
+    },
+
+    "ts_cross_corr" -> { (s, d) =>
+      // Lagged cross-correlation between event-type activity series —
+      // the lead-indicator probe ("do clicks at hour h predict
+      // purchases at h+lag?"). Distributed shape: the data-sized work
+      // is ONE map-side-combined hourly rollup into a calendar-bounded
+      // (hour × type) table; the lag fan-out (×4) and self-join run on
+      // that tiny table, never on raw events. Pearson r is recomposed
+      // from integer count sums — exact at any parallelism — with the
+      // one double expression evaluated on bit-identical inputs in both
+      // engines (agg_corr_matrix's recipe; sums here are hour counts,
+      // so they stay far inside exact-double range — at 1e9 events/hour
+      // the documented swap is the same DECIMAL capture corr_matrix
+      // uses). Hours missing from either series are absent (inner
+      // join), not zero-filled: the corpus is hourly-dense, and the
+      // zero-filled variant is ts_gapfill's composition, not this one.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val a = hc.select(col("event_type").as("type_a"), col("h"),
+        col("n").as("x"))
+        .withColumn("lag_h", explode(array((0 to 3).map(lit): _*)))
+      val b = hc.select(col("event_type").as("type_b"), col("h").as("hb"),
+        col("n").as("y"))
+      val sums = a.join(b,
+          col("hb") === col("h") + col("lag_h") &&
+            col("type_a") =!= col("type_b"))
+        .groupBy("type_a", "type_b", "lag_h")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("x")).cast(DoubleType).as("sx"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+          sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+          sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+      val nD = col("n_hours").cast(DoubleType)
+      sums
+        .select(col("type_a"), col("type_b"), col("lag_h"), col("n_hours"),
+          when(nD * col("sxx") === col("sx") * col("sx") ||
+              nD * col("syy") === col("sy") * col("sy"), lit(null).cast(DoubleType))
+            .otherwise(round((nD * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+                sqrt(nD * col("syy") - col("sy") * col("sy"))), 6))
+            .as("xcorr"))
+        .orderBy("type_a", "type_b", "lag_h")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "feat_minmax_scale" ->
+      """WITH stats AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN mx = mn THEN 0.5
+        |       ELSE floor((value - mn) / (mx - mn) * 1000000 + 0.5) / 1000000.0
+        |  END AS scaled
+        |FROM events e JOIN stats USING (event_type)
+        |WHERE user_id % 20 = 0 ORDER BY event_id""".stripMargin,
+
+    "ts_cross_corr" ->
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    l.lag_h AS lag_h, a.n AS x, b.n AS y
+        |  FROM hc a CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS lag_h) l
+        |  JOIN hc b ON b.h = a.h + l.lag_h AND a.event_type <> b.event_type),
+        |agg AS (
+        |  SELECT type_a, type_b, lag_h, count(*) AS n_hours,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT type_a, type_b, lag_h, n_hours,
+        |  CASE WHEN n_hours * sxx = sx * sx OR n_hours * syy = sy * sy THEN NULL
+        |       ELSE round((n_hours * sxy - sx * sy) /
+        |         (sqrt(n_hours * sxx - sx * sx) * sqrt(n_hours * syy - sy * sy)), 6)
+        |  END AS xcorr
+        |FROM agg ORDER BY type_a, type_b, lag_h""".stripMargin,
+
     "agg_decay_halflife" ->
       """WITH ev AS (
         |  SELECT event_type, value, CAST(ts AS DATE) AS day FROM events),

@@ -1126,7 +1126,56 @@ object TextPipeline {
           round(col("n_stop").cast(DoubleType) / col("n_tok"), 6).as("stopword_ratio"),
           round(col("n_chars").cast(DoubleType) / col("n_tok"), 6).as("mean_tok_len"),
           (col("n_chars").between(100, 400) && col("n_tok") >= 20).as("passes_filter"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "text_vocab_build" -> { (s, d) =>
+      // Tokenizer-vocabulary training: dense integer ids for the top-500
+      // corpus tokens by frequency (freq desc, token asc — the
+      // deterministic tie-break every tokenizer trainer uses). Shape:
+      // the data-sized work is ONE explode+groupBy corpus pass with
+      // map-side combine; the global rank then runs over the
+      // vocab-sized count table — Zipf-bounded (~10⁷ rows even at
+      // web scale), so the single-partition row_number window ranks a
+      // table that fits on one executor regardless of corpus size, and
+      // the top-500 limit keeps the emitted vocab O(1).
+      val cnt = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      cnt
+        .withColumn("token_id", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term").asc)))
+        .filter(col("token_id") <= 500)
+        // row_number is INT in Spark but BIGINT in DuckDB — emit long.
+        .select(col("token_id").cast(LongType).as("token_id"),
+          col("term"), col("cnt"))
+        .orderBy("token_id")
+    },
+
+    "text_bigram_lm" -> { (s, d) =>
+      // Bigram language model (the n-gram LM / next-token-statistics
+      // primitive): P(w2 | w1) with the corpus as training data, emitted
+      // for the 200 most frequent bigrams. Shape: bigram construction is
+      // a map-side transform over the already-split token array (no
+      // per-token explode of unigrams — w1 totals are recomposed from
+      // the bigram counts themselves via a window over the REDUCED
+      // table), so the only data-sized shuffle is the bigram groupBy
+      // with map-side combine. logp divides exact integer counts on
+      // identical IEEE doubles, rounded at 1e-6.
+      val bg = documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      bg
+        .withColumn("w1_cnt", sum(col("cnt")).over(Window.partitionBy("w1")))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)))
+        .filter(col("rk") <= 200)
+        .select(col("w1"), col("w2"), col("cnt"), col("w1_cnt"),
+          round(log(col("cnt").cast(DoubleType) / col("w1_cnt")), 6).as("logp"))
+        .orderBy("w1", "w2")
+    }
   )
 
   /** Brute-force word-Jaccard ≥ 0.8 blocked pair truth — shared by the
@@ -1154,6 +1203,26 @@ object TextPipeline {
     // reproduce the same brute-force truth set (see shingleVerify).
     "dedup_minhash" -> shingleTruthSql,
     "dedup_simhash" -> shingleTruthSql,
+
+    "text_vocab_build" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |rk AS (SELECT term, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, term ASC) AS token_id FROM cnt)
+        |SELECT token_id, term, cnt FROM rk WHERE token_id <= 500
+        |ORDER BY token_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bg0 AS (SELECT unnest(list_transform(range(len(ws) - 1),
+        |  i -> [ws[i + 1], ws[i + 2]])) AS b FROM w WHERE len(ws) >= 2),
+        |cnt AS (SELECT b[1] AS w1, b[2] AS w2, count(*) AS cnt FROM bg0 GROUP BY 1, 2),
+        |wc AS (SELECT w1, w2, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC) AS rk FROM cnt)
+        |SELECT w1, w2, cnt, w1_cnt,
+        |  round(ln(CAST(cnt AS DOUBLE) / CAST(w1_cnt AS DOUBLE)), 6) AS logp
+        |FROM wc WHERE rk <= 200 ORDER BY w1, w2""".stripMargin,
 
     "dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -296,6 +296,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans === 1, s"profile pass scans the table $scans times:\n$p")
   }
 
+  test("feat_minmax_scale broadcasts the per-type stats, never shuffling the stream") {
+    val p = plan("feat_minmax_scale")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats table did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"minmax encode degraded to a full-stream shuffle join:\n$p")
+  }
+
+  test("text_vocab_build reduces map-side before the single vocab shuffle") {
+    val p = plan("text_vocab_build")
+    // partial_count before the exchange = the corpus-sized explode is
+    // combined per-task; only vocab-sized partials cross the network.
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"vocab count has no map-side partial aggregate:\n$p")
+  }
+
+  test("ts_cross_corr self-joins the hourly rollup as an equi-join") {
+    val p = plan("ts_cross_corr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lagged self-join lost its equi-key:\n$p")
+  }
+
   test("no query plans a cartesian or nested-loop join except the deliberate cross") {
     // The global anti-pattern net: at 100 TB a CartesianProduct or
     // BroadcastNestedLoopJoin anywhere is a scale-killer, so every
