@@ -1175,6 +1175,62 @@ object TextPipeline {
         .select(col("w1"), col("w2"), col("cnt"), col("w1_cnt"),
           round(log(col("cnt").cast(DoubleType) / col("w1_cnt")), 6).as("logp"))
         .orderBy("w1", "w2")
+    },
+
+    "pipeline_mixture_weights" -> { (s, d) =>
+      // Source-mixture rebalancing weights — the data-mixing primitive
+      // that decides how hard to up/down-sample each source so every
+      // source contributes an equal token share to the training mix
+      // (uniform target; any target vector is the same arithmetic).
+      // Shape: ONE map-side-combined corpus pass reduces to a
+      // #sources-row table; the total and source count are recomposed
+      // from that tiny table by an unpartitioned window, never a second
+      // scan. weight = (total/k)/source_tokens on identical IEEE
+      // doubles, floored at 1e-6.
+      val wAll = Window.partitionBy(lit(1))
+      documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("tot", sum(col("n_tokens")).over(wAll))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (floor(col("tot").cast(DoubleType) / col("k") / col("n_tokens")
+              * 1000000 + 0.5).cast(DoubleType) / 1000000.0).as("weight"))
+        .orderBy("source")
+    },
+
+    "sample_mixture_resample" -> { (s, d) =>
+      // Realize the mixture weights as a deterministic doc-level
+      // resample: each doc is emitted floor(w) times plus one more iff
+      // its salted-md5 uniform draw falls under frac(w) — the standard
+      // integer+Bernoulli upsampling that hits the target share in
+      // expectation with zero RNG state (md5 is engine-portable, unlike
+      // seeded rand). Shape: the #sources weight table BROADCASTS onto
+      // the corpus, copy counts are map-side arithmetic, and the only
+      // data-sized shuffle is the final per-source rollup — the corpus
+      // is never materialized n_copies-fold (downstream packing
+      // consumes (doc, n_copies) pairs directly).
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      val wAll = Window.partitionBy(lit(1))
+      val weights = docs.groupBy("source")
+        .agg(sum(col("n_tok")).as("n_tokens"))
+        .withColumn("tot", sum(col("n_tokens")).over(wAll))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .select(col("source"),
+          (col("tot").cast(DoubleType) / col("k") / col("n_tokens")).as("w"))
+      val frac = conv(substring(md5(concat(lit("graft-resample:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType).cast(DoubleType) / 4294967296.0
+      docs.join(broadcast(weights), "source")
+        .withColumn("n_copies", floor(col("w")).cast(LongType) +
+          when(frac < col("w") - floor(col("w")), 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_in"),
+          sum(col("n_copies")).as("copies_out"),
+          sum(col("n_copies") * col("n_tok")).as("tokens_out"))
+        .orderBy("source")
     }
   )
 
@@ -1223,6 +1279,40 @@ object TextPipeline {
         |SELECT w1, w2, cnt, w1_cnt,
         |  round(ln(CAST(cnt AS DOUBLE) / CAST(w1_cnt AS DOUBLE)), 6) AS logp
         |FROM wc WHERE rk <= 200 ORDER BY w1, w2""".stripMargin,
+
+    "pipeline_mixture_weights" ->
+      """WITH bs AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT source, n_docs, n_tokens,
+        |  CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+        |  count(*) OVER () AS k FROM bs)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(CAST(tot AS DOUBLE) / k / n_tokens * 1000000 + 0.5) / 1000000.0 AS weight
+        |FROM t ORDER BY source""".stripMargin,
+
+    "sample_mixture_resample" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |bs AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM docs GROUP BY source),
+        |wt AS (SELECT source,
+        |  CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE)
+        |    / (count(*) OVER ()) / n_tokens AS w FROM bs),
+        |c AS (
+        |  SELECT d.source, n_tok,
+        |    CAST(floor(w) AS BIGINT) + CASE WHEN
+        |      CAST(('0x' || substring(md5('graft-resample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0 < w - floor(w)
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM docs d JOIN wt USING (source))
+        |SELECT source, count(*) AS docs_in,
+        |  CAST(sum(n_copies) AS BIGINT) AS copies_out,
+        |  CAST(sum(n_copies * n_tok) AS BIGINT) AS tokens_out
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
