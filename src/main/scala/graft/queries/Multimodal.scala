@@ -125,6 +125,57 @@ object Multimodal {
         }
         .toDF("doc_id", "frame_idx", "frame_bytes", "frame_sum")
         .orderBy("doc_id", "frame_idx")
+    },
+
+    "mm_phash_dedup" -> { (s, d) =>
+      // Perceptual-hash near-dup detection — the image-dedup pipeline:
+      // decode → 32-bit pHash in the batched per-partition step (a real
+      // build swaps the stride-thumbnail stub for DCT-of-downscale; the
+      // bytes→hash signature and call site are identical), then a
+      // banded LSH self-join finds pairs at Hamming ≤ 2 WITHOUT an
+      // all-pairs compare. Banding is provably lossless here: 2 bit
+      // errors can corrupt at most 2 of the 4 8-bit bands, so every
+      // qualifying pair shares an intact band — which is why the
+      // brute-force oracle hash-matches exactly. Scale shape: the
+      // candidate join is an equi-join on (band, value) buckets; the
+      // Hamming verify is two integer instructions (xor + popcount)
+      // inside codegen.
+      val sp = s
+      import sp.implicits._
+      val hashed = documents(s, d)
+        .filter(length(col("text")) >= 32)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[Blob]
+        .mapPartitions { blobs =>
+          // per-partition decoder init would go here
+          blobs.map { b =>
+            val n = b.payload.length
+            if (n < 32) (b.doc_id, 0L) // defensive; filtered upstream
+            else {
+              val thumb = Array.tabulate(32)(i => b.payload(i * n / 32) & 0xFF)
+              val tsum = thumb.sum
+              var h = 0L
+              var i = 0
+              while (i < 32) { if (thumb(i) * 32 > tsum) h |= 1L << i; i += 1 }
+              (b.doc_id, h)
+            }
+          }
+        }
+        .toDF("doc_id", "phash")
+      val bandArr = array((0 until 4).map(k =>
+        shiftright(col("phash"), k * 8).bitwiseAND(lit(255L))): _*)
+      val banded = hashed
+        .select(col("doc_id"), col("phash"), posexplode(bandArr))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+      banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(first(col("a.phash")).as("ha"), first(col("b.phash")).as("hb"))
+        .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(col("hamming") <= 2)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -176,6 +227,30 @@ object Multimodal {
         |    list_transform(string_split_regex(frame, ''), c -> CAST(ord(c) AS BIGINT))),
         |    (a, x) -> a + x) AS BIGINT) AS frame_sum
         |FROM frames WHERE frame_idx % 4 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Brute-force truth: banding is lossless at Hamming ≤ 2 (see the
+    // query comment), so the unbanded all-pairs compare must match.
+    "mm_phash_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(range(32),
+        |    i -> ord(substring(text, CAST(i * length(text) // 32 + 1 AS INTEGER), 1))) AS thumb
+        |  FROM documents WHERE length(text) >= 32),
+        |s AS (SELECT doc_id, thumb,
+        |  CAST(list_reduce(list_prepend(0, thumb), (a, x) -> a + x) AS BIGINT) AS tsum
+        |  FROM t),
+        |h AS (SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(32), i ->
+        |      CASE WHEN thumb[CAST(i + 1 AS INTEGER)] * 32 > tsum
+        |        THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+        |        ELSE CAST(0 AS BIGINT) END)),
+        |    (a, x) -> a + x) AS BIGINT) AS phash
+        |  FROM s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
