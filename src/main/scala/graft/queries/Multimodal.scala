@@ -128,52 +128,56 @@ object Multimodal {
     },
 
     "mm_phash_dedup" -> { (s, d) =>
-      // Perceptual-hash near-dup detection — the image-dedup pipeline:
-      // decode → 32-bit pHash in the batched per-partition step (a real
-      // build swaps the stride-thumbnail stub for DCT-of-downscale; the
-      // bytes→hash signature and call site are identical), then a
-      // banded LSH self-join finds pairs at Hamming ≤ 2 WITHOUT an
-      // all-pairs compare. Banding is provably lossless here: 2 bit
-      // errors can corrupt at most 2 of the 4 8-bit bands, so every
-      // qualifying pair shares an intact band — which is why the
-      // brute-force oracle hash-matches exactly. Scale shape: the
-      // candidate join is an equi-join on (band, value) buckets; the
-      // Hamming verify is two integer instructions (xor + popcount)
-      // inside codegen.
+      // Perceptual-hash near-dup detection — how image dedup actually
+      // runs at scale: encoder embedding → binarize to a sign-bit
+      // sketch (sign-random-projection hashing) → banded Hamming LSH.
+      // The binarize step sits in the batched mapPartitions (a real
+      // build decodes + embeds there; the vector→hash call site is
+      // identical). Banding is provably lossless at the Hamming ≤ 3
+      // gate: 3 bit errors corrupt at most 3 of the 4 15-bit bands, so
+      // every qualifying pair shares an intact band — which is why the
+      // brute-force all-pairs oracle hash-matches exactly. Band width
+      // is the scale lever: an earlier 4×8-bit cut (256-value buckets)
+      // went quadratic on clustered inputs at the 4× tier (99 s);
+      // 32 768-value buckets keep the candidate join selective. (60
+      // bits, not 64: DuckDB's BIGINT shift overflows at 1<<63.) The
+      // corpus has no sign-near vectors (min pairwise sketch distance
+      // 14, measured), so — dedup_exact's self-union precedent — the
+      // query plants one near-dup per vec_id%10 vector by negating
+      // dims 3 and 7, which flips EXACTLY those sign bits: planted
+      // pairs sit at Hamming ≤ 2 by construction, and the operator
+      // demonstrably recovers every one of them.
       val sp = s
       import sp.implicits._
-      val hashed = documents(s, d)
-        .filter(length(col("text")) >= 32)
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-        .as[Blob]
-        .mapPartitions { blobs =>
-          // per-partition decoder init would go here
-          blobs.map { b =>
-            val n = b.payload.length
-            if (n < 32) (b.doc_id, 0L) // defensive; filtered upstream
-            else {
-              val thumb = Array.tabulate(32)(i => b.payload(i * n / 32) & 0xFF)
-              val tsum = thumb.sum
-              var h = 0L
-              var i = 0
-              while (i < 32) { if (thumb(i) * 32 > tsum) h |= 1L << i; i += 1 }
-              (b.doc_id, h)
-            }
+      val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 3 || i === 7, -x).otherwise(x)).as("embedding"))
+      val hashed = base.unionByName(planted)
+        .as[(Long, Array[Float])]
+        .mapPartitions { vecs =>
+          // per-partition decoder/encoder init would go here
+          vecs.map { case (id, v) =>
+            var h = 0L
+            var i = 0
+            while (i < 60) { if (v(i) > 0f) h |= 1L << i; i += 1 }
+            (id, h)
           }
         }
-        .toDF("doc_id", "phash")
+        .toDF("vec_id", "phash")
       val bandArr = array((0 until 4).map(k =>
-        shiftright(col("phash"), k * 8).bitwiseAND(lit(255L))): _*)
+        shiftright(col("phash"), k * 15).bitwiseAND(lit(32767L))): _*)
       val banded = hashed
-        .select(col("doc_id"), col("phash"), posexplode(bandArr))
+        .select(col("vec_id"), col("phash"), posexplode(bandArr))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
       banded.alias("a").join(banded.alias("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
         .agg(first(col("a.phash")).as("ha"), first(col("b.phash")).as("hb"))
         .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
     }
@@ -229,28 +233,30 @@ object Multimodal {
         |FROM frames WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
-    // Brute-force truth: banding is lossless at Hamming ≤ 2 (see the
+    // Brute-force truth: banding is lossless at Hamming ≤ 3 (see the
     // query comment), so the unbanded all-pairs compare must match.
+    // Sign compares and float negation are exact in both engines.
     "mm_phash_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_transform(range(32),
-        |    i -> ord(substring(text, CAST(i * length(text) // 32 + 1 AS INTEGER), 1))) AS thumb
-        |  FROM documents WHERE length(text) >= 32),
-        |s AS (SELECT doc_id, thumb,
-        |  CAST(list_reduce(list_prepend(0, thumb), (a, x) -> a + x) AS BIGINT) AS tsum
-        |  FROM t),
-        |h AS (SELECT doc_id,
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000 AS vec_id,
+        |    list_transform(range(len(embedding)),
+        |      i -> CASE WHEN i = 3 OR i = 7 THEN -embedding[CAST(i + 1 AS INTEGER)]
+        |           ELSE embedding[CAST(i + 1 AS INTEGER)] END) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |h AS (SELECT vec_id,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(32), i ->
-        |      CASE WHEN thumb[CAST(i + 1 AS INTEGER)] * 32 > tsum
+        |    list_transform(range(60), i ->
+        |      CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
         |        THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
         |        ELSE CAST(0 AS BIGINT) END)),
         |    (a, x) -> a + x) AS BIGINT) AS phash
-        |  FROM s)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  FROM u)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
-        |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        |FROM h a JOIN h b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin
   )
 }
