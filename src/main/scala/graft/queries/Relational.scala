@@ -814,6 +814,39 @@ object Relational {
           round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
         .orderBy("l_returnflag")),
 
+    "agg_moments" -> { (s, d) =>
+      // Skewness & excess kurtosis per group from EXACT raw-moment sums
+      // (the built-ins accumulate doubles in partition order —
+      // nondeterministic across engines, like corr in agg_corr_matrix).
+      // One Q1-shaped pass emits Σx..Σx⁴ as exact decimals (quantity is
+      // 2dp ≤ 50, so x⁴ at scale 8 stays far inside DECIMAL(38)); the
+      // central-moment recomposition then runs on bit-identical doubles
+      // in both engines. Shuffle bytes: 5 numbers per (group, task).
+      val d2: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => c.cast(DecimalType(8, 2))
+      val q = col("l_quantity")
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(d2(q)).cast(DoubleType).as("s1"),
+          sum(d2(q) * d2(q)).cast(DoubleType).as("s2"),
+          sum(d2(q) * d2(q) * d2(q)).cast(DoubleType).as("s3"),
+          sum(d2(q) * d2(q) * d2(q) * d2(q)).cast(DoubleType).as("s4"))
+        .withColumn("mu", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+        .withColumn("m3", col("s3") / col("n") -
+          lit(3) * col("mu") * col("s2") / col("n") +
+          lit(2) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4", col("s4") / col("n") -
+          lit(4) * col("mu") * col("s3") / col("n") +
+          lit(6) * col("mu") * col("mu") * col("s2") / col("n") -
+          lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .select(col("l_returnflag"), col("n").cast(LongType).as("n_rows"),
+          round(col("mu"), 6).as("mean_qty"),
+          round(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+
     "agg_linreg" -> { (s, d) =>
       // Per-type least-squares trend of event value over time, built
       // from EXACT partials: the only order-sensitive work is the four
@@ -1635,6 +1668,35 @@ object Relational {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The (19,2) first factor forces DuckDB's int128 decimal path (its
+    // width-≤18 multiplies don't widen and would overflow at scale 8);
+    // the VALUES are identical to Spark's widening arithmetic, and both
+    // engines emit the same doubles into the same expression tree.
+    "agg_moments" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(8,2))
+        |      * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(8,2))
+        |      * CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4 FROM p),
+        |c AS (
+        |  SELECT l_returnflag, n, mu,
+        |    s2 / n - mu * mu AS m2,
+        |    s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu AS m3,
+        |    s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round(mu, 6) AS mean_qty,
+        |  round(m3 / pow(m2, 1.5), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 6) AS kurtosis
+        |FROM c ORDER BY l_returnflag""".stripMargin,
 
     "scan_schema_evolution" ->
       """SELECT lang, count(*) AS n, count(n_chars) AS n_with_chars,
