@@ -443,6 +443,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 18, s"quantized rerank recalled only $recall/20")
   }
 
+  test("mm_phash_dedup recovers every planted sign-flip near-dup") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("mm_phash_dedup")(spark, sf)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val planted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    // Every planted (v, v+1e9) pair must surface: negating dims 3 and 7
+    // flips exactly those sign bits, so the pair sits at Hamming ≤ 2 —
+    // inside the banding's lossless ≤3 gate by construction.
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    planted.foreach { v =>
+      assert(gotPairs.contains((v, v + 1000000000L)),
+        s"planted near-dup of vec $v not recovered")
+    }
+    got.foreach { case (a, b, h) =>
+      assert(h >= 0 && h <= 3, s"pair ($a,$b) outside the Hamming gate: $h")
+    }
+  }
+
+  test("text_bigram_lm conditionals are consistent with the vocabulary counts") {
+    val sp = spark
+    import sp.implicits._
+    val vocab = SparkEntry.queries("text_vocab_build")(spark, sf)
+      .select("term", "cnt").as[(String, Long)].collect().toMap
+    val bg = SparkEntry.queries("text_bigram_lm")(spark, sf)
+      .select("w1", "w2", "cnt", "w1_cnt").as[(String, String, Long, Long)].collect()
+    assert(bg.nonEmpty, "bigram LM emitted nothing")
+    bg.foreach { case (w1, w2, cnt, w1cnt) =>
+      assert(cnt <= w1cnt, s"bigram ($w1,$w2) count $cnt exceeds its w1 total $w1cnt")
+      // w1's bigram-start total counts occurrences followed by a token —
+      // at most every occurrence of w1 in the corpus (vocab top-500 holds
+      // this tiny fixture's whole vocabulary).
+      vocab.get(w1).foreach(v =>
+        assert(w1cnt <= v, s"$w1 starts $w1cnt bigrams but occurs only $v times"))
+    }
+  }
+
   test("funnel_stages is monotone and stage 1 equals distinct viewers") {
     val sp = spark
     import sp.implicits._

@@ -170,4 +170,34 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(scored(someDoc)._2 - expected) < 1e-6,
       s"doc $someDoc: ${scored(someDoc)._2} vs recomputed $expected")
   }
+
+  test("agg_moments matches an exact collect-side recompute") {
+    val got = SparkEntry.queries("agg_moments")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+    rows.foreach { case (flag, xs) =>
+      val q = xs.map(_._2)
+      val n = q.length.toDouble
+      // Same exact-decimal-capture → double → formula pipeline as the
+      // query and its oracle; sums are exact, so equality holds to the
+      // emitted 6-dp rounding.
+      val s1 = q.sum.toDouble
+      val s2 = q.map(x => x * x).sum.toDouble
+      val s3 = q.map(x => x * x * x).sum.toDouble
+      val s4 = q.map(x => x * x * x * x).sum.toDouble
+      val mu = s1 / n
+      val m2 = s2 / n - mu * mu
+      val m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+      val m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu * mu * mu * mu
+      val (gn, gMean, gSkew, gKurt) = got(flag)
+      assert(gn === q.length.toLong)
+      assert(math.abs(gMean - mu) < 1e-6, s"$flag mean: $gMean vs $mu")
+      assert(math.abs(gSkew - m3 / math.pow(m2, 1.5)) < 1e-6, s"$flag skew")
+      assert(math.abs(gKurt - (m4 / (m2 * m2) - 3)) < 1e-6, s"$flag kurt")
+    }
+  }
 }
