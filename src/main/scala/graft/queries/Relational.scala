@@ -847,6 +847,35 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    "agg_gini" -> { (s, d) =>
+      // Gini concentration of order value per status — the inequality
+      // audit that tells a mixture designer how skewed a source's
+      // contribution is. Exact form: rank each value inside its group
+      // (ties carry equal values, so Σ i·x is tie-order invariant) and
+      // recompose G = 2·Σi·x/(n·Σx) − (n+1)/n. One shuffle: the rank
+      // window and the rollup share the o_orderstatus partitioning.
+      // Σx and Σi·x go through exact decimals (i ≤ n keeps (38,6) far
+      // from overflow), so the closing formula runs on bit-identical
+      // doubles in both engines.
+      // Rank by the decimal capture itself: the 2-dp→(28,6) cast is
+      // order-preserving, so this is the same permutation the oracle's
+      // ORDER BY o_totalprice produces.
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("v"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          dec(col("o_totalprice")).as("v"))
+        .withColumn("i", row_number().over(w).cast(DecimalType(10, 0)))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("v")).cast(DoubleType).as("sv"),
+          sum(col("v") * col("i")).cast(DoubleType).as("svi"))
+        .select(col("o_orderstatus"), col("n").cast(LongType).as("n_orders"),
+          round(lit(2.0) * col("svi") / (col("n") * col("sv")) -
+            (col("n") + 1) / col("n"), 6).as("gini"))
+        .orderBy("o_orderstatus")
+    },
+
     "agg_linreg" -> { (s, d) =>
       // Per-type least-squares trend of event value over time, built
       // from EXACT partials: the only order-sensitive work is the four
@@ -1660,6 +1689,22 @@ object Relational {
         |FROM sl ORDER BY event_type""".stripMargin,
 
     "agg_corr_matrix" -> corrMatrixOracle,
+
+    "agg_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(28,6)) AS v,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS i
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(v) AS DOUBLE) AS sv,
+        |    CAST(sum(v * CAST(i AS DECIMAL(19,0))) AS DOUBLE) AS svi
+        |  FROM r GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_orders,
+        |  round(2.0 * svi / (n * sv) - (n + 1) / n, 6) AS gini
+        |FROM p ORDER BY o_orderstatus""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,
