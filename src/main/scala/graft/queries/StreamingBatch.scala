@@ -606,10 +606,64 @@ object StreamingBatch {
                 sqrt(nD * col("syy") - col("sy") * col("sy"))), 6))
             .as("xcorr"))
         .orderBy("type_a", "type_b", "lag_h")
+    },
+
+    "ts_acf" -> { (s, d) =>
+      // Autocorrelation of the global hourly event-count series at lags
+      // 1–6 — the seasonality probe (a 24-lag spike means daily
+      // rhythm). Same recomposition as ts_cross_corr against the series
+      // itself: one map-side-combined hourly rollup, a ×6 lag fan-out
+      // + self-join over the calendar-bounded hour table, Pearson r
+      // from exact integer sums.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val a = hc.select(col("h"), col("n").as("x"))
+        .withColumn("lag_h", explode(array((1 to 6).map(lit): _*)))
+      val b = hc.select(col("h").as("hb"), col("n").as("y"))
+      val sums = a.join(b, col("hb") === col("h") + col("lag_h"))
+        .groupBy("lag_h")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("x")).cast(DoubleType).as("sx"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+          sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+          sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+      val nD = col("n_hours").cast(DoubleType)
+      sums
+        .select(col("lag_h"), col("n_hours"),
+          when(nD * col("sxx") === col("sx") * col("sx") ||
+              nD * col("syy") === col("sy") * col("sy"), lit(null).cast(DoubleType))
+            .otherwise(round((nD * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+                sqrt(nD * col("syy") - col("sy") * col("sy"))), 6))
+            .as("acf"))
+        .orderBy("lag_h")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts_acf" ->
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT l.lag_h AS lag_h, a.n AS x, b.n AS y
+        |  FROM hc a CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag_h) l
+        |  JOIN hc b ON b.h = a.h + l.lag_h),
+        |agg AS (
+        |  SELECT lag_h, count(*) AS n_hours,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT lag_h, n_hours,
+        |  CASE WHEN n_hours * sxx = sx * sx OR n_hours * syy = sy * sy THEN NULL
+        |       ELSE round((n_hours * sxy - sx * sy) /
+        |         (sqrt(n_hours * sxx - sx * sx) * sqrt(n_hours * syy - sy * sy)), 6)
+        |  END AS acf
+        |FROM agg ORDER BY lag_h""".stripMargin,
+
     "feat_minmax_scale" ->
       """WITH stats AS (
         |  SELECT event_type, min(value) AS mn, max(value) AS mx

@@ -1200,6 +1200,32 @@ object TextPipeline {
         .orderBy("source")
     },
 
+    "feat_hashing_vectorize" -> { (s, d) =>
+      // Hashing-trick bag-of-words vectorizer — the unbounded-vocab
+      // featurizer: each token hashes to one of D=64 buckets (salted
+      // md5, engine-portable — no vocabulary table, no OOV problem,
+      // which is the whole point at web scale). Shape: one explode +
+      // (doc, bucket) groupBy with map-side combine, then a doc-keyed
+      // rollup riding the same doc_id partitioning. The vector is
+      // emitted as a sorted sparse "bucket:count" string — the
+      // comparator-safe form (raw array cells crash the driver's hash
+      // comparator; SURVEY §7).
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      toks
+        .withColumn("bucket",
+          conv(substring(md5(col("term")), 1, 8), 16, 10).cast(LongType) % 64)
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          sum(col("c")).as("n_tok"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("bucket"), col("c")))),
+            x => concat(x.getField("bucket").cast(StringType), lit(":"),
+              x.getField("c").cast(StringType))), ",").as("vec"))
+        .orderBy("doc_id")
+    },
+
     "sample_mixture_resample" -> { (s, d) =>
       // Realize the mixture weights as a deterministic doc-level
       // resample: each doc is emitted floor(w) times plus one more iff
@@ -1291,6 +1317,19 @@ object TextPipeline {
         |SELECT source, n_docs, n_tokens,
         |  floor(CAST(tot AS DOUBLE) / k / n_tokens * 1000000 + 0.5) / 1000000.0 AS weight
         |FROM t ORDER BY source""".stripMargin,
+
+    "feat_hashing_vectorize" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |bk AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM toks),
+        |bc AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS nnz, CAST(sum(c) AS BIGINT) AS n_tok,
+        |  string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+        |    ',' ORDER BY bucket) AS vec
+        |FROM bc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sample_mixture_resample" ->
       """WITH docs AS (
