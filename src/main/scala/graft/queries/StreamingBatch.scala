@@ -608,6 +608,27 @@ object StreamingBatch {
         .orderBy("type_a", "type_b", "lag_h")
     },
 
+    "ts_rolling_median" -> { (s, d) =>
+      // Exact rolling median (lower middle) of each user's last 7
+      // observations — the robust smoother percentile_approx can't
+      // replace when outliers must not bleed. The frame is BOUNDED
+      // (7 rows), so collecting it per row is O(1) state and the whole
+      // op rides ONE user_id exchange; an element pick from the sorted
+      // frame is exact double equality in any engine — no rounding, no
+      // interpolation. Users sampled %20 BEFORE the window, so the
+      // frame is over the sampled stream (mirrored in the oracle).
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(-6, 0)
+      eventsTs(s, d)
+        .filter(col("user_id") % 20 === 0)
+        .select(col("event_id"), col("user_id"), col("us"), col("value"))
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .select(col("event_id"), col("user_id"),
+          size(col("arr")).as("n_win"),
+          expr("element_at(arr, int((size(arr) + 1) div 2))").as("med_lo"))
+        .orderBy("event_id")
+    },
+
     "ts_acf" -> { (s, d) =>
       // Autocorrelation of the global hourly event-count series at lags
       // 1–6 — the seasonality probe (a 24-lag spike means daily
@@ -643,6 +664,20 @@ object StreamingBatch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts_rolling_median" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE user_id % 20 = 0),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM s)
+        |SELECT event_id, user_id, CAST(len(arr) AS INTEGER) AS n_win,
+        |  arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS med_lo
+        |FROM w ORDER BY event_id""".stripMargin,
+
     "ts_acf" ->
       s"""WITH hc AS (
         |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
