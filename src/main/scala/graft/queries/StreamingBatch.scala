@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Tables._
 
 /** Batch-equivalent forms of the streaming operators (SURVEY.md §2j).
@@ -608,6 +608,34 @@ object StreamingBatch {
         .orderBy("type_a", "type_b", "lag_h")
     },
 
+    "feat_winsorize" -> { (s, d) =>
+      // Winsorization — clip each value into its type's [p05, p95] —
+      // the outlier-robust preprocessing step before scaling. Same
+      // broadcast shape as feat_quantile_bucketize: exact percentiles
+      // reduce to a #types-row table that broadcasts back, the clip is
+      // map-side, and only the per-type rollup shuffles
+      // (approx_percentile is the documented 100 TB cut-point swap).
+      // Determinism: both engines interpolate lo + (hi−lo)·frac on
+      // identical doubles; clipped values are rounded at 1e-6 before
+      // the exact decimal capture (text_unigram_logprob's recipe —
+      // interpolated boundaries are off the 6-dp grid, so capturing
+      // unrounded would gamble on a representation tie).
+      val cuts = eventsTs(s, d).groupBy("event_type").agg(
+        percentile(col("value"), lit(0.05)).as("p05"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+      eventsTs(s, d).join(broadcast(cuts), "event_type")
+        .withColumn("clipped",
+          round(least(greatest(col("value"), col("p05")), col("p95")), 6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") < col("p05")).cast(LongType)).as("n_clip_lo"),
+          sum((col("value") > col("p95")).cast(LongType)).as("n_clip_hi"),
+          sum(dec(col("clipped"))).cast(DoubleType).as("sum_clipped"),
+          round(min(col("p05")), 6).as("p05"),
+          round(min(col("p95")), 6).as("p95"))
+        .orderBy("event_type")
+    },
+
     "ts_rolling_median" -> { (s, d) =>
       // Exact rolling median (lower middle) of each user's last 7
       // observations — the robust smoother percentile_approx can't
@@ -664,6 +692,19 @@ object StreamingBatch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "feat_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(CAST(round(least(greatest(value, p05), p95), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_clipped,
+        |  round(min(p05), 6) AS p05, round(min(p95), 6) AS p95
+        |FROM events e JOIN cuts USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "ts_rolling_median" ->
       """WITH s AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us, value
