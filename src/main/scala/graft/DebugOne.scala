@@ -23,6 +23,7 @@ object DebugOne {
       } catch {
         case e: Throwable =>
           println(s"FAIL $n: ${e.getClass.getName}: ${e.getMessage}")
+          e.printStackTrace(System.out)
       }
     }
     spark.stop()

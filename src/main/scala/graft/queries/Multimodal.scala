@@ -149,9 +149,19 @@ object Multimodal {
       // demonstrably recovers every one of them.
       val sp = s
       import sp.implicits._
+      // Planted ids live at vec_id + 1e9. Collision guard: a colliding
+      // base id would equal base'+1e9 with base'%10==0, i.e. be >=1e9
+      // and %10==0 itself — exactly a row of THIS filtered branch, so
+      // asserting the contract here catches every possible collision.
+      // The assert is folded into the projected value (coalesce of the
+      // always-null assert_true) so pruning can't drop it.
       val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000000L).as("vec_id"),
+        .select((col("vec_id") + 1000000000L +
+          coalesce(assert_true(col("vec_id") < 1000000000L,
+            lit("mm_phash_dedup: base vec_id >= 1e9 collides with the " +
+              "planted-id offset — regenerate or raise the offset"))
+            .cast(LongType), lit(0L))).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 3 || i === 7, -x).otherwise(x)).as("embedding"))
       val hashed = base.unionByName(planted)
@@ -159,6 +169,9 @@ object Multimodal {
         .mapPartitions { vecs =>
           // per-partition decoder/encoder init would go here
           vecs.map { case (id, v) =>
+            require(v.length >= 60,
+              s"mm_phash_dedup needs >=60 embedding dims, got ${v.length} " +
+                s"(vec_id=$id) — testdata generation changed shape?")
             var h = 0L
             var i = 0
             while (i < 60) { if (v(i) > 0f) h |= 1L << i; i += 1 }

@@ -615,14 +615,16 @@ object StreamingBatch {
       // reduce to a #types-row table that broadcasts back, the clip is
       // map-side, and only the per-type rollup shuffles
       // (approx_percentile is the documented 100 TB cut-point swap).
-      // Determinism: both engines interpolate lo + (hi−lo)·frac on
-      // identical doubles; clipped values are rounded at 1e-6 before
-      // the exact decimal capture (text_unigram_logprob's recipe —
-      // interpolated boundaries are off the 6-dp grid, so capturing
-      // unrounded would gamble on a representation tie).
+      // Determinism: quantile interpolation is NOT guaranteed
+      // bit-identical across engines (lo+(hi-lo)*f vs lo*(1-f)+hi*f
+      // differ by ulps), so the cut points are snapped to a 1e-9 grid
+      // at the source — every downstream comparison (clip counts AND
+      // clipped values) then runs on identical doubles in both
+      // engines; clipped values additionally round at 1e-6 before the
+      // exact decimal capture (text_unigram_logprob's recipe).
       val cuts = eventsTs(s, d).groupBy("event_type").agg(
-        percentile(col("value"), lit(0.05)).as("p05"),
-        percentile(col("value"), lit(0.95)).as("p95"))
+        round(percentile(col("value"), lit(0.05)), 9).as("p05"),
+        round(percentile(col("value"), lit(0.95)), 9).as("p95"))
       eventsTs(s, d).join(broadcast(cuts), "event_type")
         .withColumn("clipped",
           round(least(greatest(col("value"), col("p05")), col("p95")), 6))
@@ -694,8 +696,8 @@ object StreamingBatch {
   val oracleSql: Map[String, String] = Map(
     "feat_winsorize" ->
       """WITH cuts AS (
-        |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
-        |    quantile_cont(value, 0.95) AS p95
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 9) AS p05,
+        |    round(quantile_cont(value, 0.95), 9) AS p95
         |  FROM events GROUP BY event_type)
         |SELECT e.event_type, count(*) AS n,
         |  CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,

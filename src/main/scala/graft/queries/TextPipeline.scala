@@ -1163,6 +1163,10 @@ object TextPipeline {
       // identical IEEE doubles, rounded at 1e-6.
       val bg = documents(s, d)
         .select(split(col("text"), " ").as("ws"))
+        // Guard: a 1-token doc makes sequence(0, -1) DESCEND ([0,-1]) and
+        // ws[-1] then trips ANSI INVALID_ARRAY_INDEX — mirror the oracle's
+        // WHERE len(ws) >= 2 so both engines skip bigram-free docs.
+        .filter(size(col("ws")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
         .select(col("b.w1"), col("b.w2"))
