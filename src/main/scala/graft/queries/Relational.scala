@@ -1309,6 +1309,40 @@ object Relational {
         .orderBy("column_name")
     },
 
+    "profile_summary_approx" -> { (s, d) =>
+      // profile_summary's 100 TB form, witnessed (the exact variant's
+      // scaladoc promises this swap; this query demonstrates it).
+      // The PRODUCTION shape is the approx branch alone: every
+      // approx_count_distinct is an HLL++ sketch inside ONE ordinary
+      // aggregate — no Expand, no row multiplication, one scan, one
+      // 1-row shuffle regardless of column count (vs the exact form,
+      // whose n-distinct Expand multiplies every input row by
+      // #distinct-columns). rsd=0.01 sizes the sketch for the 2% bar.
+      // The exact branch below exists ONLY to power the oracle's
+      // bar-flag gate (agg_approx_distinct's recipe): the emitted
+      // n_distinct is exact (value-matched by DuckDB) and each
+      // column's approx_within_2pct flag is pinned TRUE, so the hash
+      // gate verifies the sketch's accuracy claim per column.
+      val o = orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val approxAggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          approx_count_distinct(col(c), 0.01).as(s"ap_$c")))
+      val exactAggs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+      val approx1 = o.agg(approxAggs.head, approxAggs.tail: _*)
+      val exact1 = o.agg(exactAggs.head, exactAggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, nn_$c, nd_$c, " +
+          s"abs(ap_$c - nd_$c) <= 0.02 * nd_$c").mkString(",\n          ")
+      approx1.crossJoin(broadcast(exact1))
+        .select(expr(
+          s"""stack(${cols.size},
+          $stackArgs) AS (column_name, n_rows, n_nonnull, n_distinct, approx_within_2pct)"""))
+        .orderBy("column_name")
+    },
+
     "agg_histogram" -> { (s, d) =>
       // Fixed-width histogram of order totals — the distribution pass
       // behind skew diagnosis and partition sizing. Bucketing is pure
@@ -1582,6 +1616,32 @@ object Relational {
         |    count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
         |  FROM orders)
         |SELECT * FROM p ORDER BY column_name""".stripMargin,
+
+    // Exact distincts value-matched; the per-column accuracy flag is
+    // pinned TRUE — the gate verifies the HLL sketches hit the 2% bar.
+    "profile_summary_approx" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |    count(o_orderkey) AS n_nonnull,
+        |    count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(o_custkey),
+        |    count(DISTINCT o_custkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |    count(DISTINCT o_totalprice) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(o_orderdate),
+        |    count(DISTINCT o_orderdate) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority) FROM orders)
+        |SELECT column_name, n_rows, n_nonnull, n_distinct,
+        |  TRUE AS approx_within_2pct
+        |FROM p ORDER BY column_name""".stripMargin,
 
     "agg_histogram" ->
       s"""SELECT bucket, CAST(bucket * 30000.0 AS DOUBLE) AS lo_bound, count(*) AS n,

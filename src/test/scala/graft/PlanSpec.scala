@@ -296,6 +296,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans === 1, s"profile pass scans the table $scans times:\n$p")
   }
 
+  test("profile_summary_approx's production branch is Expand-free") {
+    // The query unions an approx branch (the 100 TB path: HLL sketches
+    // in ONE ordinary aggregate) with an exact branch that exists only
+    // to power the oracle's bar flag. Exactly one Expand may appear —
+    // the exact branch's — proving the approx aggregate itself plans
+    // sketch merges, not row multiplication.
+    val p = plan("profile_summary_approx")
+    val expands = "Expand".r.findAllIn(p).length
+    assert(expands === 1,
+      s"expected exactly 1 Expand (exact gate branch only), found $expands:\n$p")
+    assert(p.contains("approx_count_distinct") || p.contains("HyperLogLog"),
+      s"approx branch does not plan HLL sketches:\n$p")
+  }
+
   test("feat_minmax_scale broadcasts the per-type stats, never shuffling the stream") {
     val p = plan("feat_minmax_scale")
     assert(p.contains("BroadcastHashJoin"),
