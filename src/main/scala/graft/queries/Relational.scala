@@ -159,6 +159,20 @@ object Relational {
         .parquet(tmp)
     }
 
+  /** Lineitem re-written as 16 parquet files — the multi-file table
+    * layout every production estate actually has (a 100 TB table is
+    * tens of thousands of files; scan parallelism comes from files as
+    * much as from intra-file splits), which the driver's one-file-per-
+    * table testdata never exercises. Round-robin repartition gives 16
+    * near-equal files. Same one-time-write contract as the other
+    * layouts, so Bench's timed repeats measure only the many-file read.
+    */
+  private def multifileLineitem(s: SparkSession, d: String): String =
+    oneTimeLayout(s, "multifile_li", d) { tmp =>
+      lineitem(s, d).repartition(16)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** Pre-execution physical plan with the AQE wrapper peeled — the tree
     * whose node instances (and metric accumulators) the first adaptive
     * stage executes.
@@ -541,6 +555,35 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    "scan_multifile" -> { (s, d) =>
+      // Many-file scan witness — a 100 TB table is tens of thousands of
+      // parquet files, and the driver's one-file-per-table testdata
+      // never exercises that read path in the timed plan. Re-read the
+      // 16-file lineitem layout and require() the planner actually saw
+      // all 16 files AND split them into multiple parallel tasks; the
+      // aggregate is oracled against the single-file source, so the
+      // hash gate proves the re-layout (and split planning over it) is
+      // semantics-free. File-count evidence comes from the scan node's
+      // selectedPartitions (static planning truth); parallelism from
+      // the scan RDD's partition count (file-bin packing respects
+      // maxPartitionBytes/openCostInBytes — the knobs that size tasks
+      // at estate scale).
+      val layout = multifileLineitem(s, d)
+      val df = s.read.parquet(layout)
+      val scans = initialPlanOf(df).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val nFiles = scans.map(_.selectedPartitions.toPartitionArray.length).sum
+      val nSplits = scans.map(_.inputRDD.getNumPartitions).sum
+      require(nFiles == 16 && nSplits > 1,
+        s"multi-file scan planned $nFiles files into $nSplits splits " +
+          "(want 16 files, >1 parallel splits)")
+      df.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
     },
 
     "join_bucketed_colocated" -> { (s, d) =>
@@ -1616,6 +1659,16 @@ object Relational {
         |    count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
         |  FROM orders)
         |SELECT * FROM p ORDER BY column_name""".stripMargin,
+
+    // Oracled against the SINGLE-file source table: equality proves the
+    // 16-file re-layout and its split planning are semantics-free.
+    "scan_multifile" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  ${oSum("l_quantity")} AS sum_qty,
+        |  ${oSum("l_extendedprice")} AS sum_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // Exact distincts value-matched; the per-column accuracy flag is
     // pinned TRUE — the gate verifies the HLL sketches hit the 2% bar.
