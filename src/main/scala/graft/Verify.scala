@@ -49,11 +49,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Environment facts DuckDB can't observe but this process can:
+    // owner/primary group of files the fs fixtures plant, probed via a
+    // java.nio temp file created by the SAME process that planted them.
+    val probe = Files.createTempFile("graft_probe", "")
+    val attrs = Files.readAttributes(probe,
+      classOf[java.nio.file.attribute.PosixFileAttributes])
+    val (fsUser, fsGroup) = (attrs.owner().getName, attrs.group().getName)
+    Files.delete(probe)
     val json = SparkEntry.oracleSql
       // fs oracles need literal paths for DuckDB glob()/read_blob();
       // substitute the tier actually verified (queries.FsQueries doc).
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace(queries.FsQueries.SfDirToken, sfDir))}" }
+        s"${q(k)}: ${q(v.replace(queries.FsQueries.SfDirToken, sfDir)
+          .replace(queries.FsQueries.FsUserToken, fsUser)
+          .replace(queries.FsQueries.FsGroupToken, fsGroup))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

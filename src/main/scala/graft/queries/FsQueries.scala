@@ -21,7 +21,60 @@ object FsQueries {
 
   /** Replaced with the runtime sfDir by Verify when dumping oracle SQL. */
   val SfDirToken = "GRAFT_SF_DIR"
+  /** Replaced by Verify with the process user/primary group (java.nio
+    * probe) — DuckDB cannot stat() ownership, but the owner of files
+    * THIS process plants is an environment fact Verify can inject, the
+    * same way it injects the sfDir path.
+    */
+  val FsUserToken = "GRAFT_FS_USER"
+  val FsGroupToken = "GRAFT_FS_GROUP"
   private val parquetGlobRegex = Glob.toRegex("*.parquet")
+
+  /** The fs_ls_long fixture: (name, content, octal mode, expected perm
+    * string). Modes cover the render paths Hadoop's FsPermission can
+    * actually carry — rw/r-x/write-only-owner/read-only plus both
+    * sticky-bit renderings (t with other-execute, T without); setuid/
+    * setgid are stripped by FsPermission.toShort, so planting them
+    * would witness nothing (permString's unit tests cover those chars
+    * on literal modes in FsSpec).
+    */
+  private val lsLongFixture: Seq[(String, String, Int, String)] = Seq(
+    ("lsl_a.txt", "alpha", Integer.parseInt("644", 8), "-rw-r--r--"),
+    ("lsl_b.bin", "bb",    Integer.parseInt("755", 8), "-rwxr-xr-x"),
+    ("lsl_c.dat", "",      Integer.parseInt("600", 8), "-rw-------"),
+    ("lsl_d.log", "dddd",  Integer.parseInt("444", 8), "-r--r--r--"),
+    ("lsl_e.tmp", "eee",   Integer.parseInt("1644", 8), "-rw-r--r-T"),
+    ("lsl_f.sh",  "f",     Integer.parseInt("1755", 8), "-rwxr-xr-t"))
+
+  /** Plants the fs_ls_long fixture once per (app, tier): files with
+    * DECLARED names, contents, and modes, created and chmod'd through
+    * the same Hadoop FileSystem API the listing reads back — so the
+    * oracle can be a pure known-construction VALUES emission (fn_url
+    * precedent) and the hash gate proves the whole create → stat →
+    * render chain reproduces the declaration. _SUCCESS-guarded like
+    * Relational's layouts; the lock serializes concurrent consumers in
+    * one JVM.
+    */
+  private val plantLock = new Object
+  def lsLongDir(s: SparkSession, d: String): String = plantLock.synchronized {
+    val dir = scratch(s, "lsl", d)
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      fs.mkdirs(root)
+      lsLongFixture.foreach { case (name, content, mode, _) =>
+        val p = new org.apache.hadoop.fs.Path(root, name)
+        val out = fs.create(p, true)
+        out.write(content.getBytes("UTF-8"))
+        out.close()
+        fs.setPermission(p,
+          new org.apache.hadoop.fs.permission.FsPermission(mode.toShort))
+      }
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    dir
+  }
 
   /** Renders the ls -l permission string (nine rwx chars) from a %04o
     * octal mode column, including the POSIX special bits carried by
@@ -66,18 +119,23 @@ object FsQueries {
 
     "fs_ls_long" -> { (s, d) =>
       // hh ls -l: the formatted long listing — `drwxr-xr-x`-style perm
-      // string (type char + three rwx triples incl. setuid/setgid/sticky
-      // rendering, see permString), owner, group, size, name. Pure
-      // column arithmetic over the DSv2 listing, so it stays
-      // executor-side and codegen'd. Type char is dir-vs-file only: the
-      // Hadoop FileSystem API resolves symlinks during listing (and
-      // FsPermission carries no link bit), so 'l' can never reach this
-      // query — documented limitation, not a rendering gap. No DuckDB
-      // oracle exists for stat() data (glob()/read_blob() expose names
-      // and sizes only) — rows-only at the gate; FsSpec asserts the
-      // rendered perm/owner/length against java.nio filesystem truth
-      // and the special-bit mapping against literal modes.
-      FsOps.ls(s, d)
+      // string (type char + three rwx triples incl. sticky rendering,
+      // see permString), owner, group, size, name. Pure column
+      // arithmetic over the DSv2 listing, so it stays executor-side and
+      // codegen'd. Type char is dir-vs-file only: the Hadoop FileSystem
+      // API resolves symlinks during listing (and FsPermission carries
+      // no link bit), so 'l' can never reach this query — documented
+      // limitation, not a rendering gap. Lists the PLANTED fixture dir
+      // (declared names/contents/modes incl. both sticky renderings),
+      // which is what makes a DuckDB oracle possible at all: stat()
+      // data isn't glob()-observable, but a known construction is a
+      // pure VALUES emission with Verify-injected owner/group — the
+      // hash gate then proves the create → chmod → list → render chain
+      // reproduces the declaration exactly. FsSpec additionally asserts
+      // the same rows against java.nio filesystem truth (independent of
+      // the construction) and permString against literal modes.
+      FsOps.ls(s, lsLongDir(s, d))
+        .filter(!col("is_dir") && col("name") =!= "_SUCCESS")
         .withColumn("perm", concat(
           when(col("is_dir"), lit("d")).otherwise(lit("-")),
           permString(col("perm_octal"))))
@@ -260,6 +318,17 @@ object FsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Known-construction emission straight from the SAME fixture Seq the
+    // query plants — one source of truth; owner/group are Verify-injected
+    // environment facts (java.nio probe of the planting process).
+    "fs_ls_long" -> {
+      val rows = lsLongFixture.map { case (name, content, _, perm) =>
+        s"('$perm', CAST(${content.length} AS BIGINT), '$name')"
+      }.mkString(", ")
+      s"SELECT perm, '$FsUserToken' AS owner, '$FsGroupToken' AS grp, " +
+        s"length, name FROM (VALUES $rows) t(perm, length, name) ORDER BY name"
+    },
+
     "fs_ls" ->
       s"""SELECT list_extract(string_split(file, '/'), -1) AS name
         |FROM glob('$SfDirToken/*') ORDER BY name""".stripMargin,

@@ -49,18 +49,31 @@ class FsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("fs_ls_long renders perm string / owner / group / size vs filesystem truth") {
-    import java.nio.file.attribute.PosixFilePermissions
+    // The query lists its planted fixture dir; this check is INDEPENDENT
+    // of the planted declaration (the oracle covers that): every emitted
+    // row is re-stat'd via java.nio and must match OS truth, so a
+    // rendering bug that happened to mirror a planting bug still fails.
+    // java.nio's PosixFilePermissions cannot see the sticky bit, so OS
+    // truth comes from the "unix:mode" attribute and a local renderer.
+    def render(mode: Int): String = {
+      val sb = new StringBuilder
+      for (i <- 8 to 0 by -1)
+        sb.append(if ((mode & (1 << i)) != 0) "rwx"((8 - i) % 3) else '-')
+      if ((mode & 0x200) != 0) sb.setCharAt(8, if ((mode & 1) != 0) 't' else 'T')
+      sb.toString
+    }
+    val fixtureDir = graft.queries.FsQueries.lsLongDir(spark, sf)
     val rows = SparkEntry.queries("fs_ls_long")(spark, sf).collect()
-    assert(rows.nonEmpty)
+    assert(rows.length === 6)
     for (r <- rows) {
       val (perm, owner, grp, len, name) =
         (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4))
-      val p = java.nio.file.Paths.get(sf, name)
+      val p = java.nio.file.Paths.get(fixtureDir, name)
       val attrs = Files.readAttributes(
         p, classOf[java.nio.file.attribute.PosixFileAttributes])
-      val expectRwx = PosixFilePermissions.toString(attrs.permissions())
+      val mode = Files.getAttribute(p, "unix:mode").asInstanceOf[Int]
       val expectType = if (Files.isDirectory(p)) "d" else "-"
-      assert(perm === expectType + expectRwx, s"perm mismatch for $name")
+      assert(perm === expectType + render(mode), s"perm mismatch for $name")
       assert(owner === attrs.owner().getName && grp === attrs.group().getName)
       if (!Files.isDirectory(p)) assert(len === Files.size(p))
     }
