@@ -200,6 +200,30 @@ object Joins {
         .orderBy("event_id")
     },
 
+    "join_asof_tolerance" -> { (s, d) =>
+      // Staleness-bounded as-of — the sensor-fusion variant: a match
+      // older than the tolerance window (1 hour here) is WORSE than no
+      // match, so it nulls out rather than propagating stale state.
+      // Identical one-shuffle union-and-window shape as join_asof; the
+      // tolerance is a pure post-window column predicate, so the bound
+      // costs nothing at any scale. Emits the age for matched rows —
+      // the quantity monitoring dashboards alarm on.
+      val tolUs = 3600L * 1000000L
+      val e = eventsTs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+        .withColumn("p_us", when(col("event_type") === "purchase", col("us")))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("raw_us", last(col("p_us"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          when(col("us") - col("raw_us") <= tolUs, col("raw_us"))
+            .as("last_purchase_us"),
+          when(col("us") - col("raw_us") <= tolUs, col("us") - col("raw_us"))
+            .as("age_us"))
+        .orderBy("event_id")
+    },
+
     "join_interval_overlap" -> { (s, d) =>
       // Pairs of same-user events within 5 minutes — banded self-join on
       // (user_id, 5-min bucket), one side exploded to adjacent buckets,
@@ -426,6 +450,18 @@ object Joins {
         |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN us - raw_us <= 3600000000 THEN raw_us END AS last_purchase_us,
+        |  CASE WHEN us - raw_us <= 3600000000 THEN us - raw_us END AS age_us
+        |FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_us
         |  FROM events) t
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 

@@ -127,6 +127,30 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     },
 
+    "mm_exact_dedup" -> { (s, d) =>
+      // Byte-exact media dedup — the first pass of every image/video
+      // pipeline (identical files are the bulk of web-crawl dup mass;
+      // phash only earns its cost on the remainder). Digest the BINARY
+      // blob column (stub: text bytes, the contract's fake-decode rule),
+      // hash-groupBy on the 16-byte digest — one fingerprint-sized
+      // shuffle regardless of blob sizes, same scale shape as
+      // dedup_exact. The corpus has no duplicate blobs, so plant copies
+      // of every doc_id%20 blob under new ids (self-union precedent)
+      // and emit the duplicate groups: digest, copy count, lowest-id
+      // survivor — every planted group must surface with exactly 2
+      // members.
+      val base = documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      val planted = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("blob"))
+      base.unionByName(planted)
+        .groupBy(md5(col("blob")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor_id"),
+          max(col("doc_id")).as("dup_id"))
+        .filter(col("n_copies") > 1)
+        .orderBy("digest")
+    },
+
     "mm_phash_dedup" -> { (s, d) =>
       // Perceptual-hash near-dup detection — how image dedup actually
       // runs at scale: encoder embedding → binarize to a sign-bit
@@ -245,6 +269,19 @@ object Multimodal {
         |    (a, x) -> a + x) AS BIGINT) AS frame_sum
         |FROM frames WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Same blob-stub rule as the other mm oracles: text bytes ARE the
+    // binary content, so DuckDB's md5 over the string hashes the same
+    // bytes Spark's md5 hashes over the cast-to-binary column.
+    "mm_exact_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0)
+        |SELECT md5(text) AS digest, count(*) AS n_copies,
+        |  min(doc_id) AS survivor_id, max(doc_id) AS dup_id
+        |FROM u GROUP BY digest HAVING count(*) > 1
+        |ORDER BY digest""".stripMargin,
 
     // Brute-force truth: banding is lossless at Hamming ≤ 3 (see the
     // query comment), so the unbanded all-pairs compare must match.

@@ -563,6 +563,57 @@ object StreamingBatch {
         .orderBy("event_id")
     },
 
+    "agg_mutual_information" -> { (s, d) =>
+      // Mutual information between event type and hour-of-day — the
+      // feature-selection / drift primitive ("does WHEN predict WHAT").
+      // Distributed shape: the only data-sized work is ONE map-side-
+      // combined (type, hour) count rollup; every marginal and the MI
+      // sum then ride the ≤ #types×24-row joint table — the three
+      // unpartitioned windows below run over that O(1) calendar-bounded
+      // table, never the stream (shuffle_global's bounded-window rule).
+      // Determinism: all inputs to the doubles are exact BIGINT counts,
+      // so p·log terms are identical IEEE in both engines; rounded 1e-6.
+      val joint = eventsTs(s, d)
+        .groupBy(col("event_type"), (expr(s"us DIV $hourUs") % 24).as("hr"))
+        .agg(count(lit(1)).as("n_xy"))
+      val w = Window.partitionBy()
+      joint
+        .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy("event_type")))
+        .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy("hr")))
+        .withColumn("n", sum(col("n_xy")).over(w))
+        .groupBy("event_type")
+        .agg(sum(col("n_xy")).as("n_events"),
+          round(sum(col("n_xy").cast(DoubleType) / col("n") *
+            log(col("n_xy").cast(DoubleType) * col("n") /
+              (col("n_x").cast(DoubleType) * col("n_y")))), 6).as("mi_contrib"))
+        .orderBy("event_type")
+    },
+
+    "feat_robust_scale" -> { (s, d) =>
+      // Robust (median/IQR) scaling per category — the outlier-immune
+      // sibling of feat_minmax_scale (one wild value shifts min/max and
+      // mean, but not the quartiles). Same broadcast shape: exact
+      // per-type quartiles reduce to a #types-row table broadcast back,
+      // the scale is map-side, the stream never shuffles
+      // (approx_percentile is the documented 100 TB cut-point swap,
+      // feat_winsorize's note). Cut points snap to the 1e-9 grid before
+      // use — cross-engine quantile interpolation is not bit-identical
+      // (feat_winsorize's fix) — and the scaled value floors at 1e-6 on
+      // then-identical doubles.
+      val cuts = eventsTs(s, d).groupBy("event_type").agg(
+        round(percentile(col("value"), lit(0.25)), 9).as("q1"),
+        round(percentile(col("value"), lit(0.5)), 9).as("med"),
+        round(percentile(col("value"), lit(0.75)), 9).as("q3"))
+      eventsTs(s, d).filter(col("user_id") % 20 === 0)
+        .join(broadcast(cuts), "event_type")
+        .select(col("event_id"), col("event_type"),
+          when(col("q3") === col("q1"), lit(0.0))
+            .otherwise(floor((col("value") - col("med")) / (col("q3") - col("q1"))
+                * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
+            .as("scaled"))
+        .orderBy("event_id")
+    },
+
     "ts_cross_corr" -> { (s, d) =>
       // Lagged cross-correlation between event-type activity series —
       // the lead-indicator probe ("do clicks at hour h predict
@@ -706,6 +757,37 @@ object StreamingBatch {
         |  round(min(p05), 6) AS p05, round(min(p95), 6) AS p95
         |FROM events e JOIN cuts USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "agg_mutual_information" ->
+      """WITH joint AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hr,
+        |    count(*) AS n_xy
+        |  FROM events GROUP BY event_type, hr),
+        |m AS (
+        |  SELECT event_type, hr, n_xy,
+        |    CAST(sum(n_xy) OVER (PARTITION BY event_type) AS BIGINT) AS n_x,
+        |    CAST(sum(n_xy) OVER (PARTITION BY hr) AS BIGINT) AS n_y,
+        |    CAST(sum(n_xy) OVER () AS BIGINT) AS n
+        |  FROM joint)
+        |SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_events,
+        |  round(sum(CAST(n_xy AS DOUBLE) / n *
+        |    ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y))), 6)
+        |    AS mi_contrib
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "feat_robust_scale" ->
+      """WITH cuts AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.25), 9) AS q1,
+        |    round(quantile_cont(value, 0.5), 9) AS med,
+        |    round(quantile_cont(value, 0.75), 9) AS q3
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN q3 = q1 THEN 0.0
+        |    ELSE floor((value - med) / (q3 - q1) * 1000000 + 0.5) / 1000000.0
+        |  END AS scaled
+        |FROM events e JOIN cuts USING (event_type)
+        |WHERE user_id % 20 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "ts_rolling_median" ->
       """WITH s AS (

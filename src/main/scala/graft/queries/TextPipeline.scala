@@ -769,6 +769,82 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    "sample_kfold" -> { (s, d) =>
+      // K-fold assignment (5 folds) for cross-validation over a corpus:
+      // fold id from a salted md5 — reproducible, repartition-stable,
+      // engine-portable, and INDEPENDENT of the train/test salt (a doc's
+      // fold must not correlate with its split bucket, so the salts
+      // differ). The assignment itself is map-only; only the per-fold
+      // audit rollup (5 rows) shuffles. Emits the balance stats you
+      // check before trusting a CV estimate: docs, chars, languages per
+      // fold.
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (conv(substring(
+            md5(concat(lit("graft-kfold:"), col("doc_id").cast(StringType))), 1, 8),
+            16, 10).cast(LongType) % 5).as("fold"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("fold")
+    },
+
+    "sample_curriculum" -> { (s, d) =>
+      // Curriculum ordering — schedule training data easy→hard: a
+      // quality score per doc (mean token length blended with stopword
+      // ratio, text_quality's features), quartile STAGE cut points from
+      // exact percentiles, and a deterministic within-stage shuffle key
+      // (salted md5 — reproducible across reruns). Scale shape: the cut
+      // points reduce to a 3-value table that broadcasts back (never an
+      // ntile over a global window — that's a single-partition sort);
+      // stage assignment and shuffle key are map-side, so the corpus
+      // never shuffles until the trainer's reader consumes (stage, key)
+      // order. Cuts snap to 1e-9 before comparison; the score is
+      // computed rounded at 1e-6 in both engines first.
+      val scored = documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("n_stop", size(filter(split(col("text"), " "),
+          x => x.isin("a", "the", "of", "and", "to"))))
+        .withColumn("score", round(
+          col("n_chars").cast(DoubleType) / col("n_tok") -
+            lit(5.0) * col("n_stop").cast(DoubleType) / col("n_tok"), 6))
+      val cuts = scored.agg(
+        round(percentile(col("score"), lit(0.25)), 9).as("c1"),
+        round(percentile(col("score"), lit(0.5)), 9).as("c2"),
+        round(percentile(col("score"), lit(0.75)), 9).as("c3"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("score"),
+          when(col("score") <= col("c1"), 0L).when(col("score") <= col("c2"), 1L)
+            .when(col("score") <= col("c3"), 2L).otherwise(3L).as("stage"),
+          substring(md5(concat(lit("graft-curriculum:"),
+            col("doc_id").cast(StringType))), 1, 8).as("shuffle_key"))
+        .orderBy("doc_id")
+    },
+
+    "pipeline_dataset_card" -> { (s, d) =>
+      // Dataset-card generator — the per-(source, lang) summary table a
+      // training-data release publishes: volume (docs, chars, tokens),
+      // central tendency (mean chars via the exact-decimal davg rule),
+      // and the quality-pass rate under the standard filter. ONE corpus
+      // scan, map-side token/filter computation, one rollup shuffle of
+      // #sources×#langs rows — the audit stays one job at any corpus
+      // size.
+      documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+        .withColumn("passes",
+          (col("n_chars").between(100, 400) && col("n_tok") >= 20)
+            .cast(LongType))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tok")).as("total_tokens"),
+          davg(col("n_chars")).as("mean_chars"),
+          round(sum(col("passes")).cast(DoubleType) / count(lit(1)), 6)
+            .as("quality_pass_rate"))
+        .orderBy("source", "lang")
+    },
+
     "decontaminate_ngram" -> { (s, d) =>
       // Train/eval DECONTAMINATION — the benchmark-hygiene pass every
       // serious LLM training set runs: drop any training doc that shares
@@ -1644,6 +1720,51 @@ object TextPipeline {
         |    CAST(('0x' || substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_kfold" ->
+      """SELECT fold, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(('0x' || substring(md5('graft-kfold:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+        |  FROM documents) t
+        |GROUP BY fold ORDER BY fold""".stripMargin,
+
+    "sample_curriculum" ->
+      """WITH scored AS (
+        |  SELECT doc_id, round(
+        |    CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) -
+        |    5.0 * len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('a', 'the', 'of', 'and', 'to'))) / len(string_split(text, ' ')),
+        |    6) AS score
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT round(quantile_cont(score, 0.25), 9) AS c1,
+        |    round(quantile_cont(score, 0.5), 9) AS c2,
+        |    round(quantile_cont(score, 0.75), 9) AS c3
+        |  FROM scored)
+        |SELECT doc_id, score,
+        |  CAST(CASE WHEN score <= c1 THEN 0 WHEN score <= c2 THEN 1
+        |    WHEN score <= c3 THEN 2 ELSE 3 END AS BIGINT) AS stage,
+        |  substring(md5('graft-curriculum:' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+        |FROM scored CROSS JOIN cuts
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_dataset_card" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  ${oAvg("n_chars")} AS mean_chars,
+        |  round(CAST(sum(passes) AS DOUBLE) / count(*), 6) AS quality_pass_rate
+        |FROM (
+        |  SELECT source, lang, n_chars,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CASE WHEN n_chars BETWEEN 100 AND 400
+        |      AND len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END AS passes
+        |  FROM documents) t
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "decontaminate_ngram" ->
       """WITH b AS (

@@ -125,4 +125,83 @@ object StreamingOps {
       .transformWithState(new RunningTotalProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class RollMed(event_id: Long, user_id: Long, n_win: Int, med_lo: Double)
+
+  /** ts_rolling_median's incremental form: per-user exact median of the
+    * last 7 observations, via transformWithState with O(1) state — the
+    * bounded frame is WHY this windows op streams at all (an unbounded
+    * frame would need the full history in state). State per key is just
+    * the last ≤7 (us, event_id, value) rows; each arrival appends,
+    * trims, and emits the sorted-frame pick. Ordering contract: rows
+    * within one trigger batch arrive unordered, so the processor sorts
+    * the batch by (us, event_id) before folding; ACROSS triggers the
+    * caller must feed event-time-ordered slices (time-partitioned files
+    * + maxFilesPerTrigger — the replay shape; a live pipeline gets the
+    * same guarantee from watermark-ordered reprocessing or an ordered
+    * log). StreamingSpec proves the trajectory equals the batch window
+    * form row-for-row.
+    */
+  /** The ≤7-row bounded frame held per key (Product wrapper because the
+    * state encoder requires one; the Seq field is encoder-supported).
+    */
+  final case class Frame(rows: Seq[(Long, Long, Double)])
+
+  class RollingMedianProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), RollMed] {
+    @transient private var frame: ValueState[Frame] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      frame = getHandle.getValueState[Frame]("frame",
+        org.apache.spark.sql.Encoders.product[Frame], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timers: TimerValues): Iterator[RollMed] = {
+      var f: Seq[(Long, Long, Double)] =
+        if (frame.exists()) frame.get().rows else Nil
+      val out = rows.toSeq.sortBy { case (_, us, eid, _) => (us, eid) }
+        .map { case (_, us, eid, v) =>
+          f = (f :+ ((us, eid, v))).takeRight(7)
+          val sorted = f.map(_._3).sorted
+          RollMed(eid, user, f.length, sorted((f.length - 1) / 2))
+        }
+      frame.update(Frame(f))
+      out.iterator
+    }
+  }
+
+  /** Rolling median stream (users sampled %20, mirroring the batch
+    * query). RocksDB provider required, as for [[runningTotalsTws]].
+    */
+  def rollingMedian(events: DataFrame): Dataset[RollMed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RollingMedianProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** feat_winsorize's streaming form — the production split of that
+    * operator: cut points come from a BATCH reference table (yesterday's
+    * percentiles), broadcast into a static-stream join; the clip is
+    * map-side on each arriving row; only the per-type rollup keeps
+    * state (one row per event_type). Complete mode because the rollup
+    * is the result. StreamingSpec proves the final state equals the
+    * batch operator's output on the same data exactly (same 1e-9 cut
+    * snap + 1e-6 clip rounding + exact decimal capture).
+    */
+  def winsorizeCounts(events: DataFrame, cuts: DataFrame): DataFrame =
+    events.join(broadcast(cuts), "event_type")
+      .withColumn("clipped",
+        round(least(greatest(col("value"), col("p05")), col("p95")), 6))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("p05")).cast(LongType)).as("n_clip_lo"),
+        sum((col("value") > col("p95")).cast(LongType)).as("n_clip_hi"),
+        sum(col("clipped").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_clipped"),
+        round(min(col("p05")), 6).as("p05"),
+        round(min(col("p95")), 6).as("p95"))
 }

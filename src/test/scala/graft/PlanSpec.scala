@@ -349,13 +349,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (dedup_semantic, sim_kmeans_step), 1-row node count
     // (graph_pagerank_step), 1-row corpus token total
     // (text_unigram_logprob), and 1-row node/edge/triangle counts
-    // (graph_triangles). Anything NEW showing up here needs the same
+    // (graph_triangles). Round-7 additions, same argument: a 1-row
+    // exact-distincts gate branch (profile_summary_approx), 1-row
+    // quartile cut points (sample_curriculum), and the ≤ n/100-row
+    // broadcast query block of the recall audit (sim_ann_recall — the
+    // brute-force side is the op's deliberate sampled truth set).
+    // Anything NEW showing up here needs the same
     // bounded-by-construction argument.
     val allowed = Set("join_cross",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
-      "graph_triangles")
+      "graph_triangles", "profile_summary_approx", "sample_curriculum",
+      "sim_ann_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>

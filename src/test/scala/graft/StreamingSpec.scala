@@ -115,6 +115,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("transformWithState rolling median == batch bounded-frame window") {
+    // The ≤7-row frame is what makes this window op streamable at all:
+    // O(1) state per user. Replay shape: 8 time-sliced files fed one
+    // per trigger (mtime-ordered), so arrival respects event time
+    // ACROSS triggers; within a trigger the processor sorts the batch.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ev = graft.Tables.events(spark, sf).withColumn("us", expr("ts DIV 1000"))
+    val (loUs, hiUs) = {
+      val r = ev.agg(min("us"), max("us")).collect()(0)
+      (r.getLong(0), r.getLong(1) + 1)
+    }
+    val sliceDir = Files.createTempDirectory("graft_stream_slices")
+    import java.nio.file.attribute.FileTime
+    val width = (hiUs - loUs + 7) / 8
+    (0 until 8).foreach { i =>
+      val stage = Files.createTempDirectory(s"graft_slice_$i")
+      ev.filter(col("us") >= loUs + i * width && col("us") < loUs + (i + 1) * width)
+        .drop("us").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = java.nio.file.Paths.get(s"$sliceDir/slice_$i.parquet")
+      Files.copy(part.toPath, target)
+      Files.setLastModifiedTime(target,
+        FileTime.fromMillis(System.currentTimeMillis() - 120000 + i * 10000))
+    }
+    val stream = StreamingOps.readEvents(s2, sliceDir.toString,
+      maxFilesPerTrigger = Some(1))
+    val q = StreamingOps.rollingMedian(stream).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("t_rollmed").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table("t_rollmed")
+      .select("event_id", "user_id", "n_win", "med_lo")
+      .orderBy("event_id").collect().toSeq
+    val want = SparkEntry.queries("ts_rolling_median")(spark, sf)
+      .collect().toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("winsorize stream with batch-broadcast cuts == batch operator") {
+    // The production split of feat_winsorize: percentile cut points are
+    // a BATCH product (yesterday's reference table) broadcast into a
+    // static-stream join; the clip is map-side per arriving row; only
+    // the per-type rollup keeps state. Equality with the batch operator
+    // is exact — decimal sums are order-free, so arrival order (the
+    // shuffled srcDir) cannot perturb the result.
+    val ev = graft.Tables.eventsTs(spark, sf)
+    val cuts = ev.groupBy("event_type").agg(
+      round(percentile(col("value"), lit(0.05)), 9).as("p05"),
+      round(percentile(col("value"), lit(0.95)), 9).as("p95"))
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val got = runToMemory(
+      StreamingOps.winsorizeCounts(stream, cuts), "t_winsor", "complete")
+      .orderBy("event_type").collect().toSeq
+    val want = SparkEntry.queries("feat_winsorize")(spark, sf)
+      .collect().toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
   test("stream-stream interval join equals the batch join") {
     // Clicks joined to same-user purchases within the preceding hour —
     // the canonical watermarked stream-stream join.
