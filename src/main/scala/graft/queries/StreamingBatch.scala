@@ -741,6 +741,45 @@ object StreamingBatch {
                 sqrt(nD * col("syy") - col("sy") * col("sy"))), 6))
             .as("acf"))
         .orderBy("lag_h")
+    },
+
+    "ts_stl_decompose" -> { (s, d) =>
+      // Additive seasonal-trend decomposition of the global hourly
+      // event-count series — the classical-decomposition core of STL
+      // (moving-average trend, hour-of-day seasonal means, residual
+      // remainder), the diagnostic every capacity/anomaly pipeline runs
+      // before alerting on "unusual" traffic. Exactness design: trend
+      // is a centered 25-hour RANGE window mean (range, not rows — a
+      // missing hour must not slide the frame) emitted only where the
+      // frame is FULL, and the detrended series is kept ×25 so it stays
+      // an exact INTEGER (25·n − Σwin); the seasonal means then sum
+      // integers, so every double in the output derives from exact
+      // integer sums through expression shapes stated identically in
+      // both engines. Scale: one map-side-combined hourly rollup, then
+      // everything rides the calendar-bounded hour table (the window
+      // is unpartitioned but its input is ≤ hours-in-corpus rows —
+      // input-size-invariant past the rollup, the ts_acf argument);
+      // the 24-row seasonal table broadcasts back.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("h").rangeBetween(-12, 12)
+      val t = hc
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("sum_win", sum(col("n")).over(w))
+        .filter(col("n_win") === 25)
+        .withColumn("det25", lit(25) * col("n") - col("sum_win"))
+        .withColumn("hod", col("h") % 24)
+      val seas = t.groupBy("hod")
+        .agg(sum(col("det25")).as("s25"), count(lit(1)).as("cnt"))
+      t.join(broadcast(seas), "hod")
+        .select(col("h"), col("n"),
+          round(col("sum_win") / lit(25.0), 6).as("trend"),
+          round(col("s25").cast(DoubleType) / col("cnt") / lit(25.0), 6)
+            .as("seasonal"),
+          round(col("n") - col("sum_win") / lit(25.0) -
+            col("s25").cast(DoubleType) / col("cnt") / lit(25.0), 6).as("resid"))
+        .orderBy("h")
     }
   )
 
@@ -823,6 +862,27 @@ object StreamingBatch {
         |         (sqrt(n_hours * sxx - sx * sx) * sqrt(n_hours * syy - sy * sy)), 6)
         |  END AS acf
         |FROM agg ORDER BY lag_h""".stripMargin,
+
+    // Full replication of the classical decomposition: range-framed
+    // 25-hour trend window (full frames only), ×25 integer detrended
+    // series, hour-of-day seasonal means, identical double shapes.
+    "ts_stl_decompose" ->
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT h, n, count(*) OVER w AS n_win, sum(n) OVER w AS sum_win
+        |  FROM hc
+        |  WINDOW w AS (ORDER BY h RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |f AS (
+        |  SELECT h, n, sum_win, 25 * n - sum_win AS det25, h % 24 AS hod
+        |  FROM t WHERE n_win = 25),
+        |seas AS (
+        |  SELECT hod, sum(det25) AS s25, count(*) AS cnt FROM f GROUP BY hod)
+        |SELECT h, n, round(sum_win / 25.0, 6) AS trend,
+        |  round(CAST(s25 AS DOUBLE) / cnt / 25.0, 6) AS seasonal,
+        |  round(n - sum_win / 25.0 - CAST(s25 AS DOUBLE) / cnt / 25.0, 6) AS resid
+        |FROM f JOIN seas USING (hod) ORDER BY h""".stripMargin,
 
     "feat_minmax_scale" ->
       """WITH stats AS (

@@ -508,6 +508,81 @@ object TextPipeline {
         .limit(20)
     },
 
+    "bpe_merge_apply" -> { (s, d) =>
+      // The OTHER half of the BPE training loop: take the rank-1 pair
+      // (bpe_pair_counts' winner), apply the merge to every word, and
+      // recount adjacent-symbol pairs on the MERGED segmentation — i.e.
+      // one full train iteration; looping this query IS BPE training
+      // (the sim_kmeans_step pattern: witness the step, not the loop).
+      // The merge rule "replace left-to-right non-overlapping
+      // occurrences of (a,b)" is exactly string replace() with a
+      // placeholder symbol (chr(1), unreachable: words are [a-z]+ by
+      // construction), a rule both engines state identically — so the
+      // oracle replicates winner → merge → recount and the hash gate
+      // verifies the post-merge pair table, the artifact the next
+      // iteration would consume. Scale shape: the 1-row winner
+      // broadcasts back (the same partial-agg alphabet²-bounded shuffle
+      // as bpe_pair_counts); merge + recount are map-side codegen'd
+      // string ops; the second pair shuffle is again vocabulary-bounded
+      // (≤ alphabet² · 3 distinct symbols-pairs), data-size-invariant.
+      val words = documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val top = words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1)
+        .select(col("pair").as("merged_pair"))
+      words.crossJoin(broadcast(top))
+        .select(col("merged_pair"),
+          expr("replace(w, merged_pair, char(1))").as("r"))
+        .filter(length(col("r")) >= 2)
+        .select(col("merged_pair"), explode(expr(
+          """transform(sequence(1, length(r) - 1), i -> concat(
+            |  if(substring(r, i, 1) = char(1), merged_pair, substring(r, i, 1)),
+            |  if(substring(r, i + 1, 1) = char(1), merged_pair,
+            |     substring(r, i + 1, 1))))""".stripMargin)).as("pair"))
+        .groupBy("merged_pair", "pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(20)
+    },
+
+    "dedup_substring_spans" -> { (s, d) =>
+      // Exact duplicated-SUBSTRING diagnostic (the Lee et al. "Dedup-
+      // licating Training Data Makes Language Models Better" signal):
+      // for every 8-token window in every doc, does that exact window
+      // text occur anywhere else in the corpus? Emits per-doc window /
+      // duplicated-window counts and the duplicated fraction — the
+      // report that decides whether span-level dedup is worth running,
+      // and the doc-level complement of the whole-doc dedup family
+      // (near-dup ops can't see a copied paragraph inside an otherwise
+      // unique doc; this can). Shape: window fingerprints are map-side
+      // (codegen'd sequence/slice/md5), then ONE corpus-sized shuffle
+      // on the fingerprint serves both the global occurrence count
+      // (window function) and feeds the per-doc rollup — no join-back
+      // pass. That fingerprint shuffle is the honest cost of exact
+      // substring dedup at any scale (suffix-array approaches trade it
+      // for sort passes of the same magnitude); at 100 TB the md5 can
+      // be truncated to 8 bytes to quarter the shuffle width — same
+      // plan, documented swap.
+      val wins = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 7), i -> md5(array_join(slice(ws, i, 8), ' ')))"))
+          .as("h"))
+      wins
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup"),
+          round(col("n_dup").cast(DoubleType) / col("n_windows"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     "doc_chunk" -> { (s, d) =>
       // Context-window chunking — the op every pretraining pipeline
       // runs between cleaning and tokenization: split each doc into
@@ -1640,6 +1715,53 @@ object TextPipeline {
         |  FROM w2, unnest(range(1, length(w))) AS t(i))
         |SELECT pair, count(*) AS n FROM pairs
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // Full replication of one BPE train iteration: rank-1 winner (same
+    // n DESC, pair ASC total order), placeholder replace() merge,
+    // adjacent-symbol recount on the merged segmentation.
+    "bpe_merge_apply" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+        |pairs0 AS (
+        |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+        |  FROM w2, unnest(range(1, length(w))) AS t(i)),
+        |top AS (
+        |  SELECT pair AS merged_pair FROM pairs0
+        |  GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1),
+        |merged AS (
+        |  SELECT merged_pair, replace(w, merged_pair, chr(1)) AS r
+        |  FROM w2 CROSS JOIN top),
+        |m2 AS (SELECT merged_pair, r FROM merged WHERE length(r) >= 2),
+        |pairs1 AS (
+        |  SELECT merged_pair,
+        |    (CASE WHEN substring(r, CAST(i AS INTEGER), 1) = chr(1)
+        |      THEN merged_pair ELSE substring(r, CAST(i AS INTEGER), 1) END) ||
+        |    (CASE WHEN substring(r, CAST(i AS INTEGER) + 1, 1) = chr(1)
+        |      THEN merged_pair ELSE substring(r, CAST(i AS INTEGER) + 1, 1) END)
+        |      AS pair
+        |  FROM m2, unnest(range(1, length(r))) AS t(i))
+        |SELECT merged_pair, pair, count(*) AS n FROM pairs1
+        |GROUP BY merged_pair, pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // Full replication of the span diagnostic: identical 8-token window
+    // fingerprints (md5 over the space-joined slice), global occurrence
+    // counts, per-doc rollup.
+    "dedup_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t2 AS (SELECT doc_id, ws FROM toks WHERE len(ws) >= 8),
+        |wins AS (
+        |  SELECT doc_id, md5(array_to_string(
+        |    list_slice(ws, CAST(i AS INTEGER), CAST(i AS INTEGER) + 7), ' ')) AS h
+        |  FROM t2, unnest(range(1, len(ws) - 6)) AS t(i)),
+        |c AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM wins)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_unigram_logprob" ->
       s"""WITH toks AS (

@@ -292,6 +292,55 @@ object Vectors {
         .orderBy("q_id")
     },
 
+    "sim_ann_recall_multiprobe" -> { (s, d) =>
+      // The LEVER the sim_ann_recall audit drives, pulled: identical
+      // measurement, but probing every bucket within Hamming distance 2
+      // of the query bucket (1 + 8 + C(8,2) = 37 masks — all m in
+      // [0,256) with bit_count(m) <= 2, a rule both engines state
+      // identically). Deeper probing is the cheapest recall lever
+      // because it changes NOTHING about the index: same buckets, same
+      // equi-join shape, just a 37-row (per query) broadcast probe list
+      // instead of 9. At 10⁹ vectors with well-filled buckets this is
+      // the standard multi-probe LSH trade — candidates grow ~4×ish and
+      // recall follows. Measured at gate density: mean recall@10 0.16 →
+      // 0.34 vs sim_ann_recall's Hamming-1 (per-query 0.3/0.2/0.3/0/0 →
+      // 0.4/0.5/0.5/0/0.3) — the lever WORKS but one probe table over
+      // near-isotropic gate vectors stays modest; the remaining
+      // production levers are independent plane families (OR-
+      // amplification) and fewer planes per table. The brute-force
+      // truth side stays a sampled-queries-only audit cost. RNG-free,
+      // so the oracle replicates the whole measurement and the gate
+      // verifies the recall NUMBERS.
+      GraftFunctions.register(s)
+      val emb = embeddings(s, d)
+      val planes = 8
+      val masks = (0 until (1 << planes))
+        .filter(m => java.lang.Integer.bitCount(m) <= 2).map(_.toLong)
+      val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), planes, 64))
+      val qs = withBucket.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      val exact = emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+      val probes = qs.select(col("q_id"), explode(array(
+        masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+      val cands = withBucket
+        .join(broadcast(probes),
+          col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id").distinct()
+      exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
+        .orderBy("q_id")
+    },
+
     "dedup_semantic" -> { (s, d) =>
       // SemDeDup-style semantic dedup: coarse clusters BOUND the O(n²)
       // pair search (candidates are same-cluster only — at 10⁹ docs k
@@ -573,6 +622,52 @@ object Vectors {
         |    list_transform(range(8), p -> xor(CAST(q_bucket AS BIGINT), 1 << p)),
         |    CAST(q_bucket AS BIGINT))) AS probe
         |  FROM qs),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, b.vec_id
+        |  FROM b JOIN probes p ON b.bucket = p.probe
+        |  WHERE b.vec_id <> p.q_id)
+        |SELECT e.q_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS recall_at_10
+        |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+
+    // Same measurement with the probe depth lever pulled: all masks in
+    // [0,256) with bit_count <= 2 (1+8+28 = 37 probes/query) — the rule
+    // stated identically to the Spark side's bitCount filter.
+    "sim_ann_recall_multiprobe" ->
+      s"""WITH planes AS (
+        |  SELECT p, list_transform(range(64), i -> CAST(
+        |    CAST((p * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5
+        |    AS FLOAT)) AS plane
+        |  FROM (SELECT unnest(range(8)) AS p) t),
+        |b AS (
+        |  SELECT e.vec_id, CAST(sum(CASE WHEN
+        |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
+        |    THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+        |qs AS (
+        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, b.bucket AS q_bucket
+        |  FROM embeddings e JOIN b USING (vec_id) WHERE e.vec_id % 100 = 0),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY round(
+        |        ${oCos.replace("%A", "e.embedding").replace("%B", "q.q_emb")},
+        |        6) DESC, e.vec_id ASC) AS rk
+        |    FROM embeddings e CROSS JOIN qs q
+        |    WHERE e.vec_id <> q.q_id) t
+        |  WHERE rk <= 10),
+        |masks AS (
+        |  SELECT CAST(m AS BIGINT) AS m
+        |  FROM (SELECT unnest(range(256)) AS m) t
+        |  WHERE bit_count(CAST(m AS BIGINT)) <= 2),
+        |probes AS (
+        |  SELECT q_id, xor(CAST(q_bucket AS BIGINT), m) AS probe
+        |  FROM qs CROSS JOIN masks),
         |cand AS (
         |  SELECT DISTINCT p.q_id, b.vec_id
         |  FROM b JOIN probes p ON b.bucket = p.probe
