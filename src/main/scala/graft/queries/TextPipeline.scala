@@ -583,6 +583,33 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    "pipeline_manifest" -> { (s, d) =>
+      // Reproducibility manifest — the artifact a training run pins so a
+      // re-run can PROVE it read the same corpus: per source, doc count,
+      // char total, id range, and an order-free full-content digest.
+      // The digest is bit_xor over per-doc values mixed from the
+      // RollingHash content fingerprint and doc_id
+      // (fp·2654435761 + doc_id ≤ ~2.6e18, no int64 overflow at any
+      // corpus size; doc_id uniqueness means no two rows carry equal
+      // values, so XOR's pair-cancellation can't fire) — XOR commutes,
+      // so the digest is identical at ANY partitioning/parallelism and
+      // never widens: the manifest of a 100 TB corpus is still one row
+      // per source from one map-side-combined pass. Any flipped
+      // character, dropped doc, or renumbered id anywhere changes the
+      // digest; the count/chars columns catch the cardinality edits.
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          call_function("graft_fingerprint", col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          expr("bit_xor(fp * 2654435761L + doc_id)").as("content_digest"))
+        .orderBy("source")
+    },
+
     "doc_chunk" -> { (s, d) =>
       // Context-window chunking — the op every pretraining pipeline
       // runs between cleaning and tokenization: split each doc into
@@ -1762,6 +1789,22 @@ object TextPipeline {
         |  round(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS dup_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Full replication of the manifest: the text_fingerprint ord-fold
+    // rolling hash, the same doc_id mix, bit_xor digest.
+    "pipeline_manifest" ->
+      """WITH fp AS (
+        |  SELECT source, doc_id, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  bit_xor(fp * 2654435761 + doc_id) AS content_digest
+        |FROM fp GROUP BY source ORDER BY source""".stripMargin,
 
     "text_unigram_logprob" ->
       s"""WITH toks AS (
