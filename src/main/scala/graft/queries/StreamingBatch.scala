@@ -760,6 +760,15 @@ object StreamingBatch {
       // is unpartitioned but its input is ≤ hours-in-corpus rows —
       // input-size-invariant past the rollup, the ts_acf argument);
       // the 24-row seasonal table broadcasts back.
+      //
+      // The seasonal indices are MEAN-CENTERED (classical
+      // decomposition's constraint: the 24 hod indices sum to ~0, so
+      // no series level leaks into "seasonal"): each raw index is
+      // snapped to a 1e-9 grid, the grand mean over the 24 indices
+      // goes through an exact decimal sum (order-free — a 24-double
+      // sum would be partial-aggregation-order-dependent), and the
+      // centered index + residual derive from those snapped values
+      // through identical expression shapes in both engines.
       val hc = eventsTs(s, d)
         .groupBy(expr(s"us DIV $hourUs").as("h"))
         .agg(count(lit(1)).as("n"))
@@ -771,14 +780,19 @@ object StreamingBatch {
         .withColumn("det25", lit(25) * col("n") - col("sum_win"))
         .withColumn("hod", col("h") % 24)
       val seas = t.groupBy("hod")
-        .agg(sum(col("det25")).as("s25"), count(lit(1)).as("cnt"))
-      t.join(broadcast(seas), "hod")
+        .agg(round(sum(col("det25")).cast(DoubleType) / count(lit(1)) / lit(25.0), 9)
+          .as("idx"))
+      val centered = seas
+        .withColumn("grand",
+          (sum(col("idx").cast(DecimalType(28, 9)))
+            .over(Window.partitionBy(lit(1)))).cast(DoubleType) / lit(24.0))
+        .select(col("hod"), (col("idx") - col("grand")).as("seasonal_idx"))
+      t.join(broadcast(centered), "hod")
         .select(col("h"), col("n"),
           round(col("sum_win") / lit(25.0), 6).as("trend"),
-          round(col("s25").cast(DoubleType) / col("cnt") / lit(25.0), 6)
-            .as("seasonal"),
-          round(col("n") - col("sum_win") / lit(25.0) -
-            col("s25").cast(DoubleType) / col("cnt") / lit(25.0), 6).as("resid"))
+          round(col("seasonal_idx"), 6).as("seasonal"),
+          round(col("n") - col("sum_win") / lit(25.0) - col("seasonal_idx"), 6)
+            .as("resid"))
         .orderBy("h")
     }
   )
@@ -865,7 +879,8 @@ object StreamingBatch {
 
     // Full replication of the classical decomposition: range-framed
     // 25-hour trend window (full frames only), ×25 integer detrended
-    // series, hour-of-day seasonal means, identical double shapes.
+    // series, mean-centered hour-of-day seasonal indices (1e-9-snapped,
+    // decimal-summed grand mean), identical double shapes.
     "ts_stl_decompose" ->
       s"""WITH hc AS (
         |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
@@ -878,11 +893,17 @@ object StreamingBatch {
         |  SELECT h, n, sum_win, 25 * n - sum_win AS det25, h % 24 AS hod
         |  FROM t WHERE n_win = 25),
         |seas AS (
-        |  SELECT hod, sum(det25) AS s25, count(*) AS cnt FROM f GROUP BY hod)
+        |  SELECT hod,
+        |    round(CAST(sum(det25) AS DOUBLE) / count(*) / 25.0, 9) AS idx
+        |  FROM f GROUP BY hod),
+        |centered AS (
+        |  SELECT hod, idx - CAST(sum(CAST(idx AS DECIMAL(28,9))) OVER ()
+        |    AS DOUBLE) / 24.0 AS seasonal_idx
+        |  FROM seas)
         |SELECT h, n, round(sum_win / 25.0, 6) AS trend,
-        |  round(CAST(s25 AS DOUBLE) / cnt / 25.0, 6) AS seasonal,
-        |  round(n - sum_win / 25.0 - CAST(s25 AS DOUBLE) / cnt / 25.0, 6) AS resid
-        |FROM f JOIN seas USING (hod) ORDER BY h""".stripMargin,
+        |  round(seasonal_idx, 6) AS seasonal,
+        |  round(n - sum_win / 25.0 - seasonal_idx, 6) AS resid
+        |FROM f JOIN centered USING (hod) ORDER BY h""".stripMargin,
 
     "feat_minmax_scale" ->
       """WITH stats AS (

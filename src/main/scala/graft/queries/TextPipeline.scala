@@ -587,16 +587,23 @@ object TextPipeline {
       // Reproducibility manifest — the artifact a training run pins so a
       // re-run can PROVE it read the same corpus: per source, doc count,
       // char total, id range, and an order-free full-content digest.
-      // The digest is bit_xor over per-doc values mixed from the
-      // RollingHash content fingerprint and doc_id
-      // (fp·2654435761 + doc_id ≤ ~2.6e18, no int64 overflow at any
-      // corpus size; doc_id uniqueness means no two rows carry equal
-      // values, so XOR's pair-cancellation can't fire) — XOR commutes,
-      // so the digest is identical at ANY partitioning/parallelism and
-      // never widens: the manifest of a 100 TB corpus is still one row
-      // per source from one map-side-combined pass. Any flipped
-      // character, dropped doc, or renumbered id anywhere changes the
-      // digest; the count/chars columns catch the cardinality edits.
+      // The digest is TWO bit_xor columns over per-doc values mixed
+      // from the RollingHash content fingerprint and doc_id with
+      // independent multipliers (fp·K + doc_id, K ∈ {2654435761,
+      // 4294967291}; fp < 1e9+7 keeps both products ≤ ~4.3e18 — no
+      // int64 overflow, so value equality is genuine integer equality).
+      // A pair of distinct docs can XOR-cancel in ONE mix whenever
+      // id2−id1 = K·(fp1−fp2); canceling in BOTH forces
+      // (K1−K2)(fp1−fp2)=0 → identical (fp, id) rows, which doc_id
+      // uniqueness rules out at any id span. (Like every XOR
+      // incremental hash, a larger subset can still cancel by
+      // construction — this is a drift/corruption manifest, not a
+      // cryptographic commitment.) XOR commutes, so the digests are
+      // identical at ANY partitioning/parallelism and never widen: the
+      // manifest of a 100 TB corpus is still one row per source from
+      // one map-side-combined pass. Any flipped character, dropped
+      // doc, or renumbered id changes at least one digest; the
+      // count/chars columns catch the cardinality edits.
       graft.functions.GraftFunctions.register(s)
       documents(s, d)
         .select(col("source"), col("doc_id"), col("n_chars"),
@@ -606,7 +613,8 @@ object TextPipeline {
           sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"),
-          expr("bit_xor(fp * 2654435761L + doc_id)").as("content_digest"))
+          expr("bit_xor(fp * 2654435761L + doc_id)").as("content_digest"),
+          expr("bit_xor(fp * 4294967291L + doc_id)").as("content_digest_b"))
         .orderBy("source")
     },
 
@@ -1791,7 +1799,7 @@ object TextPipeline {
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Full replication of the manifest: the text_fingerprint ord-fold
-    // rolling hash, the same doc_id mix, bit_xor digest.
+    // rolling hash, both independent doc_id mixes, bit_xor digests.
     "pipeline_manifest" ->
       """WITH fp AS (
         |  SELECT source, doc_id, n_chars,
@@ -1803,7 +1811,8 @@ object TextPipeline {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
-        |  bit_xor(fp * 2654435761 + doc_id) AS content_digest
+        |  bit_xor(fp * 2654435761 + doc_id) AS content_digest,
+        |  bit_xor(fp * 4294967291 + doc_id) AS content_digest_b
         |FROM fp GROUP BY source ORDER BY source""".stripMargin,
 
     "text_unigram_logprob" ->

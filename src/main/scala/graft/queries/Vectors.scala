@@ -45,6 +45,50 @@ object Vectors {
   private def lshBucket(emb: Column, planes: Int, dim: Int): Column =
     call_function("graft_lsh_bucket", emb, lit(planes), lit(dim))
 
+  /** Shared body of the two recall audits (sim_ann_recall /
+    * sim_ann_recall_multiprobe): brute-force top-10 truth over the
+    * 1-in-100 query sample vs the LSH candidates probed through the
+    * given XOR mask set — the ONLY thing the two operators vary. One
+    * definition so a fix to the measurement (tie-break, hit join,
+    * rounding) can never desynchronize the pair the docs compare.
+    */
+  private def annRecallAudit(s: SparkSession, d: String, masks: Seq[Long]): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = embeddings(s, d)
+    val planes = 8
+    val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), planes, 64))
+    val qs = withBucket.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val exact = emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rk") <= 10)
+    val probes = qs.select(col("q_id"), explode(array(
+      masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val cands = withBucket
+      .join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
+      .orderBy("q_id")
+  }
+
+  /** Masks within Hamming distance `maxDist` of 0 over `planes` bits —
+    * the probe rule both recall audits and both engines state as a
+    * bit_count filter.
+    */
+  private def hammingMasks(planes: Int, maxDist: Int): Seq[Long] =
+    (0 until (1 << planes))
+      .filter(m => java.lang.Integer.bitCount(m) <= maxDist).map(_.toLong)
+
   val queries: Map[String, Q] = Map(
     "sim_cosine_topk" -> { (s, d) =>
       // Brute-force top-20 cosine neighbors of vec_id 0: broadcast the
@@ -263,33 +307,7 @@ object Vectors {
       // at this density. The production levers this measurement drives:
       // probe depth (Hamming-2), fewer planes per table, or multiple
       // independent tables — all the same equi-join shape.
-      GraftFunctions.register(s)
-      val emb = embeddings(s, d)
-      val planes = 8
-      val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), planes, 64))
-      val qs = withBucket.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("bucket").as("q_bucket"))
-      val exact = emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-        .filter(col("rk") <= 10)
-      val probes = qs.select(col("q_id"), explode(array(
-        (0 until planes).map(p => col("q_bucket").bitwiseXOR(lit(1L << p))) :+
-          col("q_bucket"): _*)).as("probe"))
-      val cands = withBucket
-        .join(broadcast(probes),
-          col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
-        .select("q_id", "vec_id").distinct()
-      exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
-        .groupBy("q_id")
-        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("q_id"), col("n_exact"), col("n_hits"),
-          round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
-        .orderBy("q_id")
+      annRecallAudit(s, d, hammingMasks(8, 1))
     },
 
     "sim_ann_recall_multiprobe" -> { (s, d) =>
@@ -311,34 +329,7 @@ object Vectors {
       // truth side stays a sampled-queries-only audit cost. RNG-free,
       // so the oracle replicates the whole measurement and the gate
       // verifies the recall NUMBERS.
-      GraftFunctions.register(s)
-      val emb = embeddings(s, d)
-      val planes = 8
-      val masks = (0 until (1 << planes))
-        .filter(m => java.lang.Integer.bitCount(m) <= 2).map(_.toLong)
-      val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), planes, 64))
-      val qs = withBucket.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("bucket").as("q_bucket"))
-      val exact = emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-        .filter(col("rk") <= 10)
-      val probes = qs.select(col("q_id"), explode(array(
-        masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
-      val cands = withBucket
-        .join(broadcast(probes),
-          col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
-        .select("q_id", "vec_id").distinct()
-      exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
-        .groupBy("q_id")
-        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("q_id"), col("n_exact"), col("n_hits"),
-          round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
-        .orderBy("q_id")
+      annRecallAudit(s, d, hammingMasks(8, 2))
     },
 
     "dedup_semantic" -> { (s, d) =>
@@ -442,6 +433,53 @@ object Vectors {
     """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      list_transform(list_zip(%A, %B), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
       |      (acc, x) -> acc + x)""".stripMargin
+
+  /** The one recall-audit oracle, parameterized by probe Hamming depth
+    * — the single thing the two audit operators vary (see
+    * annRecallAudit on the Spark side).
+    */
+  private def oAnnRecallSql(maxDist: Int): String =
+    s"""WITH planes AS (
+      |  SELECT p, list_transform(range(64), i -> CAST(
+      |    CAST((p * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5
+      |    AS FLOAT)) AS plane
+      |  FROM (SELECT unnest(range(8)) AS p) t),
+      |b AS (
+      |  SELECT e.vec_id, CAST(sum(CASE WHEN
+      |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
+      |    THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+      |qs AS (
+      |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, b.bucket AS q_bucket
+      |  FROM embeddings e JOIN b USING (vec_id) WHERE e.vec_id % 100 = 0),
+      |exact AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.q_id, e.vec_id, row_number() OVER (
+      |      PARTITION BY q.q_id
+      |      ORDER BY round(
+      |        ${oCos.replace("%A", "e.embedding").replace("%B", "q.q_emb")},
+      |        6) DESC, e.vec_id ASC) AS rk
+      |    FROM embeddings e CROSS JOIN qs q
+      |    WHERE e.vec_id <> q.q_id) t
+      |  WHERE rk <= 10),
+      |masks AS (
+      |  SELECT CAST(m AS BIGINT) AS m
+      |  FROM (SELECT unnest(range(256)) AS m) t
+      |  WHERE bit_count(CAST(m AS BIGINT)) <= $maxDist),
+      |probes AS (
+      |  SELECT q_id, xor(CAST(q_bucket AS BIGINT), m) AS probe
+      |  FROM qs CROSS JOIN masks),
+      |cand AS (
+      |  SELECT DISTINCT p.q_id, b.vec_id
+      |  FROM b JOIN probes p ON b.bucket = p.probe
+      |  WHERE b.vec_id <> p.q_id)
+      |SELECT e.q_id, count(*) AS n_exact,
+      |  CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hits,
+      |  round(CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS recall_at_10
+      |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+      |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Full replication of the SemDeDup pipeline: planted copies, the
@@ -591,94 +629,15 @@ object Vectors {
         |FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     // Full replication of the recall MEASUREMENT: plane family, sign
-    // buckets, Hamming-1 probes, per-query exact top-10 truth via a
-    // window, hit counts — the gate verifies the recall numbers.
-    "sim_ann_recall" ->
-      s"""WITH planes AS (
-        |  SELECT p, list_transform(range(64), i -> CAST(
-        |    CAST((p * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5
-        |    AS FLOAT)) AS plane
-        |  FROM (SELECT unnest(range(8)) AS p) t),
-        |b AS (
-        |  SELECT e.vec_id, CAST(sum(CASE WHEN
-        |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
-        |    THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
-        |qs AS (
-        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, b.bucket AS q_bucket
-        |  FROM embeddings e JOIN b USING (vec_id) WHERE e.vec_id % 100 = 0),
-        |exact AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q.q_id, e.vec_id, row_number() OVER (
-        |      PARTITION BY q.q_id
-        |      ORDER BY round(
-        |        ${oCos.replace("%A", "e.embedding").replace("%B", "q.q_emb")},
-        |        6) DESC, e.vec_id ASC) AS rk
-        |    FROM embeddings e CROSS JOIN qs q
-        |    WHERE e.vec_id <> q.q_id) t
-        |  WHERE rk <= 10),
-        |probes AS (
-        |  SELECT q_id, unnest(list_append(
-        |    list_transform(range(8), p -> xor(CAST(q_bucket AS BIGINT), 1 << p)),
-        |    CAST(q_bucket AS BIGINT))) AS probe
-        |  FROM qs),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id, b.vec_id
-        |  FROM b JOIN probes p ON b.bucket = p.probe
-        |  WHERE b.vec_id <> p.q_id)
-        |SELECT e.q_id, count(*) AS n_exact,
-        |  CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hits,
-        |  round(CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS recall_at_10
-        |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
-        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+    // buckets, Hamming-masked probes, per-query exact top-10 truth via
+    // a window, hit counts — the gate verifies the recall numbers. One
+    // template (oAnnRecallSql) for both audits; only maxDist differs,
+    // mirroring the Spark side's shared annRecallAudit + hammingMasks.
+    "sim_ann_recall" -> oAnnRecallSql(1),
 
-    // Same measurement with the probe depth lever pulled: all masks in
-    // [0,256) with bit_count <= 2 (1+8+28 = 37 probes/query) — the rule
-    // stated identically to the Spark side's bitCount filter.
-    "sim_ann_recall_multiprobe" ->
-      s"""WITH planes AS (
-        |  SELECT p, list_transform(range(64), i -> CAST(
-        |    CAST((p * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5
-        |    AS FLOAT)) AS plane
-        |  FROM (SELECT unnest(range(8)) AS p) t),
-        |b AS (
-        |  SELECT e.vec_id, CAST(sum(CASE WHEN
-        |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
-        |    THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
-        |qs AS (
-        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, b.bucket AS q_bucket
-        |  FROM embeddings e JOIN b USING (vec_id) WHERE e.vec_id % 100 = 0),
-        |exact AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q.q_id, e.vec_id, row_number() OVER (
-        |      PARTITION BY q.q_id
-        |      ORDER BY round(
-        |        ${oCos.replace("%A", "e.embedding").replace("%B", "q.q_emb")},
-        |        6) DESC, e.vec_id ASC) AS rk
-        |    FROM embeddings e CROSS JOIN qs q
-        |    WHERE e.vec_id <> q.q_id) t
-        |  WHERE rk <= 10),
-        |masks AS (
-        |  SELECT CAST(m AS BIGINT) AS m
-        |  FROM (SELECT unnest(range(256)) AS m) t
-        |  WHERE bit_count(CAST(m AS BIGINT)) <= 2),
-        |probes AS (
-        |  SELECT q_id, xor(CAST(q_bucket AS BIGINT), m) AS probe
-        |  FROM qs CROSS JOIN masks),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id, b.vec_id
-        |  FROM b JOIN probes p ON b.bucket = p.probe
-        |  WHERE b.vec_id <> p.q_id)
-        |SELECT e.q_id, count(*) AS n_exact,
-        |  CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hits,
-        |  round(CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS recall_at_10
-        |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
-        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+    // The probe depth lever pulled: bit_count(m) <= 2 → 1+8+28 = 37
+    // probes/query, stated identically to hammingMasks(8, 2).
+    "sim_ann_recall_multiprobe" -> oAnnRecallSql(2),
 
     // Full replication of the deterministic LSH pipeline: plane family
     // (integer-hash rationals cast to float), index-order sign dots,
