@@ -425,6 +425,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipeline_manifest digest is partitioning-invariant and flips on a 1-char edit") {
+    // The two claims the manifest comment makes and the oracle gate
+    // can't isolate: (a) bit_xor commutes, so the digest is identical
+    // at any partitioning; (b) a single flipped character (with
+    // n_chars, counts, and ids all unchanged) flips the digest — the
+    // drift the count columns are blind to.
+    val base = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    def dump(df: DataFrame): String = {
+      val t = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+      df.write.mode("overwrite").parquet(s"$t/documents.parquet")
+      t
+    }
+    val d7 = dump(base.repartition(7))
+    val d3 = dump(base.repartition(3))
+    // Same-length text edit on one doc: first char -> 'Z'.
+    val mut = dump(base.withColumn("text",
+      when(col("doc_id") === 7,
+        concat(lit("Z"), expr("substring(text, 2)"))).otherwise(col("text"))))
+    val q = SparkEntry.queries("pipeline_manifest")
+    val r7 = q(spark, d7).collect().map(_.toString).toSeq
+    val r3 = q(spark, d3).collect().map(_.toString).toSeq
+    assert(r7 == r3, "manifest differs across partitionings")
+    val mutSource = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7).select("source").head().getString(0)
+    val rm = q(spark, mut).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val orig = q(spark, d7).collect().map(r => r.getString(0) -> r).toMap
+    for ((src, o) <- orig; m = rm(src)) {
+      assert(o.getLong(1) == m.getLong(1) && o.getLong(2) == m.getLong(2),
+        s"$src: count/chars moved on a same-length edit")
+      if (src == mutSource)
+        assert(o.getLong(5) != m.getLong(5) && o.getLong(6) != m.getLong(6),
+          s"$src: digests blind to the planted 1-char flip")
+      else
+        assert(o.getLong(5) == m.getLong(5) && o.getLong(6) == m.getLong(6),
+          s"$src: digest moved in an untouched source")
+    }
+  }
+
   test("sim_quantized_rerank matches the brute-force top-k") {
     val sp = spark
     import sp.implicits._
