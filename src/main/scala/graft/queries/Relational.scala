@@ -326,6 +326,46 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
+    "sink_partition_overwrite" -> { (s, d) =>
+      // Dynamic partition overwrite — the estate's daily-reload
+      // primitive: INSERT OVERWRITE replaces exactly the partitions
+      // present in the incoming batch and leaves every other
+      // partition's FILES untouched (static overwrite clobbers the
+      // whole table; append duplicates). Seeded fresh each repeat
+      // (roundtrip kind): the full year-partitioned layout, then a
+      // 1996-only batch with doubled totals written with
+      // partitionOverwriteMode=dynamic. The require pins the untouched
+      // partitions by file identity (part filenames carry task UUIDs,
+      // so any rewrite changes them); the gate then proves the value
+      // semantics — 1996 totals doubled, every other year identical to
+      // source. At 100 TB this is the only overwrite shape that scales:
+      // work and commit cost are proportional to the RELOADED
+      // partitions, never the table.
+      val tmp = scratch(s, "part_overwrite", d)
+      val o = orders(s, d).withColumn("yr", year(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_totalprice"), col("yr"))
+      o.write.partitionBy("yr").mode("overwrite").parquet(tmp)
+      def lsNames(sub: String): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$tmp/$sub")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Set.empty
+        else fs.listStatus(p).map(_.getPath.getName).toSet
+      }
+      val before = lsNames("yr=1995")
+      o.filter(col("yr") === 1996)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.partitionBy("yr").option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(tmp)
+      val after = lsNames("yr=1995")
+      require(before.nonEmpty && before == after,
+        s"sink_partition_overwrite: untouched partition rewritten " +
+          s"(before=${before.size} files, after=${after.size})")
+      s.read.parquet(tmp)
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("yr")
+    },
+
     "sink_orc_roundtrip" -> { (s, d) =>
       // ORC connector both directions, same lossless-aggregate oracle.
       val tmp = scratch(s, "orc_rt", d)
@@ -1575,6 +1615,16 @@ object Relational {
     "sink_orc_roundtrip" ->
       s"""SELECT s_nationkey, count(*) AS n, ${oSum("s_acctbal")} AS bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // Known-construction emission: what the partitioned table must hold
+    // AFTER the dynamic reload — 1996 doubled, every other year the
+    // untouched source (the ×2 is an exact double scaling, so the
+    // decimal capture sees identical values in both engines).
+    "sink_partition_overwrite" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n,
+        |  ${oSum("o_totalprice * CASE WHEN year(o_orderdate) = 1996 THEN 2 ELSE 1 END")}
+        |    AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sink_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
