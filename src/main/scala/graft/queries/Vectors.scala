@@ -332,6 +332,38 @@ object Vectors {
       annRecallAudit(s, d, hammingMasks(8, 2))
     },
 
+    "feat_pca_power_step" -> { (s, d) =>
+      // One power-iteration step toward the corpus's top principal
+      // component: w = Xᵀ(Xv), normalized — the spectral sibling of
+      // sim_kmeans_step (witness the step; looping it IS the
+      // algorithm, and the top PC drives whitening, ABTT embedding
+      // post-processing, and spectral outlier audits). Scale shape:
+      // Xv is a map-side pass (broadcast v, codegen'd left-fold dot),
+      // Xᵀs is ONE shuffle of ≤64 decimal partials per task —
+      // bytes-over-network O(tasks·dims), input-size-invariant; the
+      // 64-row result normalizes via a 1-row broadcast attach. Every
+      // double derives from rounded products captured in exact
+      // decimals, so the oracle replicates score → weight → norm and
+      // the gate verifies the iterate itself.
+      GraftFunctions.register(s)
+      val emb = embeddings(s, d)
+      val v = emb.filter(col("vec_id") === 0).select(col("embedding").as("v"))
+      val scored = emb.crossJoin(broadcast(v))
+        .select(col("embedding"),
+          round(dot(col("embedding"), col("v")), 6).as("sc"))
+      val w = scored
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("sc"))
+        .groupBy("dim")
+        .agg(sum(round(col("x").cast(DoubleType) * col("sc"), 9)
+          .cast(DecimalType(28, 9))).cast(DoubleType).as("w"))
+      val norm2 = w.agg(sum(round(col("w") * col("w"), 9)
+        .cast(DecimalType(28, 9))).cast(DoubleType).as("n2"))
+      w.crossJoin(broadcast(norm2))
+        .select(col("dim"), round(col("w"), 6).as("w"),
+          round(col("w") / sqrt(col("n2")), 6).as("w_normed"))
+        .orderBy("dim")
+    },
+
     "dedup_semantic" -> { (s, d) =>
       // SemDeDup-style semantic dedup: coarse clusters BOUND the O(n²)
       // pair search (candidates are same-cluster only — at 10⁹ docs k
@@ -638,6 +670,28 @@ object Vectors {
     // The probe depth lever pulled: bit_count(m) <= 2 → 1+8+28 = 37
     // probes/query, stated identically to hammingMasks(8, 2).
     "sim_ann_recall_multiprobe" -> oAnnRecallSql(2),
+
+    // Full replication of the power step: left-fold dot scores, rounded
+    // products through DECIMAL(28,9) sums, identical norm shape.
+    "feat_pca_power_step" -> {
+      val d = oDot.replace("%A", "e.embedding").replace("%B", "v.v")
+      s"""WITH v AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.embedding, round($d, 6) AS sc
+        |  FROM embeddings e CROSS JOIN v),
+        |w AS (
+        |  SELECT CAST(i AS INTEGER) AS dim,
+        |    CAST(sum(CAST(round(
+        |      CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * sc, 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS w
+        |  FROM sc, (SELECT unnest(range(64)) AS i) dims
+        |  GROUP BY 1),
+        |n2 AS (
+        |  SELECT CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS n2
+        |  FROM w)
+        |SELECT dim, round(w, 6) AS w, round(w / sqrt(n2), 6) AS w_normed
+        |FROM w CROSS JOIN n2 ORDER BY dim""".stripMargin
+    },
 
     // Full replication of the deterministic LSH pipeline: plane family
     // (integer-hash rationals cast to float), index-order sign dots,

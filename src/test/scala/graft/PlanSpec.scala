@@ -354,8 +354,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // quartile cut points (sample_curriculum), and the ≤ n/100-row
     // broadcast query block of the recall audit (sim_ann_recall and
     // its probe-depth twin sim_ann_recall_multiprobe — the brute-force
-    // side is the op's deliberate sampled truth set), and the 1-row
-    // rank-1 merge winner attach (bpe_merge_apply).
+    // side is the op's deliberate sampled truth set), the 1-row
+    // rank-1 merge winner attach (bpe_merge_apply), and the power
+    // step's 1-row start-vector and norm attaches (feat_pca_power_step).
     // Anything NEW showing up here needs the same
     // bounded-by-construction argument.
     val allowed = Set("join_cross",
@@ -363,7 +364,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
-      "sim_ann_recall", "sim_ann_recall_multiprobe", "bpe_merge_apply")
+      "sim_ann_recall", "sim_ann_recall_multiprobe", "bpe_merge_apply",
+      "feat_pca_power_step")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>
