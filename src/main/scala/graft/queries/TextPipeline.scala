@@ -618,6 +618,44 @@ object TextPipeline {
         .orderBy("source")
     },
 
+    "text_js_divergence" -> { (s, d) =>
+      // Source-drift audit: Jensen–Shannon divergence of each source's
+      // unigram distribution against the full-corpus mix — the
+      // distribution-shift check run before adding a new crawl to the
+      // training blend (JS is symmetric, bounded by ln 2, and defined
+      // even on disjoint vocab — exactly why it beats raw KL here).
+      // Terms ABSENT from a source contribute 0.5·ln2·q_t in closed
+      // form (m = q/2 there), so every sum runs only over the (source,
+      // term) table: one vocab-bounded shuffle, with the corpus term
+      // table broadcast back carrying its window-computed total. Each
+      // per-term contribution is rounded to a 1e-9 grid and summed in
+      // exact decimals (order-free — the ln ulp hazard and the
+      // double-sum order hazard both die at the grid), so the oracle
+      // replicates the whole computation and the gate verifies the
+      // divergence NUMBERS.
+      val toks = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      val st = toks.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+      val ns = st.groupBy("source").agg(sum("c_st").as("n_s"))
+      val ct = st.groupBy("term").agg(sum("c_st").as("c_t"))
+        .withColumn("n", sum(col("c_t")).over(Window.partitionBy(lit(1))))
+      val j = st.join(ns, "source").join(broadcast(ct), "term")
+        .withColumn("p", col("c_st").cast(DoubleType) / col("n_s"))
+        .withColumn("q", col("c_t").cast(DoubleType) / col("n"))
+        .withColumn("m", (col("p") + col("q")) / lit(2.0))
+        .withColumn("contrib", round(col("p") * log(col("p") / col("m")) +
+          col("q") * log(col("q") / col("m")), 9))
+        .withColumn("q9", round(col("q"), 9))
+      j.groupBy("source")
+        .agg(max("n_s").as("n_tokens"),
+          sum(col("contrib").cast(DecimalType(28, 9))).cast(DoubleType).as("s9"),
+          sum(col("q9").cast(DecimalType(28, 9))).cast(DoubleType).as("qs"))
+        .select(col("source"), col("n_tokens"),
+          round(lit(0.5) * col("s9") +
+            lit(0.5) * log(lit(2.0)) * (lit(1.0) - col("qs")), 6).as("js_div"))
+        .orderBy("source")
+    },
+
     "doc_chunk" -> { (s, d) =>
       // Context-window chunking — the op every pretraining pipeline
       // runs between cleaning and tokenization: split each doc into
@@ -1814,6 +1852,33 @@ object TextPipeline {
         |  bit_xor(fp * 2654435761 + doc_id) AS content_digest,
         |  bit_xor(fp * 4294967291 + doc_id) AS content_digest_b
         |FROM fp GROUP BY source ORDER BY source""".stripMargin,
+
+    // Full replication of the drift audit: per-source and corpus
+    // unigram distributions, the same m=(p+q)/2 contribution shape
+    // (1e-9-snapped, decimal-summed), the same absent-term closed form.
+    "text_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct0 AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |ct AS (SELECT term, c_t, CAST(sum(c_t) OVER () AS BIGINT) AS n FROM ct0),
+        |j AS (
+        |  SELECT st.source, ns.n_s,
+        |    CAST(c_st AS DOUBLE) / n_s AS p, CAST(c_t AS DOUBLE) / n AS q
+        |  FROM st JOIN ns USING (source) JOIN ct USING (term)),
+        |j2 AS (
+        |  SELECT source, n_s,
+        |    round(p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)), 9)
+        |      AS contrib,
+        |    round(q, 9) AS q9
+        |  FROM j)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  round(0.5 * CAST(sum(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE)
+        |    + 0.5 * ln(2.0) *
+        |      (1.0 - CAST(sum(CAST(q9 AS DECIMAL(28,9))) AS DOUBLE)), 6) AS js_div
+        |FROM j2 GROUP BY source ORDER BY source""".stripMargin,
 
     "text_unigram_logprob" ->
       s"""WITH toks AS (
