@@ -111,8 +111,13 @@ case class RollingHash(child: Expression)
   * plane component is recomputed arithmetically inside the loop,
   * bit-identical to the literal-array form and the DuckDB oracles.
   */
-case class LshBucket(child: Expression, numPlanes: Int, dim: Int)
+case class LshBucket(child: Expression, numPlanes: Int, dim: Int,
+    planeOffset: Int = 0)
     extends UnaryExpression {
+  // planeOffset selects an INDEPENDENT hyperplane family (global plane
+  // index = planeOffset + local bit index) — the OR-amplification lever:
+  // L tables with offsets 0, numPlanes, 2*numPlanes... share nothing,
+  // while bucket BIT positions stay local so probe masks are unchanged.
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
 
@@ -128,10 +133,11 @@ case class LshBucket(child: Expression, numPlanes: Int, dim: Int)
     var bucket = 0L
     var p = 0
     while (p < numPlanes) {
+      val gp = planeOffset + p
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val comp = (((p * 1315423911L + i * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5).toFloat
+        val comp = (((gp * 1315423911L + i * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5).toFloat
         acc += a.getFloat(i).toDouble * comp.toDouble
         i += 1
       }
@@ -149,13 +155,15 @@ case class LshBucket(child: Expression, numPlanes: Int, dim: Int)
       val acc = ctx.freshName("acc")
       val comp = ctx.freshName("comp")
       val bucket = ctx.freshName("bucket")
+      val gp = ctx.freshName("gp")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
          |long $bucket = 0L;
          |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  long $gp = (long) $planeOffset + $p;
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    float $comp = (float) (((double) (($p * 1315423911L + $i * 2654435761L) % 1000003L)) / 1000003.0 - 0.5);
+         |    float $comp = (float) (((double) (($gp * 1315423911L + $i * 2654435761L) % 1000003L)) / 1000003.0 - 0.5);
          |    $acc += (double) $a.getFloat($i) * (double) $comp;
          |  }
          |  if ($acc > 0) $bucket |= 1L << $p;
@@ -179,7 +187,8 @@ object GraftFunctions {
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
       exprs => LshBucket(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash16",
       exprs => MinHashAgg(exprs.head, 16), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",

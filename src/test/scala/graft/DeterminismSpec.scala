@@ -63,6 +63,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_simhash",      // SimHashAgg
       "dedup_ngram_jaccard",// SortedIntersectSize
       "dedup_embedding",    // LshBucket
+      "sim_ann_multitable", // LshBucket planeOffset path (offsets 8/16)
       "sim_cosine_topk",    // DotProductF
       "udf_chmod_parse")    // Chmod kernel
     val bad = kernelQueries.flatMap { name =>

@@ -445,14 +445,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       when(col("doc_id") === 7,
         concat(lit("Z"), expr("substring(text, 2)"))).otherwise(col("text"))))
     val q = SparkEntry.queries("pipeline_manifest")
-    val r7 = q(spark, d7).collect().map(_.toString).toSeq
+    val rows7 = q(spark, d7).collect()
+    val r7 = rows7.map(_.toString).toSeq
     val r3 = q(spark, d3).collect().map(_.toString).toSeq
     assert(r7 == r3, "manifest differs across partitionings")
     val mutSource = Tables.documents(spark, sf)
       .filter(col("doc_id") === 7).select("source").head().getString(0)
     val rm = q(spark, mut).collect()
       .map(r => r.getString(0) -> r).toMap
-    val orig = q(spark, d7).collect().map(r => r.getString(0) -> r).toMap
+    val orig = rows7.map(r => r.getString(0) -> r).toMap
     for ((src, o) <- orig; m = rm(src)) {
       assert(o.getLong(1) == m.getLong(1) && o.getLong(2) == m.getLong(2),
         s"$src: count/chars moved on a same-length edit")
