@@ -52,6 +52,29 @@ object Vectors {
     * definition so a fix to the measurement (tie-break, hit join,
     * rounding) can never desynchronize the pair the docs compare.
     */
+  /** Brute-force top-10 truth for the sampled query block — the shared
+    * exact side of all three recall audits.
+    */
+  private def annTruth(emb: DataFrame, qs: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rk") <= 10)
+
+  /** Per-query hit counts + recall@10 — the shared emission of all
+    * three recall audits.
+    */
+  private def annRecallEmit(exact: DataFrame, cands: DataFrame): DataFrame =
+    exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
+      .orderBy("q_id")
+
   private def annRecallAudit(s: SparkSession, d: String, masks: Seq[Long]): DataFrame = {
     GraftFunctions.register(s)
     val emb = embeddings(s, d)
@@ -60,25 +83,13 @@ object Vectors {
     val qs = withBucket.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
-    val exact = emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-      .filter(col("rk") <= 10)
     val probes = qs.select(col("q_id"), explode(array(
       masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
     val cands = withBucket
       .join(broadcast(probes),
         col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
-    exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
-      .groupBy("q_id")
-      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .select(col("q_id"), col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
-      .orderBy("q_id")
+    annRecallEmit(annTruth(emb, qs), cands)
   }
 
   /** Masks within Hamming distance `maxDist` of 0 over `planes` bits —
@@ -362,13 +373,6 @@ object Vectors {
       val qs = withB.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
           tables.map(t => col(s"b$t").as(s"qb$t")): _*)
-      val exact = emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-        .filter(col("rk") <= 10)
       val probeCols = for (t <- tables; m <- masks)
         yield struct(lit(t).as("t"),
           col(s"qb$t").bitwiseXOR(lit(m)).as("probe"))
@@ -382,12 +386,7 @@ object Vectors {
           col("t") === col("qt") && col("bucket") === col("probe") &&
             col("vec_id") =!= col("q_id"))
         .select("q_id", "vec_id").distinct()
-      exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
-        .groupBy("q_id")
-        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("q_id"), col("n_exact"), col("n_hits"),
-          round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
-        .orderBy("q_id")
+      annRecallEmit(annTruth(emb, qs), cands)
     },
 
     "feat_pca_power_step" -> { (s, d) =>
