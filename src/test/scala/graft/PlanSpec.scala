@@ -365,7 +365,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
-      "bpe_merge_apply", "feat_pca_power_step")
+      "sim_ann_stacked", "bpe_merge_apply", "feat_pca_power_step")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>
