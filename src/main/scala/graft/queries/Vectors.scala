@@ -42,8 +42,9 @@ object Vectors {
     * expressions (the 32-plane banding's ~2048 plan literals made
     * planning+codegen dominate the query's wall time).
     */
-  private def lshBucket(emb: Column, planes: Int, dim: Int): Column =
-    call_function("graft_lsh_bucket", emb, lit(planes), lit(dim))
+  private def lshBucket(emb: Column, planes: Int, dim: Int,
+      offset: Int = 0): Column =
+    call_function("graft_lsh_bucket", emb, lit(planes), lit(dim), lit(offset))
 
   /** Brute-force top-10 truth for the sampled query block — the shared
     * exact side of all four recall audits. One definition so a fix to
@@ -60,7 +61,7 @@ object Vectors {
       .filter(col("rk") <= 10)
 
   /** Per-query hit counts + recall@10 — the shared emission of all
-    * three recall audits.
+    * four recall audits.
     */
   private def annRecallEmit(exact: DataFrame, cands: DataFrame): DataFrame =
     exact.join(cands.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
@@ -82,9 +83,7 @@ object Vectors {
     val tables = 0 until nTables
     val masks = hammingMasks(8, maxDist)
     val withB = tables.foldLeft(emb) { (df, t) =>
-      df.withColumn(s"b$t",
-        call_function("graft_lsh_bucket", col("embedding"),
-          lit(8), lit(64), lit(t * 8)))
+      df.withColumn(s"b$t", lshBucket(col("embedding"), 8, 64, t * 8))
     }
     val qs = withB.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
@@ -599,12 +598,12 @@ object Vectors {
     * t*8+lp, local bucket bits), per-table Hamming-masked probes,
     * union candidates, shared truth/tail.
     */
-  private def oAnnMultiTableSql(maxDist: Int): String =
+  private def oAnnMultiTableSql(nTables: Int, maxDist: Int): String =
       s"""WITH planes AS (
         |  SELECT t, lp, list_transform(range(64), i -> CAST(
         |    CAST(((t * 8 + lp) * 1315423911 + i * 2654435761) % 1000003 AS DOUBLE)
         |      / 1000003.0 - 0.5 AS FLOAT)) AS plane
-        |  FROM (SELECT unnest(range(3)) AS t) tt
+        |  FROM (SELECT unnest(range($nTables)) AS t) tt
         |  CROSS JOIN (SELECT unnest(range(8)) AS lp) pp),
         |b AS (
         |  SELECT pl.t, e.vec_id, CAST(sum(CASE WHEN
@@ -803,9 +802,9 @@ object Vectors {
     // probes/query, stated identically to hammingMasks(8, 2).
     "sim_ann_recall_multiprobe" -> oAnnRecallSql(2),
 
-    "sim_ann_multitable" -> oAnnMultiTableSql(1),
+    "sim_ann_multitable" -> oAnnMultiTableSql(3, 1),
 
-    "sim_ann_stacked" -> oAnnMultiTableSql(2),
+    "sim_ann_stacked" -> oAnnMultiTableSql(3, 2),
 
     // Full replication of the power step: left-fold dot scores, rounded
     // products through DECIMAL(28,9) sums, identical norm shape.
