@@ -141,8 +141,17 @@ object Multimodal {
       // members.
       val base = documents(s, d)
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      // Planted ids at doc_id + 1e12 with the phash variant's fold-in
+      // collision guard: a 1M+-doc corpus would have collided with the
+      // original unguarded 1e6 offset, silently merging groups in BOTH
+      // engines (the oracle replicates the construction, so the hash
+      // gate could never see it).
       val planted = base.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("blob"))
+        .select((col("doc_id") + 1000000000000L +
+          coalesce(assert_true(col("doc_id") < 1000000000000L,
+            lit("mm_exact_dedup: base doc_id >= 1e12 collides with the " +
+              "planted-id offset — regenerate or raise the offset"))
+            .cast(LongType), lit(0L))).as("doc_id"), col("blob"))
       base.unionByName(planted)
         .groupBy(md5(col("blob")).as("digest"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor_id"),
@@ -173,17 +182,20 @@ object Multimodal {
       // demonstrably recovers every one of them.
       val sp = s
       import sp.implicits._
-      // Planted ids live at vec_id + 1e9. Collision guard: a colliding
-      // base id would equal base'+1e9 with base'%10==0, i.e. be >=1e9
-      // and %10==0 itself — exactly a row of THIS filtered branch, so
-      // asserting the contract here catches every possible collision.
-      // The assert is folded into the projected value (coalesce of the
+      // Planted ids live at vec_id + 1e12 — far above ScaleGen's
+      // copy-offset id space (stride 1e8/copy puts tier ids in the low
+      // 1e9s; the original 1e9 offset ABORTED every tier k >= 11 via
+      // this very guard). Collision guard: a colliding base id would
+      // equal base'+1e12 with base'%10==0, i.e. be >=1e12 and %10==0
+      // itself — exactly a row of THIS filtered branch, so asserting
+      // the contract here catches every possible collision. The assert
+      // is folded into the projected value (coalesce of the
       // always-null assert_true) so pruning can't drop it.
       val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000000L +
-          coalesce(assert_true(col("vec_id") < 1000000000L,
-            lit("mm_phash_dedup: base vec_id >= 1e9 collides with the " +
+        .select((col("vec_id") + 1000000000000L +
+          coalesce(assert_true(col("vec_id") < 1000000000000L,
+            lit("mm_phash_dedup: base vec_id >= 1e12 collides with the " +
               "planted-id offset — regenerate or raise the offset"))
             .cast(LongType), lit(0L))).as("vec_id"),
           transform(col("embedding"),
@@ -277,7 +289,7 @@ object Multimodal {
       """WITH u AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0)
+        |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 20 = 0)
         |SELECT md5(text) AS digest, count(*) AS n_copies,
         |  min(doc_id) AS survivor_id, max(doc_id) AS dup_id
         |FROM u GROUP BY digest HAVING count(*) > 1
@@ -290,7 +302,7 @@ object Multimodal {
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000000000 AS vec_id,
+        |  SELECT vec_id + 1000000000000 AS vec_id,
         |    list_transform(range(len(embedding)),
         |      i -> CASE WHEN i = 3 OR i = 7 THEN -embedding[CAST(i + 1 AS INTEGER)]
         |           ELSE embedding[CAST(i + 1 AS INTEGER)] END) AS embedding

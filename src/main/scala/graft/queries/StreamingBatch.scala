@@ -572,7 +572,12 @@ object StreamingBatch {
       // unpartitioned windows below run over that O(1) calendar-bounded
       // table, never the stream (shuffle_global's bounded-window rule).
       // Determinism: all inputs to the doubles are exact BIGINT counts,
-      // so p·log terms are identical IEEE in both engines; rounded 1e-6.
+      // so p·log terms are identical IEEE in both engines — but their
+      // SUM order is not (per-partition shuffle-fetch order vs DuckDB's
+      // sequential scan), so each term snaps to the 1e-9 grid and
+      // accumulates through an exact decimal sum (the
+      // text_unigram_logprob recipe), with the 1e-6 emission rounding
+      // applied to the then-identical total.
       val joint = eventsTs(s, d)
         .groupBy(col("event_type"), (expr(s"us DIV $hourUs") % 24).as("hr"))
         .agg(count(lit(1)).as("n_xy"))
@@ -583,9 +588,12 @@ object StreamingBatch {
         .withColumn("n", sum(col("n_xy")).over(w))
         .groupBy("event_type")
         .agg(sum(col("n_xy")).as("n_events"),
-          round(sum(col("n_xy").cast(DoubleType) / col("n") *
+          sum(round(col("n_xy").cast(DoubleType) / col("n") *
             log(col("n_xy").cast(DoubleType) * col("n") /
-              (col("n_x").cast(DoubleType) * col("n_y")))), 6).as("mi_contrib"))
+              (col("n_x").cast(DoubleType) * col("n_y"))), 9)
+            .cast(DecimalType(28, 9))).cast(DoubleType).as("mi_raw"))
+        .select(col("event_type"), col("n_events"),
+          round(col("mi_raw"), 6).as("mi_contrib"))
         .orderBy("event_type")
     },
 
@@ -823,9 +831,9 @@ object StreamingBatch {
         |    CAST(sum(n_xy) OVER () AS BIGINT) AS n
         |  FROM joint)
         |SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_events,
-        |  round(sum(CAST(n_xy AS DOUBLE) / n *
-        |    ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y))), 6)
-        |    AS mi_contrib
+        |  round(CAST(sum(CAST(round(CAST(n_xy AS DOUBLE) / n *
+        |    ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y)), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi_contrib
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "feat_robust_scale" ->

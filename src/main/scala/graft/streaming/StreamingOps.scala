@@ -201,7 +201,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum((col("value") < col("p05")).cast(LongType)).as("n_clip_lo"),
         sum((col("value") > col("p95")).cast(LongType)).as("n_clip_hi"),
-        sum(col("clipped").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_clipped"),
+        graft.Tables.dsum(col("clipped")).as("sum_clipped"),
         round(min(col("p05")), 6).as("p05"),
         round(min(col("p95")), 6).as("p95"))
 }

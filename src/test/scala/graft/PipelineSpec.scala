@@ -492,12 +492,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val planted = Tables.embeddings(spark, sf)
       .filter(col("vec_id") % 10 === 0)
       .select("vec_id").as[Long].collect().toSet
-    // Every planted (v, v+1e9) pair must surface: negating dims 3 and 7
+    // Every planted (v, v+1e12) pair must surface: negating dims 3 and 7
     // flips exactly those sign bits, so the pair sits at Hamming ≤ 2 —
     // inside the banding's lossless ≤3 gate by construction.
     val gotPairs = got.map(p => (p._1, p._2)).toSet
     planted.foreach { v =>
-      assert(gotPairs.contains((v, v + 1000000000L)),
+      assert(gotPairs.contains((v, v + 1000000000000L)),
         s"planted near-dup of vec $v not recovered")
     }
     got.foreach { case (a, b, h) =>

@@ -131,16 +131,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sliceDir = Files.createTempDirectory("graft_stream_slices")
     import java.nio.file.attribute.FileTime
     val width = (hiUs - loUs + 7) / 8
-    (0 until 8).foreach { i =>
+    val staged = (0 until 8).map { i =>
       val stage = Files.createTempDirectory(s"graft_slice_$i")
       ev.filter(col("us") >= loUs + i * width && col("us") < loUs + (i + 1) * width)
         .drop("us").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      // A slice CAN be empty if the fixture's time axis is skewed; fail
+      // with the data-shape message, not an opaque Option.get crash.
       val part = new java.io.File(stage.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"time slice $i of events produced no parquet part " +
+          "— fixture time distribution changed; rebalance the slice count"))
       val target = java.nio.file.Paths.get(s"$sliceDir/slice_$i.parquet")
       Files.copy(part.toPath, target)
       Files.setLastModifiedTime(target,
         FileTime.fromMillis(System.currentTimeMillis() - 120000 + i * 10000))
+      stage
+    }
+    // Staging + slice dirs hold full event-table copies; drop them when
+    // the suite's JVM exits (the Tables.scratch cleanup convention).
+    (sliceDir +: staged).foreach { p =>
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+      }))
     }
     val stream = StreamingOps.readEvents(s2, sliceDir.toString,
       maxFilesPerTrigger = Some(1))
