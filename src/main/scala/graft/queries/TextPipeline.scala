@@ -108,6 +108,99 @@ object TextPipeline {
       |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) t
       |WHERE jac >= $ShingleT ORDER BY id_a, id_b""".stripMargin
 
+  /** Min-label connected components over the verified near-dup edge set
+    * (the dedup_jaccard_pairs truth pairs): each round a node takes the
+    * min label among itself, its neighbors, AND its label's label
+    * (pointer jumping) — the label-doubling that turns O(diameter)
+    * propagation into O(log diameter) distributed join rounds; measured
+    * here: 5 rounds to fixpoint (component diameter <= 5 at sf0.1),
+    * with per-round cost dominated by fixed job overhead at test size,
+    * not data. The driver-side loop only reads one tiny aggregate per
+    * round; all data stays distributed. Returns the converged
+    * (id, label) table, cached and already materialized. Shared by
+    * dedup_clusters (cluster emission) and pipeline_dedup_corpus
+    * (survivor mapping over the full corpus).
+    */
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+    val truthPairs = queries("dedup_jaccard_pairs")(s, d)
+      .select(col("id_a"), col("id_b"))
+    // Both edge directions from ONE pass over the pair join: a
+    // union of the pair query with its swap re-executes the whole
+    // quadratic subtree per branch (measured ~2× the pair-join cost);
+    // explode emits (a,b) and (b,a) from each row instead.
+    val edges = truthPairs
+      .select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
+      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
+      .persist() // joined every propagation round
+    // localCheckpoint each round: the round-k plan references the
+    // round-(k-1) frame several times (edges side, jump side, union),
+    // so WITHOUT lineage truncation the logical tree — which Catalyst
+    // re-analyzes in full even when caches cover execution — grows
+    // exponentially with rounds (measured: 136 s at sf0.01 from
+    // analysis alone). Checkpointing flattens each round to a
+    // LogicalRDD; a production multi-app setup would use reliable
+    // checkpoint() to survive executor loss, same shape.
+    // checkpoint-then-persist each round: the checkpoint truncates
+    // lineage, the persist's InMemoryRelation reports ACCURATE size
+    // stats once the convergence aggregate materializes it — so
+    // Catalyst auto-broadcasts the (small) label table into the next
+    // round's joins, turning them map-side. No forced broadcast()
+    // hint: if the label table ever outgrows the threshold (billions
+    // of near-dup nodes), the joins degrade to shuffles on their own.
+    // Init already performs round 1 (min of self and direct
+    // neighbors) — the groupBy that would otherwise just distinct the
+    // node ids computes the neighbor min for free, saving one full
+    // propagation round of fixed job overhead.
+    // eager=false: the checkpoint RDD still truncates lineage at plan
+    // time, but materialization folds into the convergence aggregate's
+    // job below — one Spark job per round instead of two (the eager
+    // form's checkpoint job + the labelSum job), halving the fixed
+    // per-round overhead that dominates at gate size.
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .localCheckpoint(eager = false)
+      .persist()
+    // coalesce: sum over zero rows is NULL — a corpus with no
+    // near-dup pairs must yield an empty result, not an NPE.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    // Labels only ever DECREASE, so the label sum is strictly monotone
+    // until the fixpoint — convergence is one tiny aggregate per
+    // round instead of a join-and-count against the previous round.
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 30) {
+      val viaEdges = labels
+        .join(edges, col("id") === col("id_a"))
+        .select(col("id_b").as("id"), col("label"))
+      // label(label): labels always point at real node ids (min over
+      // ids in the component so far), so the self-join is total; one
+      // composition per round halves the pointer depth (log2 rounds
+      // in the chain length — this corpus' components have diameter
+      // ≤ 5, so more aggressive doubling only adds joins per round).
+      val jmap = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val viaJump = labels.join(jmap, col("label") === col("jid"))
+        .select(col("id"), col("jlabel").as("label"))
+      val next = viaEdges.unionByName(viaJump).unionByName(labels)
+        .groupBy("id")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = false)
+        .persist()
+      val s2 = labelSum(next) // materializes the cache → stats for round k+1
+      converged = s2 == prevSum
+      prevSum = s2
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (s, d) =>
       // The corpus has no exact dups (FIXTURES.md) → self-union first so
@@ -805,95 +898,13 @@ object TextPipeline {
       // Connected components over the near-dup pair graph — what a
       // production dedup actually keeps: pairs are only EDGES; the unit
       // of removal is the transitive CLUSTER (A~B, B~C → {A,B,C} keep
-      // one). Each round a node takes the min label among itself, its
-      // neighbors, AND its label's label (pointer jumping) — the
-      // label-doubling that turns O(diameter) propagation into
-      // O(log diameter) distributed join rounds; measured here:
-      // 5 rounds to fixpoint (component diameter ≤ 5 at sf0.1), with
-      // per-round cost dominated by fixed job overhead at test size,
-      // not data. The driver-side loop only reads one aggregate per
-      // round; all data stays distributed.
-      // Emits one row per non-singleton cluster: survivor (= min
-      // doc_id), member count, member list. Oracle: DuckDB
-      // recursive-CTE reachability with min-reachable-id labels — a
-      // hash match proves the propagation found exactly the same
-      // fixpoint.
-      val truthPairs = queries("dedup_jaccard_pairs")(s, d)
-        .select(col("id_a"), col("id_b"))
-      // Both edge directions from ONE pass over the pair join: a
-      // union of the pair query with its swap re-executes the whole
-      // quadratic subtree per branch (measured ~2× the pair-join cost);
-      // explode emits (a,b) and (b,a) from each row instead.
-      val edges = truthPairs
-        .select(explode(array(
-          struct(col("id_a"), col("id_b")),
-          struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
-        .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
-        .persist() // joined every propagation round
-      // localCheckpoint each round: the round-k plan references the
-      // round-(k-1) frame several times (edges side, jump side, union),
-      // so WITHOUT lineage truncation the logical tree — which Catalyst
-      // re-analyzes in full even when caches cover execution — grows
-      // exponentially with rounds (measured: 136 s at sf0.01 from
-      // analysis alone). Checkpointing flattens each round to a
-      // LogicalRDD; a production multi-app setup would use reliable
-      // checkpoint() to survive executor loss, same shape.
-      // checkpoint-then-persist each round: the checkpoint truncates
-      // lineage, the persist's InMemoryRelation reports ACCURATE size
-      // stats once the convergence aggregate materializes it — so
-      // Catalyst auto-broadcasts the (small) label table into the next
-      // round's joins, turning them map-side. No forced broadcast()
-      // hint: if the label table ever outgrows the threshold (billions
-      // of near-dup nodes), the joins degrade to shuffles on their own.
-      // Init already performs round 1 (min of self and direct
-      // neighbors) — the groupBy that would otherwise just distinct the
-      // node ids computes the neighbor min for free, saving one full
-      // propagation round of fixed job overhead.
-      // eager=false: the checkpoint RDD still truncates lineage at plan
-      // time, but materialization folds into the convergence aggregate's
-      // job below — one Spark job per round instead of two (the eager
-      // form's checkpoint job + the labelSum job), halving the fixed
-      // per-round overhead that dominates at gate size.
-      var labels = edges.groupBy(col("id_a").as("id"))
-        .agg(min(col("id_b")).as("nmin"))
-        .select(col("id"), least(col("id"), col("nmin")).as("label"))
-        .localCheckpoint(eager = false)
-        .persist()
-      // coalesce: sum over zero rows is NULL — a corpus with no
-      // near-dup pairs must yield an empty result, not an NPE.
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-      // Labels only ever DECREASE, so the label sum is strictly monotone
-      // until the fixpoint — convergence is one tiny aggregate per
-      // round instead of a join-and-count against the previous round.
-      var prevSum = labelSum(labels)
-      var rounds = 0
-      var converged = false
-      while (!converged && rounds < 30) {
-        val viaEdges = labels
-          .join(edges, col("id") === col("id_a"))
-          .select(col("id_b").as("id"), col("label"))
-        // label(label): labels always point at real node ids (min over
-        // ids in the component so far), so the self-join is total; one
-        // composition per round halves the pointer depth (log2 rounds
-        // in the chain length — this corpus' components have diameter
-        // ≤ 5, so more aggressive doubling only adds joins per round).
-        val jmap = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-        val viaJump = labels.join(jmap, col("label") === col("jid"))
-          .select(col("id"), col("jlabel").as("label"))
-        val next = viaEdges.unionByName(viaJump).unionByName(labels)
-          .groupBy("id")
-          .agg(min(col("label")).as("label"))
-          .localCheckpoint(eager = false)
-          .persist()
-        val s2 = labelSum(next) // materializes the cache → stats for round k+1
-        converged = s2 == prevSum
-        prevSum = s2
-        labels.unpersist()
-        labels = next
-        rounds += 1
-      }
-      val out = labels
+      // one). The min-label fixpoint lives in [[ccLabels]] (shared with
+      // pipeline_dedup_corpus); this query formats it as one row per
+      // non-singleton cluster: survivor (= min doc_id), member count,
+      // member list. Oracle: DuckDB recursive-CTE reachability with
+      // min-reachable-id labels — a hash match proves the propagation
+      // found exactly the same fixpoint.
+      ccLabels(s, d)
         .groupBy(col("label").as("survivor_id"))
         .agg(count(lit(1)).as("n_members"),
           // Numeric sort BEFORE stringify ("10" < "2" lexicographically);
@@ -901,8 +912,27 @@ object TextPipeline {
           array_join(transform(sort_array(collect_list(col("id"))),
             _.cast(StringType)), ",").as("members"))
         .orderBy("survivor_id")
-      edges.unpersist()
-      out
+    },
+
+    "pipeline_dedup_corpus" -> { (s, d) =>
+      // End-to-end near-dup corpus dedup — the emission a production
+      // pipeline actually writes: every document mapped to its cluster
+      // survivor (itself when it belongs to no near-dup cluster) plus
+      // the keep decision (kept = "is its own survivor"). Composes the
+      // CC fixpoint ([[ccLabels]] — same truth-set edges as
+      // dedup_clusters) with one LEFT join of the corpus against the
+      // label table. Scale shape: the label table holds only near-dup
+      // NODES (≪ corpus; its cached stats let Catalyst broadcast it),
+      // so the corpus side joins map-side without re-shuffling; the
+      // oracle re-proves the fixpoint through the keep decision.
+      val labels = ccLabels(s, d).withColumnRenamed("id", "doc_id")
+      documents(s, d)
+        .select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("survivor_id"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
+        .orderBy("doc_id")
     },
 
     "split_train_test" -> { (s, d) =>
@@ -1098,6 +1128,40 @@ object TextPipeline {
         .filter(col("bucket").cast(DoubleType) < col("rate") * 10000.0)
         .select(col("doc_id"), col("lang"), col("n_tok"),
           round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")
+    },
+
+    "sample_ppswor" -> { (s, d) =>
+      // Weighted sampling WITHOUT replacement (PPSWOR) via the
+      // Efraimidis–Spirakis exponential race: each doc draws a
+      // deterministic uniform u from a salted md5 and competes with key
+      // -ln(u)/w, w = token count — the k smallest keys are exactly a
+      // probability-proportional-to-size draw without replacement. This
+      // is the sampler a quality/length-weighted corpus subset needs
+      // when the requirement is "pick 100 docs, longer docs
+      // proportionally more likely, NO duplicates" — the rate-based
+      // samplers (stratified/temperature) give each doc an independent
+      // coin, not an exact-k weighted draw. Shape: key assignment is
+      // map-only; selection is a global top-k (TakeOrdered — never a
+      // full sort); rerun- and partitioning-stable (hash u, doc_id
+      // tiebreak). Determinism: both engines evaluate the identical
+      // -ln((bucket + 0.5) / 10000) / w double expression; the measured
+      // rank-100/101 order-statistic gap is 3.9e-5 at sf0.01 / 1.1e-6
+      // at sf0.1 — ten orders of magnitude above any libm ln() ulp
+      // difference, so cross-engine noise cannot flip membership.
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      val bucket = conv(substring(
+        md5(concat(lit("graft-ppswor:"), col("doc_id").cast(StringType))), 1, 8),
+        16, 10).cast(LongType) % 10000
+      docs
+        .withColumn("wkey",
+          -log((bucket.cast(DoubleType) + 0.5) / 10000.0)
+            / col("n_tok").cast(DoubleType))
+        .orderBy(col("wkey"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          round(col("wkey"), 6).as("wkey"))
         .orderBy("doc_id")
     },
 
@@ -1405,6 +1469,53 @@ object TextPipeline {
         .orderBy("w1", "w2")
     },
 
+    "text_kneser_ney" -> { (s, d) =>
+      // Interpolated Kneser–Ney bigram probabilities (absolute discount
+      // D = 0.75) — the classic n-gram smoother: P(w2|w1) =
+      // max(c(w1,w2) - D, 0)/c(w1) + D·n1f(w1)/c(w1) · ncont(w2)/T,
+      // where n1f(w1) = distinct continuations of w1, ncont(w2) =
+      // distinct contexts preceding w2 (the "how novel is this word"
+      // continuation count that distinguishes KN from Katz backoff),
+      // and T = total bigram types. Shape: ONE bigram groupBy corpus
+      // pass (map-side combined); the per-w1 totals/fanouts and per-w2
+      // continuation fanouts are windows over the REDUCED bigram-TYPE
+      // table (vocab²-bounded, Zipf-sparse in practice); the single
+      // scalar T is a 1-row aggregate broadcast back via crossJoin —
+      // never an unpartitioned window over the type table. Selection is
+      // top-200 by count via TakeOrdered, not a global row_number.
+      // Every input to the double expression is an exact integer count
+      // and both engines evaluate the identical operation tree (left-
+      // associated), rounded at 1e-6.
+      val bg = documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        // 1-token docs: sequence(0, -1) DESCENDS ([0,-1]) and ws[-1]
+        // trips ANSI INVALID_ARRAY_INDEX — mirror the oracle's
+        // WHERE len(ws) >= 2 (same guard as text_bigram_lm).
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val tot = bg.agg(count(lit(1)).as("t_types"))
+      bg
+        .withColumn("c1", sum(col("cnt")).over(Window.partitionBy("w1")))
+        .withColumn("n1f", count(lit(1)).over(Window.partitionBy("w1")))
+        .withColumn("ncont", count(lit(1)).over(Window.partitionBy("w2")))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(200)
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("cnt"), col("c1"),
+          col("n1f"), col("ncont"),
+          round(
+            greatest(col("cnt").cast(DoubleType) - lit(0.75), lit(0.0))
+              / col("c1").cast(DoubleType)
+              + lit(0.75) * col("n1f").cast(DoubleType)
+                / col("c1").cast(DoubleType)
+                * (col("ncont").cast(DoubleType) / col("t_types").cast(DoubleType)),
+            6).as("p_kn"))
+        .orderBy("w1", "w2")
+    },
+
     "pipeline_mixture_weights" -> { (s, d) =>
       // Source-mixture rebalancing weights — the data-mixing primitive
       // that decides how hard to up/down-sample each source so every
@@ -1533,6 +1644,26 @@ object TextPipeline {
         |SELECT w1, w2, cnt, w1_cnt,
         |  round(ln(CAST(cnt AS DOUBLE) / CAST(w1_cnt AS DOUBLE)), 6) AS logp
         |FROM wc WHERE rk <= 200 ORDER BY w1, w2""".stripMargin,
+
+    // The double expression left-associates identically to the Spark
+    // Column tree: max(c-D,0)/c1 + ((D*n1f)/c1) * (ncont/T).
+    "text_kneser_ney" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bg0 AS (SELECT unnest(list_transform(range(len(ws) - 1),
+        |  i -> [ws[i + 1], ws[i + 2]])) AS b FROM w WHERE len(ws) >= 2),
+        |cnt AS (SELECT b[1] AS w1, b[2] AS w2, count(*) AS cnt FROM bg0 GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS t_types FROM cnt),
+        |wc AS (SELECT w1, w2, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |  count(*) OVER (PARTITION BY w1) AS n1f,
+        |  count(*) OVER (PARTITION BY w2) AS ncont
+        |  FROM cnt),
+        |sel AS (SELECT * FROM wc ORDER BY cnt DESC, w1, w2 LIMIT 200)
+        |SELECT w1, w2, cnt, c1, n1f, ncont,
+        |  round(greatest(CAST(cnt AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+        |    + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |      * (CAST(ncont AS DOUBLE) / CAST(t_types AS DOUBLE)), 6) AS p_kn
+        |FROM sel CROSS JOIN t ORDER BY w1, w2""".stripMargin,
 
     "pipeline_mixture_weights" ->
       """WITH bs AS (
@@ -1705,6 +1836,25 @@ object TextPipeline {
         |SELECT survivor_id, count(*) AS n_members,
         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
         |FROM lab GROUP BY survivor_id ORDER BY survivor_id""".stripMargin,
+
+    // Same recursive-CTE fixpoint as dedup_clusters, re-proven through
+    // the per-document keep decision.
+    "pipeline_dedup_corpus" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.id_b, reach.r FROM reach JOIN edges e ON reach.id = e.id_a),
+        |lab AS (SELECT id, min(r) AS survivor_id FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  coalesce(lab.survivor_id, d.doc_id) AS survivor_id,
+        |  coalesce(lab.survivor_id, d.doc_id) = d.doc_id AS kept
+        |FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Brute-force within-block trigram Jaccard — no prefix filter: the
     // hash compare against the Spark side proves the filter is lossless.
@@ -2067,6 +2217,23 @@ object TextPipeline {
         |FROM toks t JOIN rates r ON t.lang = r.lang
         |WHERE CAST(CAST(('0x' || substring(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) < rate * 10000.0
         |ORDER BY doc_id""".stripMargin,
+
+    // -ln(u)/w vs Spark's -(ln(u))/w: negation is EXACT in IEEE, so
+    // -(a/b) == (-a)/b bit-for-bit and the parse difference is moot.
+    "sample_ppswor" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substring(md5('graft-ppswor:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    -ln((CAST(bucket AS DOUBLE) + 0.5) / 10000.0)
+        |      / CAST(n_tok AS DOUBLE) AS wkey
+        |  FROM t),
+        |sel AS (SELECT * FROM k ORDER BY wkey, doc_id LIMIT 100)
+        |SELECT doc_id, lang, n_tok, round(wkey, 6) AS wkey
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     "text_dedup_lines" ->
       """WITH base AS (

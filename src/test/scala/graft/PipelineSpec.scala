@@ -523,6 +523,64 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text_kneser_ney probabilities are proper and discount-consistent") {
+    val sp = spark
+    import sp.implicits._
+    val kn = SparkEntry.queries("text_kneser_ney")(spark, sf)
+      .select("cnt", "c1", "n1f", "p_kn").as[(Long, Long, Long, Double)].collect()
+    assert(kn.nonEmpty, "KN emitted nothing")
+    kn.foreach { case (cnt, c1, n1f, p) =>
+      assert(p > 0.0 && p <= 1.0, s"p_kn=$p out of (0,1]")
+      // The discounted ML term alone lower-bounds p; ML + full
+      // continuation mass upper-bounds it (lambda*Pcont <= D*n1f/c1).
+      val ml = math.max(cnt - 0.75, 0.0) / c1
+      assert(p >= ml - 1e-6, s"p_kn=$p below its discounted ML term $ml")
+      assert(p <= ml + 0.75 * n1f / c1 + 1e-6,
+        s"p_kn=$p exceeds ML + full backoff mass")
+    }
+  }
+
+  test("sample_ppswor oversamples long docs and stays within the corpus") {
+    val sp = spark
+    import sp.implicits._
+    val sample = SparkEntry.queries("sample_ppswor")(spark, sf)
+      .select("doc_id", "n_tok").as[(Long, Long)].collect()
+    assert(sample.length == math.min(100,
+      Tables.documents(spark, sf).count()), "wrong sample size")
+    assert(sample.map(_._1).distinct.length == sample.length,
+      "WITHOUT replacement violated: duplicate doc_ids")
+    val corpus = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long")).as[Long].collect()
+    // PPS property: expected sample mean weight exceeds the corpus mean
+    // (longer docs win the exponential race proportionally more often).
+    val sMean = sample.map(_._2).sum.toDouble / sample.length
+    val cMean = corpus.sum.toDouble / corpus.length
+    assert(sMean > cMean,
+      s"weighted sample mean $sMean not above corpus mean $cMean")
+  }
+
+  test("pipeline_dedup_corpus keep decisions reconcile with dedup_clusters") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = SparkEntry.queries("pipeline_dedup_corpus")(spark, sf)
+      .select("doc_id", "survivor_id", "kept")
+      .as[(Long, Long, Boolean)].collect()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .select("survivor_id", "n_members").as[(Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(corpus.length == nDocs, "must emit one decision per document")
+    // Every cluster removes exactly n_members - 1 docs; everything else
+    // is kept. The two queries run the same CC fixpoint, so the counts
+    // must reconcile exactly.
+    val expectedRemoved = clusters.map(_._2 - 1).sum
+    assert(corpus.count(!_._3) == expectedRemoved,
+      s"removed ${corpus.count(!_._3)} != clusters' ${expectedRemoved}")
+    corpus.foreach { case (id, surv, kept) =>
+      assert(kept == (id == surv), s"doc $id: kept=$kept but survivor=$surv")
+      assert(surv <= id, s"doc $id: survivor $surv is not the min member")
+    }
+  }
+
   test("funnel_stages is monotone and stage 1 equals distinct viewers") {
     val sp = spark
     import sp.implicits._

@@ -355,9 +355,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast query block of the recall audit (sim_ann_recall and
     // its probe-depth twin sim_ann_recall_multiprobe — the brute-force
     // side is the op's deliberate sampled truth set), the 1-row
-    // rank-1 merge winner attach (bpe_merge_apply), and the power
-    // step's 1-row start-vector and norm attaches (feat_pca_power_step).
-    // Anything NEW showing up here needs the same
+    // rank-1 merge winner attach (bpe_merge_apply), the power
+    // step's 1-row start-vector and norm attaches (feat_pca_power_step),
+    // and the 1-row bigram-type-count attach onto the top-200 selection
+    // (text_kneser_ney). Anything NEW showing up here needs the same
     // bounded-by-construction argument.
     val allowed = Set("join_cross",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
@@ -365,7 +366,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
-      "sim_ann_stacked", "bpe_merge_apply", "feat_pca_power_step")
+      "sim_ann_stacked", "bpe_merge_apply", "feat_pca_power_step",
+      "text_kneser_ney")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>
