@@ -848,6 +848,46 @@ object Relational {
             .as("approx_within_5pct"))
         .orderBy("event_type")),
 
+    "agg_hll_intersect" -> { (s, d) =>
+      // Sketch-algebra audience overlap: |A∩B| via inclusion-exclusion
+      // over HLL sketches — est(A) + est(B) − est(A∪B) — the only
+      // intersection HLLs support (they union natively but cannot
+      // intersect), and the dashboard shape when cohorts are sketched
+      // separately and re-scanning 100 TB per pair is off the table.
+      // Cohorts: customers with an URGENT order vs with a HIGH order
+      // (76% true overlap — a genuine partial intersection, not a
+      // degenerate identical-set pair). The three sketches build in ONE
+      // scan via null-skipping conditional columns (HLL ignores nulls),
+      // map-side partials only. rsd = 0.01: inclusion-exclusion
+      // compounds THREE sketch errors against the smaller intersection
+      // (worst case ~(σ·(|A|+|B|+|A∪B|))/|A∩B| ≈ 3.6% here), so the
+      // default 5% sketch would not survive a 10% flag bar — the tight
+      // sketch keeps the bar honest. Exact counts exist only to pin the
+      // flag (the gate branch, as in agg_approx_distinct); production
+      // is the sketch branch alone.
+      val o = orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey"),
+          (col("o_orderpriority") === "1-URGENT").as("ia"),
+          (col("o_orderpriority") === "2-HIGH").as("ib"))
+      val est = o.agg(
+        approx_count_distinct(when(col("ia"), col("o_custkey")), 0.01).as("ea"),
+        approx_count_distinct(when(col("ib"), col("o_custkey")), 0.01).as("eb"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("eu"))
+      val exact = o.groupBy("o_custkey")
+        .agg(max(col("ia")).as("va"), max(col("ib")).as("vb"))
+        .agg(
+          sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vb"), 1L).otherwise(0L)).as("n_b"),
+          count(lit(1)).as("n_union"),
+          sum(when(col("va") && col("vb"), 1L).otherwise(0L)).as("n_intersect"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_a"), col("n_b"), col("n_union"), col("n_intersect"),
+          (abs(col("ea") + col("eb") - col("eu") - col("n_intersect"))
+            .cast(DoubleType) / col("n_intersect") <= 0.10)
+            .as("incl_excl_within_10pct"))
+    },
+
     "agg_skew_salted" -> { (s, d) =>
       // Skew mitigation at the gate: ~90% of lineitem rows collapse to
       // one hot key, and the two-phase (key, salt) partial → key merge
@@ -1807,6 +1847,18 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_hll_intersect" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS va,
+        |    max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS vb
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY o_custkey)
+        |SELECT CAST(sum(va) AS BIGINT) AS n_a, CAST(sum(vb) AS BIGINT) AS n_b,
+        |  count(*) AS n_union, CAST(sum(va * vb) AS BIGINT) AS n_intersect,
+        |  TRUE AS incl_excl_within_10pct
+        |FROM f""".stripMargin,
 
     "agg_skew_salted" ->
       s"""SELECT key, ${oSum("l_quantity")} AS sum_qty, count(*) AS n

@@ -357,8 +357,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // side is the op's deliberate sampled truth set), the 1-row
     // rank-1 merge winner attach (bpe_merge_apply), the power
     // step's 1-row start-vector and norm attaches (feat_pca_power_step),
-    // and the 1-row bigram-type-count attach onto the top-200 selection
-    // (text_kneser_ney). Anything NEW showing up here needs the same
+    // the 1-row bigram-type-count attach onto the top-200 selection
+    // (text_kneser_ney), and the 1-row three-sketch estimate attach
+    // (agg_hll_intersect). Anything NEW showing up here needs the same
     // bounded-by-construction argument.
     val allowed = Set("join_cross",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
@@ -367,7 +368,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
       "sim_ann_stacked", "bpe_merge_apply", "feat_pca_power_step",
-      "text_kneser_ney")
+      "text_kneser_ney", "agg_hll_intersect")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>
