@@ -230,6 +230,54 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl").as("new_label"), col("votes"))
         .orderBy("node")
+    },
+
+    "graph_k_core" -> { (s, d) =>
+      // k-core decomposition (K = 5): repeatedly peel nodes of degree
+      // < K until the remaining subgraph is stable — the graph-quality
+      // filter that keeps densely-linked hosts/docs and drops the
+      // sparsely-connected fringe (spam/orphan pruning on a crawl
+      // graph). Iterative-driver schedule like dedup_clusters: each
+      // round is one degree groupBy + two semi-join-shaped filters of
+      // the edge list against the surviving-node table, O(edges)
+      // shuffle bytes per round, and the driver reads only the one
+      // edge-count aggregate that doubles as the convergence test (the
+      // count is strictly decreasing until fixpoint). Round count is
+      // bounded by the peel cascade depth (measured: 3 rounds at both
+      // sf0.01 and sf0.1; %10 witness bound — see graph_triangles).
+      // Same per-round localCheckpoint as ccLabels: truncates the
+      // exponentially re-analyzed lineage. Oracle: the peel UNROLLED 6
+      // times — peeling is idempotent at fixpoint, so any graph that
+      // converges within 6 rounds hash-matches exactly; one that
+      // doesn't fails the gate loudly (the drift alarm we want).
+      val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      var edges = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .localCheckpoint(eager = false).persist()
+      var prev = edges.count()
+      var rounds = 0
+      var converged = prev == 0L
+      while (!converged && rounds < 30) {
+        val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= 5).select("node")
+        val next = edges
+          .join(keep.select(col("node").as("u")), "u")
+          .join(keep.select(col("node").as("v")), "v")
+          .select("u", "v")
+          .localCheckpoint(eager = false).persist()
+        val n2 = next.count()
+        converged = n2 == prev
+        prev = n2
+        edges.unpersist()
+        edges = next
+        rounds += 1
+      }
+      edges.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("core_deg"))
+        .orderBy("node")
     }
   )
 
@@ -340,6 +388,32 @@ object Graph {
         |    OVER (PARTITION BY node ORDER BY votes DESC, lbl) AS rn
         |  FROM votes)
         |SELECT node, lbl AS new_label, CAST(votes AS BIGINT) AS votes
-        |FROM r WHERE rn = 1 ORDER BY node""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY node""".stripMargin,
+
+    // Peel unrolled 6 rounds (fixpoint measured at 3 for both gate
+    // tiers; extra rounds are no-ops by idempotence — a graph needing
+    // >6 would hash-mismatch, which is the alarm we want). MATERIALIZED
+    // is load-bearing: each stage references its predecessor 3×, so
+    // DuckDB's default CTE inlining would expand 3^6 = 729 base scans
+    // (observed: "too many open files").
+    "graph_k_core" -> {
+      val peel = (1 to 6).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT n FROM (
+           |  SELECT n, count(*) AS d FROM (
+           |    SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) t$i
+           |  GROUP BY n) dd$i WHERE d >= 5),
+           |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN k$i a ON e.u = a.n JOIN k$i b ON e.v = b.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |$peel
+        |SELECT n AS node, count(*) AS core_deg FROM (
+        |  SELECT u AS n FROM e6 UNION ALL SELECT v FROM e6) f
+        |GROUP BY n ORDER BY node""".stripMargin
+    }
   )
 }
