@@ -581,6 +581,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graph_k_core output satisfies the core invariant (every degree >= 5)") {
+    val sp = spark
+    import sp.implicits._
+    val core = SparkEntry.queries("graph_k_core")(spark, sf)
+      .select("node", "core_deg").as[(Long, Long)].collect()
+    assert(core.nonEmpty, "5-core unexpectedly empty at sf0.001 (19 nodes expected)")
+    // The defining property: the surviving subgraph is its own witness —
+    // every member's IN-CORE degree clears the peel threshold. (That the
+    // peel removed exactly the right set is the DuckDB oracle's job;
+    // this is the engine-independent sanity bound.)
+    core.foreach { case (n, d) =>
+      assert(d >= 5, s"node $n in the 5-core with in-core degree $d")
+    }
+    // And the peel only removes: core nodes are a subset of the graph's.
+    val allNodes = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_partkey")).distinct().as[Long].collect().toSet
+    core.foreach { case (n, _) =>
+      assert(allNodes.contains(n), s"core node $n not in the input graph")
+    }
+  }
+
   test("funnel_stages is monotone and stage 1 equals distinct viewers") {
     val sp = spark
     import sp.implicits._
