@@ -39,5 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    // Spark's own bloom pair, surfaced for application-level blooms
+    // (see GraftFunctions.register).
+    e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

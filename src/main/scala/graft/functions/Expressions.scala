@@ -199,5 +199,16 @@ object GraftFunctions {
       exprs => WordShingles(exprs.head, 5), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    // Spark's OWN bloom expressions (the pair InjectRuntimeFilter
+    // plants automatically), surfaced as callable functions so a query
+    // can build an APPLICATION-level bloom — e.g. over a historical
+    // fingerprint set — rather than relying on the optimizer to decide.
+    // No custom sketch code: same Catalyst implementation, codegen'd.
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }

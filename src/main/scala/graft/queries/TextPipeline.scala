@@ -276,6 +276,52 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    "dedup_bloom_incremental" -> { (s, d) =>
+      // dedup_incremental's 100 TB refinement: a BLOOM PREFILTER over
+      // the history fingerprints splits the batch map-side BEFORE any
+      // join — might_contain=false rows are definitely new (bloom
+      // false negatives are impossible by construction) and skip the
+      // shuffle entirely; only the probable sliver (true dups + the
+      // fpp's false positives) reaches the exact anti-join. At "today's
+      // batch vs years of history" scale the bloom is ~1.2 bytes/key
+      // broadcast once, vs shuffling every batch fingerprint to the
+      // history's partitions. The sketch is Spark's OWN
+      // BloomFilterAggregate/BloomFilterMightContain pair (what
+      // InjectRuntimeFilter plants), surfaced via graft_bloom_agg /
+      // graft_might_contain (GraftFunctions) so the query controls
+      // placement — built as a scalar subquery over history. The
+      // emission is IDENTICAL to dedup_incremental and the oracle IS
+      // the plain exact form: the hash gate proves the bloom split is
+      // a pure reduction, never a semantic change (join_runtime_bloom's
+      // gate pattern, applied to dedup).
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d).createOrReplaceTempView("dbi_docs")
+      val df = s.sql(
+        """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM dbi_docs),
+          |batch AS (
+          |  SELECT fp, min(doc_id) AS doc_id FROM fp
+          |  WHERE doc_id % 10 = 0 GROUP BY fp),
+          |flagged AS (
+          |  SELECT doc_id, fp,
+          |    graft_might_contain(
+          |      (SELECT graft_bloom_agg(xxhash64(fp), 1000L, 48000L)
+          |       FROM fp WHERE doc_id % 10 != 0),
+          |      xxhash64(fp)) AS probable
+          |  FROM batch),
+          |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 != 0)
+          |SELECT doc_id FROM (
+          |  SELECT doc_id FROM flagged WHERE NOT probable
+          |  UNION ALL
+          |  SELECT f.doc_id FROM (SELECT * FROM flagged WHERE probable) f
+          |    LEFT ANTI JOIN hist h ON f.fp = h.fp) r
+          |ORDER BY doc_id""".stripMargin)
+      // Self-enforcing like join_runtime_bloom: the witness is only a
+      // witness while the bloom probe actually survives optimization.
+      require(df.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "bloom prefilter was optimized away:\n" + df.queryExecution.optimizedPlan)
+      df
+    },
+
     "feat_negative_sampling" -> { (s, d) =>
       // Deterministic negative sampling for contrastive training:
       // every anchor doc (doc_id % 97 == 0 — the fixture's stand-in
@@ -1713,6 +1759,18 @@ object TextPipeline {
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0),
+        |batch AS (
+        |  SELECT fp, min(doc_id) AS doc_id FROM fp
+        |  WHERE doc_id % 10 = 0 GROUP BY fp)
+        |SELECT doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The oracle IS the exact (bloom-free) incremental dedup: a hash
+    // match proves the bloom prefilter split is a pure reduction.
+    "dedup_bloom_incremental" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
         |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0),
         |batch AS (
