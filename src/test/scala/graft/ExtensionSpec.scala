@@ -32,6 +32,24 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(1) === 2.0)
   }
 
+  test("surfaced bloom pair: no false negatives, measurable selectivity") {
+    // graft_bloom_agg/graft_might_contain (Spark's own expressions,
+    // injected by GraftExtensions): every inserted key MUST probe true
+    // (bloom false negatives are impossible — this is the property
+    // dedup_bloom_incremental's exactness rests on), and a disjoint key
+    // range must probe mostly false (the prefilter actually filters).
+    val r = spark.sql(
+      """WITH bl AS (SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 500L, 8000L) AS bf
+        |  FROM range(500)),
+        |probes AS (SELECT id, graft_might_contain((SELECT bf FROM bl),
+        |    xxhash64(CAST(id AS STRING))) AS hit FROM range(2000))
+        |SELECT sum(CASE WHEN id < 500 AND hit THEN 1 ELSE 0 END) AS tp,
+        |  sum(CASE WHEN id >= 500 AND hit THEN 1 ELSE 0 END) AS fp
+        |FROM probes""".stripMargin).collect().head
+    assert(r.getLong(0) === 500L, "bloom dropped an inserted key (false negative)")
+    assert(r.getLong(1) < 300L, s"bloom passes ${r.getLong(1)}/1500 disjoint keys - no selectivity")
+  }
+
   // NOTE deliberately NOT tested here: the `--conf
   // spark.sql.extensions=graft.GraftExtensions` deployment path. That
   // static conf is only read when the SparkContext is created, and the
