@@ -133,7 +133,10 @@ case class LshBucket(child: Expression, numPlanes: Int, dim: Int,
     var bucket = 0L
     var p = 0
     while (p < numPlanes) {
-      val gp = planeOffset + p
+      // toLong BEFORE the add: codegen computes `(long) offset + p`, so
+      // an offset near Int.MaxValue must widen here too or the two
+      // evaluation modes diverge on overflow.
+      val gp = planeOffset.toLong + p
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -275,6 +275,15 @@ object Graph {
         edges = next
         rounds += 1
       }
+      // A partial peel is NOT a 5-core — it still contains nodes whose
+      // degree would drop below k on further rounds. The cap exists to
+      // bound a broken schedule, not as a silent exit: the peel
+      // cascade depth is ≤ the node count and measured at 3 here, so
+      // 30 rounds only trips on a genuine bug. Fail loudly so a
+      // standalone caller (not just the gate hash) sees it.
+      require(converged,
+        s"graph_k_core: peel did not reach fixpoint in $rounds rounds" +
+          " — emission would be a partial peel, not a 5-core")
       edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
         .orderBy("node")

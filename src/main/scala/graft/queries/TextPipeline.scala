@@ -121,7 +121,16 @@ object TextPipeline {
     * dedup_clusters (cluster emission) and pipeline_dedup_corpus
     * (survivor mapping over the full corpus).
     */
-  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+  // The converged label table is persisted because each consumer
+  // (cluster emission, corpus label join) references it from several
+  // plan branches. Callers receive a LAZY DataFrame, so unpersisting
+  // inside this method would defeat the cache before materialization;
+  // instead the PREVIOUS call's table is released on the next call,
+  // bounding the session to one live cached label table (KBs per 10^6
+  // near-dup nodes) instead of one per query execution.
+  private var lastCcLabels: Option[DataFrame] = None
+
+  private def ccLabels(s: SparkSession, d: String): DataFrame = synchronized {
     val truthPairs = queries("dedup_jaccard_pairs")(s, d)
       .select(col("id_a"), col("id_b"))
     // Both edge directions from ONE pass over the pair join: a
@@ -197,7 +206,18 @@ object TextPipeline {
       labels = next
       rounds += 1
     }
+    // An unconverged fixpoint must fail loudly: a partial propagation
+    // would emit labels that are upper bounds, i.e. a WRONG (split)
+    // clustering, and only the gate harness's hash — not a standalone
+    // caller — would notice. 30 rounds covers component diameter
+    // 2^30 under pointer doubling; hitting the cap means the input or
+    // the schedule is broken, never normal operation.
+    require(converged,
+      s"ccLabels: min-label propagation did not converge in $rounds rounds" +
+        " — emission would be a partial (split) clustering")
     edges.unpersist()
+    lastCcLabels.foreach(_.unpersist())
+    lastCcLabels = Some(labels)
     labels
   }
 
@@ -295,16 +315,27 @@ object TextPipeline {
       // a pure reduction, never a semantic change (join_runtime_bloom's
       // gate pattern, applied to dedup).
       graft.functions.GraftFunctions.register(s)
-      documents(s, d).createOrReplaceTempView("dbi_docs")
+      val docs = documents(s, d)
+      docs.createOrReplaceTempView("dbi_docs")
+      // Size the sketch from the tier, not a constant: a fixed 48k-bit
+      // filter saturates (fpp → 1) once history outgrows ~1000 items
+      // and the prefilter silently stops skipping the shuffle. The doc
+      // count is a parquet-footer metadata read (no data scan); 90% of
+      // docs are history under the %10 split, and 48 bits/item keeps
+      // fpp < 1e-9 at any tier, so the claimed shuffle-skip holds at
+      // 100 TB history, not just at gate size. In a production
+      // incremental pipeline this count is the maintained state-store
+      // cardinality — known, not measured.
+      val histEst = math.max(1000L, (docs.count() * 9L) / 10L)
       val df = s.sql(
-        """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM dbi_docs),
+        s"""WITH fp AS (SELECT doc_id, md5(text) AS fp FROM dbi_docs),
           |batch AS (
           |  SELECT fp, min(doc_id) AS doc_id FROM fp
           |  WHERE doc_id % 10 = 0 GROUP BY fp),
           |flagged AS (
           |  SELECT doc_id, fp,
           |    graft_might_contain(
-          |      (SELECT graft_bloom_agg(xxhash64(fp), 1000L, 48000L)
+          |      (SELECT graft_bloom_agg(xxhash64(fp), ${histEst}L, ${histEst * 48L}L)
           |       FROM fp WHERE doc_id % 10 != 0),
           |      xxhash64(fp)) AS probable
           |  FROM batch),
