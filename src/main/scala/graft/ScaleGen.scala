@@ -20,12 +20,30 @@ import org.apache.spark.sql.functions._
   * was 31 812) while wall time stays sub-quadratic — the
   * K× tiers stress-test prune/bucket structure under heavy dup load,
   * they do not model a dedup-light real corpus.
+  *
+  * Mode `bounded` (optional 4th arg; round 8): clone clusters with
+  * DISJOINT membership instead. Every copy's tokens get a fixed-width
+  * per-copy prefix — a token bijection, so 5-WORD-shingle Jaccard
+  * within a copy is preserved EXACTLY (bijections on tokens are
+  * bijections on 5-token shingles), while cross-copy token sets are
+  * disjoint → cross-copy Jaccard is exactly 0. True near-dup pairs
+  * therefore grow EXACTLY K× (K copies × the per-copy pair count, by
+  * symmetry — all copies get same-length tags, including copy 0),
+  * cluster COUNT grows K×, cluster SIZE stays bounded at the source
+  * corpus's. This is the honest fixture for the iterative dedup
+  * family: a real 100 TB corpus has ~constant cluster size and
+  * O(corpus) near-dup edges, which the default near-dup mode's K²
+  * construction deliberately violates.
   */
 object ScaleGen {
   private val Stride = 100000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, kStr) = args
+    val (src, out, kStr, mode) = args match {
+      case Array(s, o, kk)    => (s, o, kk, "neardup")
+      case Array(s, o, kk, m) => (s, o, kk, m)
+    }
+    require(mode == "neardup" || mode == "bounded", s"unknown mode $mode")
     val k = kStr.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -59,7 +77,15 @@ object ScaleGen {
     }.write.mode("overwrite").parquet(s"$out/events.parquet")
 
     copies(Tables.documents(spark, src)) { (df, c) =>
-      val txt = if (c == 0) col("text")
+      val txt =
+        if (mode == "bounded") {
+          // Fixed-width tag (2 letters, c < 676) so every copy's
+          // transform is the same-length bijection — per-copy pair
+          // counts identical by symmetry.
+          val tag = s"${('a' + c / 26).toChar}${('a' + c % 26).toChar}"
+          array_join(transform(split(col("text"), " "),
+            t => concat(lit(tag), t)), " ")
+        } else if (c == 0) col("text")
         else concat(col("text"), lit(s" xcopytag$c xmark${c}a xmark${c}b"))
       df.withColumn("doc_id", col("doc_id") + off(c))
         .withColumn("text", txt)

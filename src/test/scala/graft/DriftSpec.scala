@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2 ↔ SparkEntry.queries drift guard (VERDICT r7 item 6).
+  *
+  * The §2 inventory and the queries map are maintained by hand in two
+  * places; they agree only as long as every edit updates both. This
+  * spec makes the agreement mechanical:
+  *
+  *  1. every §2 backticked key — minus rows the blueprint itself marks
+  *     `test-only` / `not a map entry` — has a queries entry AND an
+  *     oracleSql entry;
+  *  2. the marked rows are genuinely absent from the map (a test-only
+  *     row silently gaining a map entry is drift too);
+  *  3. every queries key is documented in SURVEY.md (§2 row, §8 family
+  *     table, or prose — brace groups like `dedup_{exact, minhash}`
+  *     expanded), so beyond-§2 additions can't go unrecorded;
+  *  4. oracle totals are DERIVED, not narrated: queries.keySet ==
+  *     oracleSql.keySet (the "fully oracled map" claim, as an assert).
+  */
+class DriftSpec extends AnyFunSuite {
+
+  private lazy val survey =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+
+  private lazy val sec2 = {
+    val s = survey.indexOf("## §2.")
+    val e = survey.indexOf("## §3.")
+    assert(s >= 0 && e > s, "SURVEY.md must contain §2 and §3 headings")
+    survey.substring(s, e)
+  }
+
+  /** §2 table rows keyed by a leading backticked identifier, split into
+    * (map-gated keys, sanctioned non-map keys) by row annotation.
+    */
+  private lazy val (sec2Gated, sec2NonMap) = {
+    val row = """(?m)^\|\s*`([a-z0-9_]+)`.*$""".r
+    val all = row.findAllMatchIn(sec2).map(m => (m.group(1), m.matched)).toList
+    val (non, gated) = all.partition { case (_, line) =>
+      line.contains("test-only") || line.contains("not a map entry")
+    }
+    (gated.map(_._1).toSet, non.map(_._1).toSet)
+  }
+
+  test("every map-gated §2 key has a queries entry and an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val noQuery = sec2Gated -- q
+    val noOracle = sec2Gated -- o
+    assert(noQuery.isEmpty, s"§2 keys missing from SparkEntry.queries: ${noQuery.toList.sorted}")
+    assert(noOracle.isEmpty, s"§2 keys missing from SparkEntry.oracleSql: ${noOracle.toList.sorted}")
+  }
+
+  test("§2 rows marked test-only / not-a-map-entry stay out of the map") {
+    assert(sec2NonMap.nonEmpty, "expected the documented test-only rows in §2")
+    val leaked = sec2NonMap.intersect(SparkEntry.queries.keySet)
+    assert(leaked.isEmpty,
+      s"rows §2 marks as non-map gained map entries (update the §2 annotation): ${leaked.toList.sorted}")
+  }
+
+  test("every queries key is documented somewhere in SURVEY.md") {
+    // Expand brace groups — both `agg_{global, having}` → agg_global,
+    // agg_having, and infix `sink_{csv,json}_roundtrip` →
+    // sink_csv_roundtrip… — then collect every identifier-looking token.
+    val brace = """([a-z0-9_]+)_\{([^}]*)\}([a-z0-9_]*)""".r
+    val expanded = brace.findAllMatchIn(survey).flatMap { m =>
+      m.group(2).split(',').map(p => m.group(1) + "_" + p.trim + m.group(3))
+    }.toSet
+    val tokens = """[a-z][a-z0-9_]*""".r.findAllIn(survey).toSet ++ expanded
+    val undocumented = SparkEntry.queries.keySet -- tokens
+    assert(undocumented.isEmpty,
+      s"queries keys not documented in SURVEY.md: ${undocumented.toList.sorted}")
+  }
+
+  test("oracle totals are structural: every query carries an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).toList.sorted}")
+    assert((o -- q).isEmpty, s"orphan oracles without queries: ${(o -- q).toList.sorted}")
+  }
+}
