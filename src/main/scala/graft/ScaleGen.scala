@@ -79,12 +79,27 @@ object ScaleGen {
     copies(Tables.documents(spark, src)) { (df, c) =>
       val txt =
         if (mode == "bounded") {
-          // Fixed-width tag (2 letters, c < 676) so every copy's
-          // transform is the same-length bijection — per-copy pair
-          // counts identical by symmetry.
-          val tag = s"${('a' + c / 26).toChar}${('a' + c % 26).toChar}"
-          array_join(transform(split(col("text"), " "),
-            t => concat(lit(tag), t)), " ")
+          // One per-copy AFFINE CHARACTER CIPHER x → a·x+b (mod 26), a
+          // coprime to 26 — 312 distinct letter bijections. A char
+          // bijection is simultaneously a bijection on character
+          // TRIGRAMS and on TOKENS (hence 5-word shingles), and
+          // Jaccard is invariant under any bijection of the element
+          // universe — so every copy's true-pair set under BOTH
+          // similarity notions equals the source corpus's EXACTLY,
+          // and true pairs grow exactly K×. Cross-copy: two distinct
+          // affine maps agree on at most gcd(a1−a2, 26) ≤ 2 letters
+          // (and on zero letters when only b differs), so cross-copy
+          // docs share essentially no trigrams and no tokens —
+          // cross-copy Jaccard ~0 under both notions. A word-length-
+          // preserving, same-length transform, so n_chars and all
+          // token statistics are copy-invariant too.
+          val as = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+          val (a, b) = (as(c % as.size), (c / as.size) % 26)
+          require(c < as.size * 26, s"bounded mode supports K <= ${as.size * 26}")
+          val lower = ('a' to 'z').mkString
+          val upper = ('A' to 'Z').mkString
+          def aff(s: String) = s.map(ch => s((s.indexOf(ch) * a + b) % 26))
+          translate(col("text"), lower + upper, aff(lower) + aff(upper))
         } else if (c == 0) col("text")
         else concat(col("text"), lit(s" xcopytag$c xmark${c}a xmark${c}b"))
       df.withColumn("doc_id", col("doc_id") + off(c))

@@ -780,6 +780,19 @@ object StreamingBatch {
       val hc = eventsTs(s, d)
         .groupBy(expr(s"us DIV $hourUs").as("h"))
         .agg(count(lit(1)).as("n"))
+      stlTail(hc)
+    }
+  )
+
+  /** The decomposition tail of ts_stl_decompose, over an (h, n) hourly
+    * count table — factored out so the streaming twin (StreamingSpec)
+    * can feed it the INCREMENTALLY-maintained rollup (tumbling-window
+    * streaming counts) and prove streaming ≡ batch through the shared
+    * definition: the rollup is the only part of the op that touches
+    * raw events, so it is the only part a stream has to maintain.
+    */
+  private[graft] def stlTail(hc: DataFrame): DataFrame = {
+    {
       val w = Window.orderBy("h").rangeBetween(-12, 12)
       val t = hc
         .withColumn("n_win", count(lit(1)).over(w))
@@ -803,7 +816,7 @@ object StreamingBatch {
             .as("resid"))
         .orderBy("h")
     }
-  )
+  }
 
   val oracleSql: Map[String, String] = Map(
     "feat_winsorize" ->
