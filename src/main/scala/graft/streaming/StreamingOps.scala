@@ -43,6 +43,47 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("hour_start"), col("event_type"), col("n"))
 
+  /** Global tumbling 1-hour counts — the incremental rollup behind
+    * ts_stl_decompose's streaming twin. The decomposition itself
+    * (StreamingBatch.stlTail) is a calendar-bounded finishing pass
+    * over this table (≤ hours-in-corpus rows), so the ONLY part of
+    * the operator that touches raw events is exactly the part a
+    * stream maintains incrementally; `h` is the same epoch-hour index
+    * the batch rollup derives (us DIV 3 600 000 000).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select((unix_timestamp(col("win.start")) / 3600).cast(LongType).as("h"),
+        col("n"))
+
+  /** Staleness-bounded as-of candidates as a watermarked stream-stream
+    * join — join_asof_tolerance's streaming analogue. The 1-hour
+    * tolerance IS the state bound: a purchase row can stop waiting for
+    * clicks once the click watermark passes purchase time + 1 h, which
+    * is what makes the op runnable unbounded (a tolerance-free as-of
+    * would hold every purchase forever). The strict (us, event_id)
+    * tiebreak mirrors the batch window's rowsBetween-preceding frame,
+    * so the per-click max over these candidates equals the batch
+    * operator's last() exactly.
+    */
+  def asofToleranceCands(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    def side(tpe: String, p: String) = events
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${p}_user"), col("ts_t").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"), expr("ts DIV 1000").as(s"${p}_us"))
+      .withWatermark(s"${p}_ts", watermark)
+    side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts") &&
+        (col("p_us") < col("c_us") ||
+          (col("p_us") === col("c_us") && col("p_id") < col("c_id"))))
+      .select(col("c_id"), col("c_user"), col("c_us"), col("p_us"))
+  }
+
   /** Sliding 1-hour/30-minute event counts. */
   def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

@@ -81,6 +81,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.select("event_id").distinct().count() === ev.count())
   }
 
+  test("stl decomposition over the streamed hourly rollup == batch ts_stl_decompose") {
+    // The r7 time-series op's streaming twin (VERDICT r7 item 5): the
+    // hourly rollup — the only part of ts_stl_decompose that touches
+    // raw events — is maintained as a streaming tumbling-window count;
+    // the decomposition tail is the SHARED batch definition (stlTail),
+    // so equality here proves the whole operator streaming ≡ batch.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val hc = runToMemory(StreamingOps.hourlyCounts(stream), "t_stl_hc", "complete")
+    val got = graft.queries.StreamingBatch.stlTail(hc).collect().toSeq
+    val want = SparkEntry.queries("ts_stl_decompose")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("asof-tolerance: watermarked stream-stream candidates reduce to the batch operator") {
+    // join_asof_tolerance's streaming analogue: the 1-hour staleness
+    // bound becomes the stream-stream join's time-range condition —
+    // which is exactly what bounds the join STATE (purchases expire
+    // once the click watermark passes purchase+1h), the property that
+    // makes the op runnable unbounded. The per-click max over the
+    // streamed candidates, left-joined back onto all clicks, must
+    // equal the batch operator row-for-row, nulls included.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val cands = runToMemory(StreamingOps.asofToleranceCands(stream), "t_asof_tol", "append")
+    val perClick = cands.groupBy(col("c_id"))
+      .agg(max(col("p_us")).as("last_purchase_us"))
+    val clicks = graft.Tables.eventsTs(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val got = clicks
+      .join(perClick, col("event_id") === col("c_id"), "left")
+      .select(col("event_id"), col("user_id"), col("last_purchase_us"),
+        (col("us") - col("last_purchase_us")).as("age_us"))
+      .orderBy("event_id").collect().toSeq
+    val want = SparkEntry.queries("join_asof_tolerance")(spark, sf)
+      .collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState running totals == batch per-user totals") {
     val stream = StreamingOps.readEvents(spark, srcDir.toString)
     val mem = runToMemory(StreamingOps.runningTotals(stream).toDF(), "t_state", "update")
