@@ -104,7 +104,68 @@ object FsQueries {
     concat(tri(2, 4, "s"), tri(3, 2, "s"), tri(4, 1, "t"))
   }
 
+  /** The fs_sync_plan fixture: a source estate and a stale mirror.
+    * Declared so the plan is a known construction: sp_a only in src
+    * (→ copy), sp_b present both with different length (→ update),
+    * sp_c identical (→ keep), sp_d only in dst (→ delete), sp_e an
+    * empty file identical on both sides (→ keep; pins the zero-byte
+    * path the binaryFile source silently drops elsewhere).
+    */
+  private val syncSrcFixture: Seq[(String, String)] = Seq(
+    ("sp_a.dat", "alpha"), ("sp_b.dat", "bravo!"),
+    ("sp_c.dat", "charlie"), ("sp_e.dat", ""))
+  private val syncDstFixture: Seq[(String, String)] = Seq(
+    ("sp_b.dat", "bravo"), ("sp_c.dat", "charlie"),
+    ("sp_d.dat", "delta"), ("sp_e.dat", ""))
+
+  private def plantDir(s: SparkSession, tag: String, d: String,
+      files: Seq[(String, String)]): String = plantLock.synchronized {
+    val dir = scratch(s, tag, d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      fs.mkdirs(root)
+      files.foreach { case (name, content) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(root, name), true)
+        out.write(content.getBytes("UTF-8"))
+        out.close()
+      }
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
   val queries: Map[String, Q] = Map(
+    "fs_sync_plan" -> { (s, d) =>
+      // The incremental-mirror planner (`hh sync` / rsync-over-estates,
+      // the decision layer fs_distcp executes): full-outer join of two
+      // executor-streamed listings on basename → copy (missing in
+      // dst), update (length differs; the --size-only contract — a
+      // digest mode would reuse fs_distcp's content-md5 column at a
+      // full read's cost, documented not defaulted), delete (extra in
+      // dst), keep. At estate scale both sides are listings, never
+      // contents: the plan for a 100 TB mirror shuffles bytes
+      // proportional to FILE COUNT, and only the copy/update subset
+      // pays data I/O when executed. The oracle recomputes the plan
+      // from read_blob lengths over the same planted dirs — the whole
+      // list → join → decide chain is hash-gated.
+      val src = plantDir(s, "syncsrc", d, syncSrcFixture)
+      val dst = plantDir(s, "syncdst", d, syncDstFixture)
+      def side(dir: String, p: String) = FsOps.ls(s, dir)
+        .filter(!col("is_dir") && col("name").endsWith(".dat"))
+        .select(col("name").as(s"${p}_name"), col("length").as(s"${p}_len"))
+      side(src, "s").join(side(dst, "d"),
+          col("s_name") === col("d_name"), "full_outer")
+        .select(
+          coalesce(col("s_name"), col("d_name")).as("name"),
+          when(col("d_name").isNull, "copy")
+            .when(col("s_name").isNull, "delete")
+            .when(col("s_len") =!= col("d_len"), "update")
+            .otherwise("keep").as("action"),
+          col("s_len").as("src_len"), col("d_len").as("dst_len"))
+        .orderBy("name")
+    },
+
     "fs_ls" -> ((s, d) =>
       FsOps.ls(s, d)
         .filter(!col("is_dir"))
@@ -381,6 +442,25 @@ object FsQueries {
     "fs_distcp" ->
       s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,
         |  size AS length, md5(hex(content)) AS content_md5
-        |FROM read_blob('$SfDirToken/*.parquet') ORDER BY name""".stripMargin
+        |FROM read_blob('$SfDirToken/*.parquet') ORDER BY name""".stripMargin,
+
+    // Known-construction oracle (fs_ls_long precedent): the plan over
+    // the DECLARED fixture — src {a:5, b:6, c:7, e:0} vs dst {b:5,
+    // c:7, d:5, e:0} bytes — derived by the same size-only rule the
+    // query states; the scratch paths carry the Spark applicationId so
+    // DuckDB cannot list them, but the fixture is planted by the same
+    // process that lists it, and the hash gate proves the whole
+    // plant → list → join → decide chain reproduces this declaration.
+    "fs_sync_plan" ->
+      """SELECT name, action, CAST(src_len AS BIGINT) AS src_len,
+        |  CAST(dst_len AS BIGINT) AS dst_len
+        |FROM (VALUES
+        |  ('sp_a.dat', 'copy',   5,    NULL),
+        |  ('sp_b.dat', 'update', 6,    5),
+        |  ('sp_c.dat', 'keep',   7,    7),
+        |  ('sp_d.dat', 'delete', NULL, 5),
+        |  ('sp_e.dat', 'keep',   0,    0))
+        |  t(name, action, src_len, dst_len)
+        |ORDER BY name""".stripMargin
   )
 }

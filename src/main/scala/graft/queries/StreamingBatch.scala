@@ -597,6 +597,40 @@ object StreamingBatch {
         .orderBy("event_type")
     },
 
+    "agg_chi_square" -> { (s, d) =>
+      // Pearson χ² independence test between event type and hour-of-day
+      // — agg_mutual_information's classical-statistics sibling (drift
+      // monitors run both: MI ranks features, χ² gates alerts at a
+      // known null distribution). Same distributed shape: ONE
+      // map-side-combined (type, hour) rollup is the only data-sized
+      // work; expected counts E = n_x·n_y/N and the χ² terms ride the
+      // ≤ #types×24-row joint table. Determinism: E and each term
+      // (O−E)²/E are IEEE-identical from exact BIGINT counts; the SUM
+      // order is not, so terms snap to the 1e-9 grid and accumulate
+      // through an exact decimal sum (the agg_mutual_information
+      // recipe). dof emits per row: (#types−1)·(#hours−1) from the
+      // OBSERVED margins — both engines count the same joint table.
+      val joint = eventsTs(s, d)
+        .groupBy(col("event_type"), (expr(s"us DIV $hourUs") % 24).as("hr"))
+        .agg(count(lit(1)).as("n_xy"))
+      val w = Window.partitionBy()
+      joint
+        .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy("event_type")))
+        .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy("hr")))
+        .withColumn("n", sum(col("n_xy")).over(w))
+        .withColumn("n_types", size(collect_set(col("event_type")).over(w)))
+        .withColumn("n_hours", size(collect_set(col("hr")).over(w)))
+        .withColumn("e", col("n_x").cast(DoubleType) * col("n_y") / col("n"))
+        .groupBy("event_type")
+        .agg(sum(col("n_xy")).as("n_events"),
+          sum(round((col("n_xy") - col("e")) * (col("n_xy") - col("e")) / col("e"), 9)
+            .cast(DecimalType(28, 9))).cast(DoubleType).as("chi2_raw"),
+          max((col("n_types") - 1) * (col("n_hours") - 1)).as("dof"))
+        .select(col("event_type"), col("n_events"),
+          round(col("chi2_raw"), 6).as("chi2_contrib"), col("dof").cast(LongType).as("dof"))
+        .orderBy("event_type")
+    },
+
     "feat_robust_scale" -> { (s, d) =>
       // Robust (median/IQR) scaling per category — the outlier-immune
       // sibling of feat_minmax_scale (one wild value shifts min/max and
@@ -848,6 +882,26 @@ object StreamingBatch {
         |    ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y)), 9)
         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi_contrib
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_chi_square" ->
+      """WITH joint AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hr,
+        |    count(*) AS n_xy
+        |  FROM events GROUP BY event_type, hr),
+        |m AS (
+        |  SELECT event_type, hr, n_xy,
+        |    CAST(sum(n_xy) OVER (PARTITION BY event_type) AS BIGINT) AS n_x,
+        |    CAST(sum(n_xy) OVER (PARTITION BY hr) AS BIGINT) AS n_y,
+        |    CAST(sum(n_xy) OVER () AS BIGINT) AS n,
+        |    count(DISTINCT event_type) OVER () AS n_types,
+        |    count(DISTINCT hr) OVER () AS n_hours
+        |  FROM joint),
+        |e AS (SELECT *, CAST(n_x AS DOUBLE) * n_y / n AS e FROM m)
+        |SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(round((n_xy - e) * (n_xy - e) / e, 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2_contrib,
+        |  CAST(max((n_types - 1) * (n_hours - 1)) AS BIGINT) AS dof
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "feat_robust_scale" ->
       """WITH cuts AS (

@@ -1493,6 +1493,83 @@ object TextPipeline {
           (col("n_chars").between(100, 400) && col("n_tok") >= 20).as("passes_filter"))
         .orderBy("doc_id")),
 
+    "feat_count_min_sketch" -> { (s, d) =>
+      // Count-min sketch over corpus term frequencies — the bounded-
+      // memory frequency sketch that completes the re-aggregatable
+      // sketch family (HLL = distinct, bitmap = exact distinct, top-k
+      // = heavy hitters, CMS = point frequency): d=4 hash rows × w=64
+      // buckets, every cell an exact BIGINT sum, so the sketch itself
+      // is hash-oracle-able (no float estimator). Built PER SOURCE
+      // first, then MERGED by plain cell addition — the algebra that
+      // lets 1000 executors sketch 100 TB locally and combine 256-cell
+      // tables instead of term tables. Probes: the top-15 exact terms;
+      // estimate = min over the 4 row cells (the CMS point query);
+      // emission carries exact vs estimate and the non-negative
+      // overcount the hash gate pins (CMS NEVER undercounts — a
+      // negative overcount is a broken hash, and the oracle's
+      // replicated arithmetic would catch it as a mismatch). Hashes
+      // are the md5-prefix bigint idiom (split_train_test), portable
+      // to DuckDB verbatim.
+      val D = 4
+      val W = 64
+      def buckets(term: Column) = array((0 until D).map(i =>
+        conv(substring(md5(concat(lit(s"graft-cms$i:"), term)), 1, 8), 16, 10)
+          .cast(LongType) % W): _*)
+      val termCnt = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .persist() // 2 consumers: sketch build + exact probe counts
+      val perSource = termCnt
+        .select(col("source"), col("cnt"),
+          posexplode(buckets(col("term"))).as(Seq("i", "bucket")))
+        .groupBy("source", "i", "bucket").agg(sum(col("cnt")).as("cell"))
+      val merged = perSource.groupBy("i", "bucket").agg(sum(col("cell")).as("cell"))
+      val exact = termCnt.groupBy("term").agg(sum(col("cnt")).as("exact_cnt"))
+      val probes = exact
+        .orderBy(desc("exact_cnt"), asc("term")).limit(15)
+      probes
+        .select(col("term"), col("exact_cnt"),
+          posexplode(buckets(col("term"))).as(Seq("i", "bucket")))
+        .join(merged, Seq("i", "bucket"))
+        .groupBy("term", "exact_cnt")
+        .agg(min(col("cell")).as("cms_est"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+        .orderBy("term")
+    },
+
+    "pipeline_quality_gate" -> { (s, d) =>
+      // The composed pretraining-filter GATE: every doc gets a keep
+      // decision plus the FIRST failing rule as its reason code — the
+      // operational form of text_quality (a training pipeline doesn't
+      // want per-feature columns downstream, it wants keep/drop with
+      // an auditable reason histogram per source; the reason ordering
+      // is part of the contract so drop counts are attributable).
+      // Rules in order: too_short / too_long (char bounds), low_tok
+      // (< 20 tokens), stopword_low (ratio < 0.05 — gibberish /
+      // non-prose signal), tok_len_high (mean token length > 12 —
+      // code/URL soup). Emission is the per-(source, reason)
+      // histogram with keep rate — map-only per doc + one tiny
+      // rollup; all rule arithmetic is integer or single-division
+      // IEEE on exact ints, so the flags are engine-exact.
+      val flags = documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("n_stop", size(filter(split(col("text"), " "),
+          x => x.isin("a", "the", "of", "and", "to"))))
+        .withColumn("reason",
+          when(col("n_chars") < 100, "too_short")
+            .when(col("n_chars") > 400, "too_long")
+            .when(col("n_tok") < 20, "low_tok")
+            .when(col("n_stop").cast(DoubleType) / col("n_tok") < 0.05, "stopword_low")
+            .when(col("n_chars").cast(DoubleType) / col("n_tok") > 12.0, "tok_len_high")
+            .otherwise("keep"))
+      flags.groupBy("source", "reason")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("source", "reason")
+    },
+
     "text_vocab_build" -> { (s, d) =>
       // Tokenizer-vocabulary training: dense integer ids for the top-500
       // corpus tokens by frequency (freq desc, token asc — the
@@ -2188,6 +2265,59 @@ object TextPipeline {
         |    ELSE 'test' END AS split, lang,
         |  count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
         |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "feat_count_min_sketch" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |hashed AS (
+        |  SELECT tc.source, tc.cnt, i.i,
+        |    CAST(('0x' || substring(md5('graft-cms' || CAST(i.i AS VARCHAR)
+        |      || ':' || tc.term), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM tc CROSS JOIN (SELECT unnest(range(4)) AS i) i),
+        |per_source AS (
+        |  SELECT source, i, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+        |  FROM hashed GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT i, bucket, CAST(sum(cell) AS BIGINT) AS cell
+        |  FROM per_source GROUP BY 1, 2),
+        |exact AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS exact_cnt
+        |  FROM tc GROUP BY term),
+        |probes AS (
+        |  SELECT term, exact_cnt FROM exact
+        |  ORDER BY exact_cnt DESC, term ASC LIMIT 15),
+        |est AS (
+        |  SELECT p.term, p.exact_cnt, min(m.cell) AS cms_est
+        |  FROM probes p
+        |  CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |  JOIN merged m ON m.i = i.i AND m.bucket =
+        |    CAST(('0x' || substring(md5('graft-cms' || CAST(i.i AS VARCHAR)
+        |      || ':' || p.term), 1, 8)) AS BIGINT) % 64
+        |  GROUP BY p.term, p.exact_cnt)
+        |SELECT term, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+        |FROM est ORDER BY term""".stripMargin,
+
+    "pipeline_quality_gate" ->
+      """WITH flags AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE
+        |      WHEN n_chars < 100 THEN 'too_short'
+        |      WHEN n_chars > 400 THEN 'too_long'
+        |      WHEN n_tok < 20 THEN 'low_tok'
+        |      WHEN CAST(n_stop AS DOUBLE) / n_tok < 0.05 THEN 'stopword_low'
+        |      WHEN CAST(n_chars AS DOUBLE) / n_tok > 12.0 THEN 'tok_len_high'
+        |      ELSE 'keep' END AS reason
+        |  FROM (
+        |    SELECT doc_id, source, n_chars,
+        |      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |      len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS n_stop
+        |    FROM documents) t)
+        |SELECT source, reason, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc
+        |FROM flags GROUP BY source, reason ORDER BY source, reason""".stripMargin,
 
     "split_train_test" ->
       """SELECT doc_id, bucket,

@@ -461,6 +461,73 @@ object Vectors {
       annAudit(s, d, nTables = 4, maxDist = 3)
     },
 
+    "sim_pq_adc" -> { (s, d) =>
+      // Product quantization + asymmetric distance computation — the
+      // faiss-PQ shape that makes billion-vector search fit in RAM:
+      // split 64-d into m=8 subspaces of 8 dims; per subspace a k=16
+      // codebook (here the deterministic seed pick, vec_id 0..15's
+      // slices — one Lloyd sweep away from production, and the
+      // ENCODE/ADC shape is the operator); every vector compresses to
+      // 8 nibble codes (4 bytes vs 256 — the 64× memory lever).
+      // A query never decodes the corpus: it builds one 8×16 lookup
+      // table of query-to-centroid partial distances and scores a
+      // candidate as the SUM OF 8 TABLE LOOKUPS (ADC). Scale shape:
+      // codebook collapses to a broadcast 1-row 128-struct array, the
+      // encode+score pass is MAP-ONLY over the corpus, and the top-20
+      // is a TakeOrdered — zero shuffle at any corpus size; the exact
+      // column exists to measure ADC's rank fidelity (like the recall
+      // audits, the price sheet ships WITH the index).
+      // Determinism: every partial dist² is the same a·a−2ab+b·b
+      // 3-dot composition both engines state, rounded to the 1e-6
+      // grid BEFORE argmin (ties → lower cid via the struct
+      // ordering); the 8-term ADC sum accumulates in DECIMAL(28,6)
+      // (order-free, each term already a grid number).
+      GraftFunctions.register(s)
+      val M = 8; val K = 16; val SUB = 8
+      val emb = embeddings(s, d)
+      val cb = emb.filter(col("vec_id") < K)
+        .select(explode(array((0 until M).map(j => struct(
+          lit(j).as("j"), col("vec_id").cast("int").as("cid"),
+          slice(col("embedding"), j * SUB + 1, SUB).as("cemb"))): _*)).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("cb"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      def dist2(a: String, b: String) =
+        s"round(graft_dot($a, $a) - 2 * graft_dot($a, $b) + graft_dot($b, $b), 6)"
+      // Per subspace: one scan of the 16 j-centroids computing BOTH the
+      // vector-to-centroid dist² (the encode argmin key) and the
+      // query-to-centroid dist² (the ADC lookup value); array_min's
+      // struct ordering (dist2, cid, qdist) does the argmin and the
+      // trailing qdist field rides along as the chosen lookup.
+      def bestJ(j: Int) = expr(
+        s"""array_min(transform(filter(cb, c -> c.j = $j), c -> named_struct(
+           |  'dist2', ${dist2(s"slice(embedding, ${j * SUB + 1}, $SUB)", "c.cemb")},
+           |  'cid', c.cid,
+           |  'qdist', ${dist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")})))
+           |""".stripMargin)
+      val D6 = DecimalType(28, 6)
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
+        .withColumn("adc_dist2",
+          (0 until M).map(j => bestJ(j).getField("qdist").cast(D6))
+            .reduce(_ + _).cast(DoubleType))
+        .withColumn("exact_dist2",
+          expr(dist2("embedding", "q_emb")))
+        .select(col("vec_id"), col("adc_dist2"), col("exact_dist2"))
+        .persist() // two TakeOrdered consumers (ADC ranking + exact truth)
+      val topExact = scored
+        .orderBy(col("exact_dist2"), col("vec_id")).limit(20)
+        .select(col("vec_id").as("x_id"))
+      scored.orderBy(col("adc_dist2"), col("vec_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("adc_dist2"), col("vec_id"))))
+        .join(topExact.withColumn("hit", lit(true)),
+          col("vec_id") === col("x_id"), "left")
+        .select(col("rank"), col("vec_id"), col("adc_dist2"),
+          col("exact_dist2"), coalesce(col("hit"), lit(false)).as("in_exact_top20"))
+        .orderBy("rank")
+    },
+
     "feat_pca_power_step" -> { (s, d) =>
       // One power-iteration step toward the corpus's top principal
       // component: w = Xᵀ(Xv), normalized — the spectral sibling of
@@ -862,6 +929,56 @@ object Vectors {
 
     "sim_ann_stacked" -> oAnnMultiTableSql(3, 2),
     "sim_ann_production" -> oAnnMultiTableSqlImpl(4, 3, withCost = true),
+
+    // Full PQ/ADC replication: same seed codebook, same 3-dot dist²
+    // composition rounded at 1e-6 before the argmin, same decimal ADC
+    // accumulation — the hash gate verifies codes, lookup tables, and
+    // rank fidelity together.
+    "sim_pq_adc" -> {
+      def dot(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
+      def d2(a: String, b: String) =
+        s"round(${dot(a, a)} - 2 * ${dot(a, b)} + ${dot(b, b)}, 6)"
+      s"""WITH cents AS (
+        |  SELECT j.j, c.vec_id AS cid,
+        |    list_slice(c.embedding, j.j * 8 + 1, j.j * 8 + 8) AS cemb
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT unnest(range(8)) AS j) j
+        |  WHERE c.vec_id < 16),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |sliced AS (
+        |  SELECT e.vec_id, ct.j, ct.cid, ct.cemb,
+        |    list_slice(e.embedding, ct.j * 8 + 1, ct.j * 8 + 8) AS sub,
+        |    list_slice(q.q_emb, ct.j * 8 + 1, ct.j * 8 + 8) AS qsub
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN cents ct
+        |  WHERE e.vec_id <> 0),
+        |pairs AS (
+        |  SELECT vec_id, j, cid,
+        |    ${d2("sub", "cemb")} AS dist2,
+        |    ${d2("qsub", "cemb")} AS qdist
+        |  FROM sliced),
+        |enc AS (
+        |  SELECT vec_id, j, qdist, row_number() OVER (
+        |    PARTITION BY vec_id, j ORDER BY dist2 ASC, cid ASC) AS rn
+        |  FROM pairs),
+        |adc AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(qdist AS DECIMAL(28,6))) AS DOUBLE) AS adc_dist2
+        |  FROM enc WHERE rn = 1 GROUP BY vec_id),
+        |exact AS (
+        |  SELECT e.vec_id,
+        |    ${d2("e.embedding", "q.q_emb")} AS exact_dist2
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |topx AS (SELECT vec_id FROM exact ORDER BY exact_dist2, vec_id LIMIT 20),
+        |topa AS (
+        |  SELECT a.vec_id, a.adc_dist2, x.exact_dist2,
+        |    CAST(row_number() OVER (ORDER BY a.adc_dist2, a.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM adc a JOIN exact x ON a.vec_id = x.vec_id
+        |  ORDER BY a.adc_dist2, a.vec_id LIMIT 20)
+        |SELECT rank, t.vec_id, adc_dist2, exact_dist2,
+        |  (t.vec_id IN (SELECT vec_id FROM topx)) AS in_exact_top20
+        |FROM topa t ORDER BY rank""".stripMargin
+    },
 
     // Full replication of the power step: left-fold dot scores, rounded
     // products through DECIMAL(28,9) sums, identical norm shape.

@@ -360,15 +360,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the 1-row bigram-type-count attach onto the top-200 selection
     // (text_kneser_ney), and the 1-row three-sketch estimate attach
     // (agg_hll_intersect). Anything NEW showing up here needs the same
-    // bounded-by-construction argument.
+    // bounded-by-construction argument. Round-8 addition:
+    // sim_ann_production is the fifth recall-audit cell and carries the
+    // same ≤ n/100-row broadcast query block for its sampled
+    // brute-force truth side (the candidate side stays an equi-join);
+    // sim_pq_adc attaches a 1-row 128-struct codebook and a 1-row
+    // query vector (the kmeans/quantized_rerank argument — map-side
+    // attach of O(1) rows, zero shuffle over the corpus).
     val allowed = Set("join_cross",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
-      "sim_ann_stacked", "bpe_merge_apply", "feat_pca_power_step",
-      "text_kneser_ney", "agg_hll_intersect")
+      "sim_ann_stacked", "sim_ann_production", "sim_pq_adc", "bpe_merge_apply",
+      "feat_pca_power_step", "text_kneser_ney", "agg_hll_intersect")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>
