@@ -232,6 +232,44 @@ object Graph {
         .orderBy("node")
     },
 
+    "graph_bfs_levels" -> { (s, d) =>
+      // Multi-source-capable BFS from a deterministic seed (the minimum
+      // node id) to depth 4 over the part co-occurrence graph — the
+      // neighborhood-expansion primitive behind crawl-frontier
+      // scheduling, influence radii, and graph feature extraction.
+      // Iterative-driver schedule, but UNLIKE ccLabels/k_core there is
+      // NO per-round driver read at all: depth is a fixed contract
+      // (4), so the loop body is pure plan construction — Spark runs
+      // all four frontier expansions as one job tree at the final
+      // count. Per round: one frontier⋈edges equi-join + one anti-join
+      // against the visited set, O(edges) shuffle bytes; frontier and
+      // visited localCheckpoint to keep the 4-round lineage flat.
+      // Oracle: the expansion UNROLLED 4 rounds (k_core's pattern) —
+      // level assignment is min-hop by construction since a node
+      // joins `visited` the first round it is reachable.
+      val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist() // joined every round
+      var visited = edges.agg(min(col("u")).as("n"))
+        .withColumn("level", lit(0))
+        .localCheckpoint(eager = false)
+      var frontier = visited.select("n")
+      for (r <- 1 to 4) {
+        val next = frontier.join(edges, col("n") === col("u"))
+          .select(col("v").as("n")).distinct()
+          .join(visited.select("n"), Seq("n"), "left_anti")
+          .localCheckpoint(eager = false)
+        visited = visited
+          .unionByName(next.withColumn("level", lit(r)))
+          .localCheckpoint(eager = false)
+        frontier = next
+      }
+      visited.select(col("n").as("node"), col("level")).orderBy("node")
+    },
+
     "graph_k_core" -> { (s, d) =>
       // k-core decomposition (K = 5): repeatedly peel nodes of degree
       // < K until the remaining subgraph is stable — the graph-quality
@@ -405,6 +443,26 @@ object Graph {
     // is load-bearing: each stage references its predecessor 3×, so
     // DuckDB's default CTE inlining would expand 3^6 = 729 base scans
     // (observed: "too many open files").
+    "graph_bfs_levels" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""fr$i AS MATERIALIZED (
+           |  SELECT DISTINCT e.v AS n FROM fr${i - 1} f JOIN e ON f.n = e.u
+           |  WHERE e.v NOT IN (SELECT n FROM v${i - 1})),
+           |v$i AS MATERIALIZED (
+           |  SELECT n, level FROM v${i - 1}
+           |  UNION ALL SELECT n, $i AS level FROM fr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+        |v0 AS MATERIALIZED (SELECT min(u) AS n, 0 AS level FROM e),
+        |fr0 AS (SELECT n FROM v0),
+        |$rounds
+        |SELECT n AS node, level FROM v4 ORDER BY node""".stripMargin
+    },
+
     "graph_k_core" -> {
       val peel = (1 to 6).map { i =>
         s"""k$i AS MATERIALIZED (SELECT n FROM (

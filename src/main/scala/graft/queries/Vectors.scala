@@ -461,6 +461,35 @@ object Vectors {
       annAudit(s, d, nTables = 4, maxDist = 3)
     },
 
+    "sim_matryoshka_audit" -> { (s, d) =>
+      // Matryoshka/MRL prefix-dimension audit: rank by cosine over the
+      // FIRST 16 of 64 dims and measure recall@10 against the full-dim
+      // truth — the measurement that decides whether a prefix-truncated
+      // index (4× smaller vectors, 4× cheaper dots: the MRL serving
+      // trade) is safe for a given corpus. Same sampled-query audit
+      // harness as the five ANN recall cells (shared annTruth +
+      // annRecallEmit, so all six operators read as one experiment
+      // family); candidate side is a map-side prefix-cosine pass over
+      // the broadcast query block + a per-query top-10 window on the
+      // #queries-partition key. NOTE the honest expectation: gate
+      // vectors are near-isotropic (no MRL training), so this measures
+      // the audit working, not prefix truncation being good here.
+      GraftFunctions.register(s)
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(slice(col("embedding"), 1, 16),
+            slice(col("q_emb"), 1, 16)), 6).as("pcos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("pcos"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "vec_id")
+      annRecallEmit(annTruth(emb, qs), cands)
+    },
+
     "sim_pq_adc" -> { (s, d) =>
       // Product quantization + asymmetric distance computation — the
       // faiss-PQ shape that makes billion-vector search fit in RAM:
@@ -929,6 +958,41 @@ object Vectors {
 
     "sim_ann_stacked" -> oAnnMultiTableSql(3, 2),
     "sim_ann_production" -> oAnnMultiTableSqlImpl(4, 3, withCost = true),
+
+    // Same replicated-measurement contract as the five recall cells:
+    // full-dim truth, prefix-dim candidate ranking, hit counts.
+    "sim_matryoshka_audit" ->
+      s"""WITH qs AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY round(
+        |        ${oCos.replace("%A", "e.embedding").replace("%B", "q.q_emb")},
+        |        6) DESC, e.vec_id ASC) AS rk
+        |    FROM embeddings e CROSS JOIN qs q
+        |    WHERE e.vec_id <> q.q_id) t
+        |  WHERE rk <= 10),
+        |cand AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY round(
+        |        ${oCos.replace("%A", "list_slice(e.embedding, 1, 16)")
+                      .replace("%B", "list_slice(q.q_emb, 1, 16)")},
+        |        6) DESC, e.vec_id ASC) AS rk
+        |    FROM embeddings e CROSS JOIN qs q
+        |    WHERE e.vec_id <> q.q_id) t
+        |  WHERE rk <= 10)
+        |SELECT e.q_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS recall_at_10
+        |FROM exact e LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
 
     // Full PQ/ADC replication: same seed codebook, same 3-dot dist²
     // composition rounded at 1e-6 before the argmin, same decimal ADC

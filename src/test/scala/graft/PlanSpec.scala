@@ -373,7 +373,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
-      "sim_ann_stacked", "sim_ann_production", "sim_pq_adc", "bpe_merge_apply",
+      "sim_ann_stacked", "sim_ann_production", "sim_pq_adc",
+      "sim_matryoshka_audit", "bpe_merge_apply",
       "feat_pca_power_step", "text_kneser_ney", "agg_hll_intersect")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
