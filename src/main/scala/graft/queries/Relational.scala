@@ -1194,6 +1194,38 @@ object Relational {
         (floor(z * 1000000 + 0.5).cast(DoubleType) / 1000000.0).as("z"))
     },
 
+    "agg_welch_ttest" -> { (s, d) =>
+      // Welch's unequal-variance two-sample t — the continuous-metric
+      // sibling of agg_ab_ztest (z for conversion rates, Welch for
+      // revenue/latency means; Welch because arms NEVER have equal
+      // variance in production). Arm = user parity over event `value`.
+      // Shape: one conditional-sum pass collapses the stream to a
+      // single 6-long row (n, Σv, Σv² per arm), map-side combined —
+      // no shuffle grows with data. Determinism: Σv, Σv² through the
+      // exact decimal capture (DECIMAL(18,6); squares widen to (37,12)
+      // inside precision 38 — the ts_anomaly_zscore recipe), so t and
+      // the Welch–Satterthwaite df are pure IEEE on identical inputs,
+      // floored at 1e-6.
+      val d6 = col("value").cast(DecimalType(18, 6))
+      val arm0 = col("user_id") % 2 === 0
+      val c = eventsTs(s, d).agg(
+        sum(when(arm0, 1L).otherwise(0L)).as("n0"),
+        sum(when(arm0, d6)).cast(DoubleType).as("sx0"),
+        sum(when(arm0, d6 * d6)).cast(DoubleType).as("sxx0"),
+        sum(when(!arm0, 1L).otherwise(0L)).as("n1"),
+        sum(when(!arm0, d6)).cast(DoubleType).as("sx1"),
+        sum(when(!arm0, d6 * d6)).cast(DoubleType).as("sxx1"))
+      def s2(sx: Column, sxx: Column, n: Column) =
+        (sxx - sx * sx / n) / (n - 1)
+      val v0 = s2(col("sx0"), col("sxx0"), col("n0")) / col("n0")
+      val v1 = s2(col("sx1"), col("sxx1"), col("n1")) / col("n1")
+      val t = (col("sx0") / col("n0") - col("sx1") / col("n1")) / sqrt(v0 + v1)
+      val df = (v0 + v1) * (v0 + v1) /
+        (v0 * v0 / (col("n0") - 1) + v1 * v1 / (col("n1") - 1))
+      def r6(c: Column) = (floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
+      c.select(col("n0"), col("n1"), r6(t).as("t"), r6(df).as("df"))
+    },
+
     "subquery_correlated" -> { (s, d) =>
       // Correlated scalar subquery — exercises Catalyst's
       // RewriteCorrelatedScalarSubquery decorrelation (SURVEY.md §4b).
@@ -2016,6 +2048,40 @@ object Relational {
         |      * (1.0 / n0 + 1.0 / n1))
         |    * 1000000 + 0.5) / 1000000.0 AS z
         |FROM c""".stripMargin,
+
+    // Same exact-decimal capture as the Spark side; the squares force
+    // int128 via the (19,6)·(18,6) cast (DuckDB ≤18-wide decimals are
+    // int64-backed and do NOT widen on multiply — agg_corr_matrix's
+    // finding), landing on the same exact (37,12) products Spark's
+    // (18,6)² computes.
+    "agg_welch_ttest" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))
+        |      END) AS DOUBLE) AS sxx0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))
+        |      END) AS DOUBLE) AS sxx1
+        |  FROM events),
+        |v AS (
+        |  SELECT n0, n1,
+        |    ((sxx0 - sx0 * sx0 / n0) / (n0 - 1)) / n0 AS v0,
+        |    ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 AS v1,
+        |    sx0 / n0 AS m0, sx1 / n1 AS m1
+        |  FROM c)
+        |SELECT n0, n1,
+        |  floor((m0 - m1) / sqrt(v0 + v1) * 1000000 + 0.5) / 1000000.0 AS t,
+        |  floor((v0 + v1) * (v0 + v1)
+        |    / (v0 * v0 / (n0 - 1) + v1 * v1 / (n1 - 1))
+        |    * 1000000 + 0.5) / 1000000.0 AS df
+        |FROM v""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,

@@ -597,6 +597,36 @@ object StreamingBatch {
         .orderBy("event_type")
     },
 
+    "ts_seasonal_naive_forecast" -> { (s, d) =>
+      // Seasonal-naive backtest — the forecast floor every capacity
+      // model must beat before it ships: predict each hour's event
+      // count as the SAME HOUR LAST WEEK (lag 168), then score the
+      // forecast per day (MAE + bias). Shape: one map-side-combined
+      // hourly rollup is the data-sized work; the lag join is an
+      // equi-join of the calendar-bounded hour table against itself
+      // (h = h−168), and the per-day score table is ≤ days-in-corpus
+      // rows. Missing hours (zero events) are absent ROWS, so the
+      // inner join scores only hours observed in both weeks — n_hours
+      // carries that honesty per day. All |err| sums are exact BIGINTs;
+      // MAE/bias round via the davg floor formula.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // self-joined at lag 168
+      val fc = hc.select((col("h") + 168).as("h"), col("n").as("n_pred"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      hc.join(fc, "h")
+        .groupBy((col("h") / lit(24)).cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(abs(col("n") - col("n_pred"))).as("abs_err"),
+          sum(col("n") - col("n_pred")).as("sum_err"))
+        .select(col("day"), col("n_hours"),
+          r6(col("abs_err").cast(DoubleType) / col("n_hours")).as("mae"),
+          r6(col("sum_err").cast(DoubleType) / col("n_hours")).as("bias"))
+        .orderBy("day")
+    },
+
     "agg_chi_square" -> { (s, d) =>
       // Pearson χ² independence test between event type and hour-of-day
       // — agg_mutual_information's classical-statistics sibling (drift
@@ -882,6 +912,18 @@ object StreamingBatch {
         |    ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y)), 9)
         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi_contrib
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_seasonal_naive_forecast" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT a.h // 24 AS day, count(*) AS n_hours,
+        |  floor(CAST(sum(abs(a.n - b.n)) AS DOUBLE) / count(*)
+        |    * 1000000 + 0.5) / 1000000.0 AS mae,
+        |  floor(CAST(sum(a.n - b.n) AS DOUBLE) / count(*)
+        |    * 1000000 + 0.5) / 1000000.0 AS bias
+        |FROM hc a JOIN hc b ON a.h = b.h + 168
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "agg_chi_square" ->
       """WITH joint AS (
