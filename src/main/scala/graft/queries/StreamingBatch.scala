@@ -613,18 +613,7 @@ object StreamingBatch {
         .groupBy(expr(s"us DIV $hourUs").as("h"))
         .agg(count(lit(1)).as("n"))
         .persist() // self-joined at lag 168
-      val fc = hc.select((col("h") + 168).as("h"), col("n").as("n_pred"))
-      def r6(c: org.apache.spark.sql.Column) =
-        floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
-      hc.join(fc, "h")
-        .groupBy((col("h") / lit(24)).cast(LongType).as("day"))
-        .agg(count(lit(1)).as("n_hours"),
-          sum(abs(col("n") - col("n_pred"))).as("abs_err"),
-          sum(col("n") - col("n_pred")).as("sum_err"))
-        .select(col("day"), col("n_hours"),
-          r6(col("abs_err").cast(DoubleType) / col("n_hours")).as("mae"),
-          r6(col("sum_err").cast(DoubleType) / col("n_hours")).as("bias"))
-        .orderBy("day")
+      snfTail(hc)
     },
 
     "agg_chi_square" -> { (s, d) =>
@@ -643,22 +632,7 @@ object StreamingBatch {
       val joint = eventsTs(s, d)
         .groupBy(col("event_type"), (expr(s"us DIV $hourUs") % 24).as("hr"))
         .agg(count(lit(1)).as("n_xy"))
-      val w = Window.partitionBy()
-      joint
-        .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy("event_type")))
-        .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy("hr")))
-        .withColumn("n", sum(col("n_xy")).over(w))
-        .withColumn("n_types", size(collect_set(col("event_type")).over(w)))
-        .withColumn("n_hours", size(collect_set(col("hr")).over(w)))
-        .withColumn("e", col("n_x").cast(DoubleType) * col("n_y") / col("n"))
-        .groupBy("event_type")
-        .agg(sum(col("n_xy")).as("n_events"),
-          sum(round((col("n_xy") - col("e")) * (col("n_xy") - col("e")) / col("e"), 9)
-            .cast(DecimalType(28, 9))).cast(DoubleType).as("chi2_raw"),
-          max((col("n_types") - 1) * (col("n_hours") - 1)).as("dof"))
-        .select(col("event_type"), col("n_events"),
-          round(col("chi2_raw"), 6).as("chi2_contrib"), col("dof").cast(LongType).as("dof"))
-        .orderBy("event_type")
+      chiSquareTail(joint)
     },
 
     "feat_robust_scale" -> { (s, d) =>
@@ -847,6 +821,52 @@ object StreamingBatch {
       stlTail(hc)
     }
   )
+
+  /** The statistic tail of agg_chi_square over the (event_type, hr,
+    * n_xy) joint count table — factored out for the streaming twin:
+    * a stream maintains exactly the joint rollup (tumbling hourly
+    * counts by type), and everything after rides the ≤ types×24-row
+    * table.
+    */
+  private[graft] def chiSquareTail(joint: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    joint
+      .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy("event_type")))
+      .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy("hr")))
+      .withColumn("n", sum(col("n_xy")).over(w))
+      .withColumn("n_types", size(collect_set(col("event_type")).over(w)))
+      .withColumn("n_hours", size(collect_set(col("hr")).over(w)))
+      .withColumn("e", col("n_x").cast(DoubleType) * col("n_y") / col("n"))
+      .groupBy("event_type")
+      .agg(sum(col("n_xy")).as("n_events"),
+        sum(round((col("n_xy") - col("e")) * (col("n_xy") - col("e")) / col("e"), 9)
+          .cast(DecimalType(28, 9))).cast(DoubleType).as("chi2_raw"),
+        max((col("n_types") - 1) * (col("n_hours") - 1)).as("dof"))
+      .select(col("event_type"), col("n_events"),
+        round(col("chi2_raw"), 6).as("chi2_contrib"), col("dof").cast(LongType).as("dof"))
+      .orderBy("event_type")
+  }
+
+  /** The scoring tail of ts_seasonal_naive_forecast over an (h, n)
+    * hourly count table — factored out (stlTail's pattern) so the
+    * streaming twin can feed it the incrementally-maintained rollup:
+    * the rollup is the only part of the operator that touches raw
+    * events.
+    */
+  private[graft] def snfTail(hc: DataFrame): DataFrame = {
+    val fc = hc.select((col("h") + 168).as("h"), col("n").as("n_pred"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+    hc.join(fc, "h")
+      .groupBy((col("h") / lit(24)).cast(LongType).as("day"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("n") - col("n_pred"))).as("abs_err"),
+        sum(col("n") - col("n_pred")).as("sum_err"))
+      .select(col("day"), col("n_hours"),
+        r6(col("abs_err").cast(DoubleType) / col("n_hours")).as("mae"),
+        r6(col("sum_err").cast(DoubleType) / col("n_hours")).as("bias"))
+      .orderBy("day")
+  }
 
   /** The decomposition tail of ts_stl_decompose, over an (h, n) hourly
     * count table — factored out so the streaming twin (StreamingSpec)

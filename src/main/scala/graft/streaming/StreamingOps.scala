@@ -84,6 +84,16 @@ object StreamingOps {
       .select(col("c_id"), col("c_user"), col("c_us"), col("p_us"))
   }
 
+  /** (event_type, hour-of-day) joint counts — the incremental rollup
+    * behind agg_chi_square's streaming twin. Keyed on hour-of-day
+    * (not a time window), so the key space is ≤ types×24 forever and
+    * complete-mode state is O(1); the χ² statistic tail
+    * (StreamingBatch.chiSquareTail) rides this table.
+    */
+  def typeHourCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), hour(col("ts_t")).cast(LongType).as("hr"))
+      .agg(count(lit(1)).as("n_xy"))
+
   /** Sliding 1-hour/30-minute event counts. */
   def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

@@ -121,6 +121,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("chi-square over the streamed (type, hour-of-day) rollup == batch agg_chi_square") {
+    // Complete-mode streaming agg on (type, hr) — NOT a time window, so
+    // state is bounded at types×24 keys forever; the χ² tail is the
+    // shared batch definition over that table.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val joint = runToMemory(StreamingOps.typeHourCounts(stream), "t_chi_joint", "complete")
+    val got = graft.queries.StreamingBatch.chiSquareTail(joint).collect().toSeq
+    val want = SparkEntry.queries("agg_chi_square")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("seasonal-naive backtest over the streamed hourly rollup == batch operator") {
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val hc = runToMemory(StreamingOps.hourlyCounts(stream), "t_snf_hc", "complete")
+    val got = graft.queries.StreamingBatch.snfTail(hc).collect().toSeq
+    val want = SparkEntry.queries("ts_seasonal_naive_forecast")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState running totals == batch per-user totals") {
     val stream = StreamingOps.readEvents(spark, srcDir.toString)
     val mem = runToMemory(StreamingOps.runningTotals(stream).toDF(), "t_state", "update")
