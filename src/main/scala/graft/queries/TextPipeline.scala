@@ -216,7 +216,13 @@ object TextPipeline {
       s"ccLabels: min-label propagation did not converge in $rounds rounds" +
         " — emission would be a partial (split) clustering")
     edges.unpersist()
-    lastCcLabels.foreach(_.unpersist())
+    // Best-effort release: the previous table may belong to an earlier
+    // (now-stopped) SparkSession — unpersist on a dead context NPEs in
+    // BlockManagerMaster, and a dead context has nothing to free.
+    lastCcLabels.foreach { prev =>
+      try if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(): Unit
+      catch { case _: Throwable => }
+    }
     lastCcLabels = Some(labels)
     labels
   }
