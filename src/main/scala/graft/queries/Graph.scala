@@ -122,6 +122,55 @@ object Graph {
         .crossJoin(broadcast(tri))
     },
 
+    "graph_clustering_coefficient" -> { (s, d) =>
+      // Per-node LOCAL clustering coefficient — cc(v) = 2·t(v) /
+      // (deg·(deg−1)), the community-density signal triangle counting
+      // exists to feed (spam-farm rings score ~1, crawl frontiers ~0).
+      // Same degree-ordered orientation as graph_triangles (out-degree
+      // bounded at O(√m), wedge join ≤ m^1.5 candidates), but the
+      // closure join KEEPS the triangle triples and charges each
+      // triangle to all three corners via one explode — per-node
+      // counts from one extra O(#triangles) rollup, no second pass
+      // over edges. The %10 subgraph bounds the gate cost exactly as
+      // k_core's does. All inputs to cc are exact longs; the one
+      // division is identical IEEE, rounded at 1e-6.
+      val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist()
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ordered = und
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val ori = ordered.select(
+          when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"),
+          when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+        .persist()
+      val wedges = ori.as("a").join(ori.as("b"),
+          col("a.src") === col("b.src") &&
+            (col("a.ddeg") < col("b.ddeg") ||
+              (col("a.ddeg") === col("b.ddeg") && col("a.dst") < col("b.dst"))))
+        .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
+      val triNodes = wedges
+        .join(ori.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(triNodes, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(coalesce(col("n_tri"), lit(0L)).cast(DoubleType) * 2 /
+            (col("deg") * (col("deg") - 1)), 6).as("cc"))
+        .orderBy("node")
+    },
+
     "graph_jaccard_neighbors" -> { (s, d) =>
       // Per-node most-similar neighbor by neighborhood Jaccard — the
       // node-similarity primitive behind "related items" / host-level
@@ -378,6 +427,39 @@ object Graph {
         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
         |  (SELECT count(*) FROM und) AS n_edges, n_triangles
         |FROM tri""".stripMargin,
+
+    "graph_clustering_coefficient" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+        |  GROUP BY node),
+        |e AS (
+        |  SELECT u, v, du.deg AS du, dv.deg AS dv
+        |  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+        |ori AS (
+        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+        |  FROM e),
+        |w AS (
+        |  SELECT a.src AS x, a.dst AS y, b.dst AS z FROM ori a JOIN ori b
+        |  ON a.src = b.src AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))),
+        |tn AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT unnest([x, y, z]) AS node
+        |    FROM w JOIN ori ON w.y = ori.src AND w.z = ori.dst) t
+        |  GROUP BY node)
+        |SELECT d.node, d.deg,
+        |  CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  round(CAST(coalesce(tn.n_tri, 0) AS DOUBLE) * 2
+        |    / (d.deg * (d.deg - 1)), 6) AS cc
+        |FROM deg d LEFT JOIN tn ON d.node = tn.node
+        |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin,
 
     "graph_jaccard_neighbors" ->
       """WITH op AS (

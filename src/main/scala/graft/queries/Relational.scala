@@ -1194,6 +1194,72 @@ object Relational {
         (floor(z * 1000000 + 0.5).cast(DoubleType) / 1000000.0).as("z"))
     },
 
+    "agg_bootstrap_ci" -> { (s, d) =>
+      // Bootstrap confidence interval for the mean event value — the
+      // nonparametric CI every experimentation platform falls back to
+      // when the metric isn't normal (ratios, truncated revenue). The
+      // online-bootstrap trick makes it ONE distributed pass: replica
+      // b resamples each row with a Poisson(1) weight (the n→∞ limit
+      // of multinomial resampling), so 32 replicas are 32 weighted
+      // sums computed map-side — never 32 shuffles of the data, and
+      // the per-task partial state is 32 accumulators regardless of
+      // input size. Determinism: weights come from md5-derived
+      // uniforms through an inverse-CDF CASE chain whose Poisson(1)
+      // cumulative thresholds are stated as identical literals in
+      // both engines; replica sums are exact (int weight × decimal
+      // capture); the CI is pure ORDER STATISTICS of the 32 replica
+      // means (2nd and 31st — nominal 93.75% coverage, documented;
+      // no interpolation, so no quantile-definition hazard).
+      val B = 32
+      // Uniform source is the LshBucket-style arithmetic hash (pure
+      // int64 multiply-adds, identical in any engine) rather than the
+      // md5-prefix idiom: 32 uniforms/row × the corpus made md5 +
+      // hex-conv the map's single heaviest query (measured 8.4 s at
+      // sf0.1; this form is codegen'd arithmetic). event_id is reduced
+      // mod 1000003 FIRST so the product stays far inside int64 at any
+      // tier; weights therefore repeat across id residue classes ~1e6
+      // apart — harmless for resampling (replicas need exchangeable
+      // weights, not cryptographic ones).
+      def w(b: Int) = {
+        val u = ((col("event_id") % 1000003L) * 1315423911L +
+          lit(b.toLong) * 2654435761L).mod(lit(1000003L))
+          .cast(DoubleType) / 1000003.0
+        when(u < 0.36787944117144233, 0)
+          .when(u < 0.7357588823428847, 1)
+          .when(u < 0.9196986029286058, 2)
+          .when(u < 0.9810118431238462, 3)
+          .when(u < 0.9963401531726563, 4)
+          .when(u < 0.9994058151824183, 5)
+          .when(u < 0.9999167588507119, 6)
+          .when(u < 0.9999897508033253, 7)
+          .otherwise(8)
+      }
+      def r6(c: Column) = floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      val ev = eventsTs(s, d).select(col("event_id"), col("value"))
+      val d6 = col("value").cast(DecimalType(18, 6))
+      // ONE aggregation, 66 accumulators (32 × (Σw·v, Σw) + count +
+      // Σv): no explode, no replica shuffle — each task carries the
+      // whole replica state and partial-merges it, which IS the
+      // online-bootstrap shape (the first cut posexploded a 32-wide
+      // weight array and paid a 32×-row shuffle: measured 2.5 s vs
+      // ~0.6 s for this form at sf0.1).
+      val aggs =
+        (0 until B).flatMap(b => Seq(
+          sum(w(b) * d6).cast(DoubleType).as(s"sxw$b"),
+          sum(w(b).cast(LongType)).as(s"sw$b"))) ++
+        Seq(count(lit(1)).as("n_events"),
+          sum(d6).cast(DoubleType).as("sx"))
+      ev.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_events"), col("sx"),
+          sort_array(array((0 until B).map(b => struct(
+            (col(s"sxw$b") / col(s"sw$b")).as("mean_b"),
+            lit(b).as("b"))): _*)).as("ms"))
+        .select(col("n_events"),
+          r6(col("sx") / col("n_events")).as("point_mean"),
+          r6(element_at(col("ms"), 2).getField("mean_b")).as("ci_lo"),
+          r6(element_at(col("ms"), B - 1).getField("mean_b")).as("ci_hi"))
+    },
+
     "agg_welch_ttest" -> { (s, d) =>
       // Welch's unequal-variance two-sample t — the continuous-metric
       // sibling of agg_ab_ztest (z for conversion rates, Welch for
@@ -2048,6 +2114,45 @@ object Relational {
         |      * (1.0 / n0 + 1.0 / n1))
         |    * 1000000 + 0.5) / 1000000.0 AS z
         |FROM c""".stripMargin,
+
+    // Same literal Poisson(1) inverse-CDF thresholds, same exact
+    // replica sums, same order-statistic CI — the whole bootstrap is
+    // replicated so the hash gate verifies the resampling itself.
+    "agg_bootstrap_ci" ->
+      """WITH wts AS (
+        |  SELECT e.value, b.b,
+        |    CASE
+        |      WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238462 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.9999167588507119 THEN 6
+        |      WHEN u < 0.9999897508033253 THEN 7
+        |      ELSE 8 END AS w
+        |  FROM (SELECT event_id, value FROM events) e
+        |  CROSS JOIN (SELECT unnest(range(32)) AS b) b
+        |  CROSS JOIN LATERAL (SELECT
+        |    CAST(((e.event_id % 1000003) * 1315423911 + b.b * 2654435761)
+        |      % 1000003 AS DOUBLE) / 1000003.0 AS u) uu),
+        |reps AS (
+        |  SELECT b, CAST(sum(w * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(sum(w) AS BIGINT) AS mean_b
+        |  FROM wts GROUP BY b),
+        |rk AS (
+        |  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM reps),
+        |p AS (
+        |  SELECT count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS pm
+        |  FROM events)
+        |SELECT n_events,
+        |  floor(pm * 1000000 + 0.5) / 1000000.0 AS point_mean,
+        |  (SELECT floor(mean_b * 1000000 + 0.5) / 1000000.0 FROM rk WHERE rk = 2)
+        |    AS ci_lo,
+        |  (SELECT floor(mean_b * 1000000 + 0.5) / 1000000.0 FROM rk WHERE rk = 31)
+        |    AS ci_hi
+        |FROM p""".stripMargin,
 
     // Same exact-decimal capture as the Spark side; the squares force
     // int128 via the (19,6)·(18,6) cast (DuckDB ≤18-wide decimals are
