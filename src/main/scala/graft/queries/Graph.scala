@@ -122,6 +122,36 @@ object Graph {
         .crossJoin(broadcast(tri))
     },
 
+    "graph_hits_step" -> { (s, d) =>
+      // One HITS iteration over the supplier→part bipartite graph —
+      // pagerank's mutual-recursion sibling (hubs score by the
+      // authorities they point at, authorities by the hubs pointing
+      // in; the crawl-seeding signal PageRank's single score can't
+      // express). From the uniform hub start the first authority pass
+      // is a(p) = indeg(p) and the hub update is h(s) = Σ_{s→p} a(p)
+      // — EXACT INTEGER sums end-to-end (no per-edge double dust, the
+      // determinism trap pagerank needed decimal capture for), with
+      // the single division deferred to the final max-normalization.
+      // Shape: two groupBys over the edge list (O(edges) shuffle
+      // bytes), max as a 1-row broadcast. Emission: both node sides,
+      // scores in [0,1] rounded at 1e-9.
+      val edges = lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct().persist()
+      val auth = edges.groupBy("dst").agg(count(lit(1)).as("a"))
+      val hub = edges.join(auth, "dst")
+        .groupBy("src").agg(sum(col("a")).as("h"))
+      val maxes = auth.agg(max(col("a")).as("ma"))
+        .crossJoin(broadcast(hub.agg(max(col("h")).as("mh"))))
+      val aOut = auth.crossJoin(broadcast(maxes))
+        .select(lit("p").as("ntype"), col("dst").as("node_id"),
+          round(col("a").cast(DoubleType) / col("ma"), 9).as("score"))
+      val hOut = hub.crossJoin(broadcast(maxes))
+        .select(lit("s").as("ntype"), col("src").as("node_id"),
+          round(col("h").cast(DoubleType) / col("mh"), 9).as("score"))
+      aOut.unionByName(hOut).orderBy("ntype", "node_id")
+    },
+
     "graph_clustering_coefficient" -> { (s, d) =>
       // Per-node LOCAL clustering coefficient — cc(v) = 2·t(v) /
       // (deg·(deg−1)), the community-density signal triangle counting
@@ -525,6 +555,23 @@ object Graph {
     // is load-bearing: each stage references its predecessor 3×, so
     // DuckDB's default CTE inlining would expand 3^6 = 729 base scans
     // (observed: "too many open files").
+    "graph_hits_step" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |auth AS (SELECT dst, count(*) AS a FROM e GROUP BY dst),
+        |hub AS (
+        |  SELECT e.src, CAST(sum(auth.a) AS BIGINT) AS h
+        |  FROM e JOIN auth ON e.dst = auth.dst GROUP BY e.src),
+        |m AS (SELECT (SELECT max(a) FROM auth) AS ma,
+        |             (SELECT max(h) FROM hub) AS mh)
+        |SELECT ntype, node_id, score FROM (
+        |  SELECT 'p' AS ntype, dst AS node_id,
+        |    round(CAST(a AS DOUBLE) / m.ma, 9) AS score FROM auth, m
+        |  UNION ALL
+        |  SELECT 's' AS ntype, src AS node_id,
+        |    round(CAST(h AS DOUBLE) / m.mh, 9) AS score FROM hub, m) t
+        |ORDER BY ntype, node_id""".stripMargin,
+
     "graph_bfs_levels" -> {
       val rounds = (1 to 4).map { i =>
         s"""fr$i AS MATERIALIZED (

@@ -1499,6 +1499,47 @@ object TextPipeline {
           (col("n_chars").between(100, 400) && col("n_tok") >= 20).as("passes_filter"))
         .orderBy("doc_id")),
 
+    "text_zipf_fit" -> { (s, d) =>
+      // Zipf-law fit over the corpus vocabulary — the sanity check
+      // every corpus-stats report carries: natural text follows
+      // freq ∝ rank^slope with slope ≈ −1, and a corpus that doesn't
+      // (slope ≈ 0: dedup failure / boilerplate flood; slope ≪ −1.5:
+      // template collapse) is broken upstream. Least squares of
+      // ln(freq) on ln(rank) over the top-500 terms. Shape: one
+      // explode+groupBy corpus pass (the only data-sized work), then
+      // the rank window and the fit ride the Zipf-bounded vocab table
+      // (text_vocab_build's argument). Determinism: ln values snap to
+      // the 1e-9 grid (the agg_mutual_information libm recipe), the
+      // per-term products round at 1e-9 before an exact decimal sum,
+      // and the closed-form slope runs on identical doubles; emission
+      // floors at 1e-6.
+      val cnt = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val ranked = cnt
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("term").asc)))
+        .filter(col("rank") <= 500)
+        .select(round(log(col("rank")), 9).as("x"),
+          round(log(col("freq")), 9).as("y"))
+      val d9 = DecimalType(28, 9)
+      val sums = ranked.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x").cast(d9)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(d9)).cast(DoubleType).as("sy"),
+        sum(round(col("x") * col("x"), 9).cast(d9)).cast(DoubleType).as("sxx"),
+        sum(round(col("x") * col("y"), 9).cast(d9)).cast(DoubleType).as("sxy"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      sums
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n").cast(LongType).as("n_terms"),
+          r6(col("slope")).as("slope"),
+          r6((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+    },
+
     "feat_count_min_sketch" -> { (s, d) =>
       // Count-min sketch over corpus term frequencies — the bounded-
       // memory frequency sketch that completes the re-aggregatable
@@ -2271,6 +2312,31 @@ object TextPipeline {
         |    ELSE 'test' END AS split, lang,
         |  count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
         |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH cnt AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY term),
+        |ranked AS (
+        |  SELECT round(ln(rank), 9) AS x, round(ln(freq), 9) AS y FROM (
+        |    SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+        |    FROM cnt) r
+        |  WHERE rank <= 500),
+        |sums AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy
+        |  FROM ranked),
+        |fit AS (
+        |  SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, sx, sy
+        |  FROM sums)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  floor(slope * 1000000 + 0.5) / 1000000.0 AS slope,
+        |  floor((sy - slope * sx) / n * 1000000 + 0.5) / 1000000.0 AS intercept
+        |FROM fit""".stripMargin,
 
     "feat_count_min_sketch" ->
       """WITH tok AS (
