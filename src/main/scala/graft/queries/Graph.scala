@@ -276,6 +276,56 @@ object Graph {
         .orderBy("bucket")
     },
 
+    "graph_modularity" -> { (s, d) =>
+      // Modularity Q of the one-step LPA partition — the number that
+      // says whether a community assignment is BETTER THAN CHANCE
+      // (Q = Σ_c [e_c/m − (d_c/2m)²]; 0 = random, >0.3 = real
+      // structure), the acceptance test every community detector
+      // reports. Reuses graph_label_prop's exact construction (same
+      // %3 graph, same deterministic plurality step) so the two
+      // queries read as detect → score. Shape: e_c needs the edge
+      // list joined to the label table on BOTH endpoints (two
+      // O(edges) equi-joins); d_c rides the node-sized degree table;
+      // m attaches as a 1-row broadcast. All inputs exact longs;
+      // per-community terms snap to 1e-9 and decimal-sum.
+      val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist() // consumed by votes, deg, e_c, and m
+      val votes = und
+        .select(explode(array(
+          struct(col("u").as("node"), (col("v") % 64).as("lbl")),
+          struct(col("v").as("node"), (col("u") % 64).as("lbl")))).as("e"))
+        .select(col("e.node").as("node"), col("e.lbl").as("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy("node").orderBy(col("votes").desc, col("lbl"))
+      val labels = votes.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1).select(col("node"), col("lbl"))
+        .persist() // joined onto both edge endpoints + the degree table
+      val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dC = deg.join(labels, "node")
+        .groupBy("lbl").agg(sum(col("deg")).as("d_c"))
+      val eC = und
+        .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("lbl").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("e_c"))
+      val mRow = und.agg(count(lit(1)).as("m"))
+      dC.join(eC, Seq("lbl"), "left")
+        .crossJoin(broadcast(mRow))
+        .select(round(coalesce(col("e_c"), lit(0L)).cast(DoubleType) / col("m") -
+          (col("d_c").cast(DoubleType) / (col("m") * 2)) *
+            (col("d_c").cast(DoubleType) / (col("m") * 2)), 9).as("term"))
+        .agg(count(lit(1)).as("n_communities"),
+          round(sum(col("term").cast(DecimalType(28, 9))).cast(DoubleType), 6)
+            .as("q"))
+        .crossJoin(broadcast(mRow.select(col("m").as("m_edges"))))
+        .select(col("n_communities"), col("m_edges"), col("q"))
+    },
+
     "graph_label_prop" -> { (s, d) =>
       // One synchronous label-propagation step (community detection's
       // workhorse): every node adopts the plurality label among its
@@ -555,6 +605,45 @@ object Graph {
     // is load-bearing: each stage references its predecessor 3×, so
     // DuckDB's default CTE inlining would expand 3^6 = 729 base scans
     // (observed: "too many open files").
+    "graph_modularity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |votes AS (
+        |  SELECT node, lbl, count(*) AS votes FROM (
+        |    SELECT u AS node, v % 64 AS lbl FROM und
+        |    UNION ALL SELECT v, u % 64 FROM und) t
+        |  GROUP BY node, lbl),
+        |labels AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (
+        |      PARTITION BY node ORDER BY votes DESC, lbl) AS rn
+        |    FROM votes) r WHERE rn = 1),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+        |  GROUP BY node),
+        |dc AS (
+        |  SELECT l.lbl, CAST(sum(deg) AS BIGINT) AS d_c
+        |  FROM deg d JOIN labels l ON d.node = l.node GROUP BY l.lbl),
+        |ec AS (
+        |  SELECT lu.lbl, count(*) AS e_c
+        |  FROM und JOIN labels lu ON und.u = lu.node
+        |  JOIN labels lv ON und.v = lv.node
+        |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+        |m AS (SELECT count(*) AS m FROM und),
+        |terms AS (
+        |  SELECT round(CAST(coalesce(ec.e_c, 0) AS DOUBLE) / m.m
+        |    - (CAST(dc.d_c AS DOUBLE) / (m.m * 2))
+        |      * (CAST(dc.d_c AS DOUBLE) / (m.m * 2)), 9) AS term
+        |  FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl CROSS JOIN m)
+        |SELECT count(*) AS n_communities,
+        |  (SELECT m FROM m) AS m_edges,
+        |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS q
+        |FROM terms""".stripMargin,
+
     "graph_hits_step" ->
       """WITH e AS (
         |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),

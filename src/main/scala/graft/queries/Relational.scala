@@ -1194,6 +1194,33 @@ object Relational {
         (floor(z * 1000000 + 0.5).cast(DoubleType) / 1000000.0).as("z"))
     },
 
+    "agg_median_abs_deviation" -> { (s, d) =>
+      // Median absolute deviation per event type — the robust spread
+      // estimate (one wild value moves stddev arbitrarily, MAD not at
+      // all; ×1.4826 makes it σ-consistent under normality — the
+      // robust-zscore denominator production outlier monitors use
+      // where ts_anomaly_zscore's σ would be poisoned by the very
+      // outliers it hunts). Two-level exact medians: per-type median
+      // broadcast back (a #types-row table), then the median of
+      // |v − med| the same way — two shuffles on the type key, both
+      // percentile aggregates exact order statistics (engine parity
+      // pinned by agg_percentile). Deviations are pure IEEE on
+      // identical doubles; emission rounds at 1e-6.
+      val med = eventsTs(s, d).groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      eventsTs(s, d).select(col("event_type"), col("value"))
+        .join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("med")), 6).as("median"),
+          expr("percentile(ad, 0.5D)").as("mad_raw"))
+        .select(col("event_type"), col("n"), col("median"),
+          round(col("mad_raw"), 6).as("mad"),
+          round(col("mad_raw") * 1.4826, 6).as("mad_sigma"))
+        .orderBy("event_type")
+    },
+
     "agg_bootstrap_ci" -> { (s, d) =>
       // Bootstrap confidence interval for the mean event value — the
       // nonparametric CI every experimentation platform falls back to
@@ -2114,6 +2141,17 @@ object Relational {
         |      * (1.0 / n0 + 1.0 / n1))
         |    * 1000000 + 0.5) / 1000000.0 AS z
         |FROM c""".stripMargin,
+
+    "agg_median_abs_deviation" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(min(m.med), 6) AS median,
+        |  round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+        |  round(quantile_cont(abs(e.value - m.med), 0.5) * 1.4826, 6) AS mad_sigma
+        |FROM events e JOIN med m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     // Same literal Poisson(1) inverse-CDF thresholds, same exact
     // replica sums, same order-statistic CI — the whole bootstrap is

@@ -368,7 +368,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // query vector (the kmeans/quantized_rerank argument — map-side
     // attach of O(1) rows, zero shuffle over the corpus);
     // graph_hits_step attaches the 1-row (max-hub, max-authority)
-    // normalizers (graph_triangles' counts-attach argument).
+    // normalizers and graph_modularity the 1-row edge-count m — both
+    // graph_triangles' counts-attach argument.
     val allowed = Set("join_cross",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
@@ -376,7 +377,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
       "sim_ann_stacked", "sim_ann_production", "sim_pq_adc",
-      "sim_matryoshka_audit", "graph_hits_step", "bpe_merge_apply",
+      "sim_matryoshka_audit", "graph_hits_step", "graph_modularity",
+      "bpe_merge_apply",
       "feat_pca_power_step", "text_kneser_ney", "agg_hll_intersect")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
