@@ -224,6 +224,50 @@ object Joins {
         .orderBy("event_id")
     },
 
+    "join_point_in_interval" -> { (s, d) =>
+      // Point-in-interval attribution: assign each purchase to the
+      // SCD2 state interval containing the instant BEFORE it (t =
+      // us − 1 — "what state was the user in when they decided to
+      // buy", the conversion-attribution question; t = us itself is
+      // trivially the purchase's own interval since the change log
+      // derives from these events) — "which dimension version was
+      // active when the fact happened", the warehouse join every
+      // star schema with versioned dimensions needs (asof answers
+      // nearest-BEFORE; this answers CONTAINING, with the open
+      // current interval clamped to corpus end). A user's FIRST
+      // event has no prior interval and drops from the inner join —
+      // the honest semantics of "state before". Scale shape: a raw
+      // `from <= t AND t < to` range join plans as BNLJ at any size,
+      // so intervals EXPLODE to their covered day buckets (bounded
+      // here by corpus span; production clamps current intervals to
+      // "now" the same way) and the fact equi-joins on (user, day)
+      // with the exact range predicate as a residual — the
+      // join_interval_overlap banding applied to containment. SCD2
+      // intervals per user are disjoint, so each purchase matches at
+      // most one interval and the banded join needs NO dedup. The
+      // oracle computes the direct unbanded range join — the hash
+      // gate proves the banding lossless.
+      val dayUs = 86400000000L
+      val iv = graft.queries.StreamingBatch.queries("merge_scd2")(s, d)
+      val maxRow = eventsTs(s, d).agg((max(col("us")) + 1).as("max_us"))
+      val ivb = iv.crossJoin(broadcast(maxRow))
+        .withColumn("to_us", coalesce(col("valid_to_us"), col("max_us")))
+        .select(col("user_id").as("iv_user"), col("state"),
+          col("valid_from_us"), col("to_us"),
+          explode(sequence(
+            (col("valid_from_us") / dayUs).cast("long"),
+            ((col("to_us") - 1) / dayUs).cast("long"))).as("iv_day"))
+      eventsTs(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), (col("us") - 1).as("t"),
+          ((col("us") - 1) / dayUs).cast("long").as("day"))
+        .join(ivb, col("user_id") === col("iv_user") && col("day") === col("iv_day") &&
+          col("t") >= col("valid_from_us") && col("t") < col("to_us"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("state")
+    },
+
     "join_interval_overlap" -> { (s, d) =>
       // Pairs of same-user events within 5 minutes — banded self-join on
       // (user_id, 5-min bucket), one side exploded to adjacent buckets,
@@ -502,6 +546,33 @@ object Joins {
         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us
         |  FROM events) t
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    // Direct unbanded containment join — the truth the banded form must
+    // reproduce exactly (same scd2 CTE as the merge_scd2 oracle).
+    "join_point_in_interval" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_id, us, event_type
+        |  FROM chg WHERE prev_type IS NULL OR prev_type <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type AS state, us AS valid_from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS valid_to_us
+        |  FROM runs),
+        |mx AS (SELECT max(epoch_us(ts)) + 1 AS max_us FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) - 1 AS t FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT iv.state, count(*) AS n_purchases,
+        |  count(DISTINCT p.user_id) AS n_users
+        |FROM p JOIN iv ON p.user_id = iv.user_id
+        |  AND p.t >= iv.valid_from_us
+        |  AND p.t < coalesce(iv.valid_to_us, (SELECT max_us FROM mx))
+        |GROUP BY iv.state ORDER BY iv.state""".stripMargin,
 
     "join_interval_overlap" ->
       """SELECT e1.user_id, count(*) AS n_pairs

@@ -378,7 +378,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
       "sim_ann_stacked", "sim_ann_production", "sim_pq_adc",
       "sim_matryoshka_audit", "graph_hits_step", "graph_modularity",
-      "bpe_merge_apply",
+      "join_point_in_interval", "bpe_merge_apply",
       "feat_pca_power_step", "text_kneser_ney", "agg_hll_intersect")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
