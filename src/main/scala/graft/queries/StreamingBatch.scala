@@ -597,6 +597,42 @@ object StreamingBatch {
         .orderBy("event_type")
     },
 
+    "ts_mk_trend" -> { (s, d) =>
+      // Mann–Kendall trend test over the global hourly count series —
+      // the NONPARAMETRIC "is traffic actually trending" answer
+      // (agg_linreg's least squares assumes linear + normal errors;
+      // MK only assumes monotonicity, which is what capacity alerts
+      // actually mean). S = Σ_{i<j} sgn(x_j − x_i) with the
+      // tie-corrected variance and the ±1-continuity z. Shape: the
+      // ONLY data-sized work is the hourly rollup; the pairwise
+      // self-join runs on the calendar-bounded hour table (ts_acf's
+      // argument — hours-in-corpus² pairs regardless of corpus
+      // bytes), and ties reduce on the distinct-count table. All
+      // inputs to z are exact BIGINTs; emission floors at 1e-6.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // self-joined + tie table + count
+      val sRow = hc.as("a").join(hc.as("b"), col("a.h") < col("b.h"))
+        .agg(coalesce(sum(signum(col("b.n") - col("a.n")).cast(LongType)),
+          lit(0L)).as("s"))
+      val tieRow = hc.groupBy("n").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("ties"))
+      val nRow = hc.agg(count(lit(1)).as("nh"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      nRow.crossJoin(broadcast(sRow)).crossJoin(broadcast(tieRow))
+        .withColumn("var_s",
+          (col("nh") * (col("nh") - 1) * (lit(2) * col("nh") + 5) - col("ties"))
+            .cast(DoubleType) / 18.0)
+        .select(col("nh").as("n_hours"), col("s"),
+          r6(col("var_s")).as("var_s"),
+          r6(when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+            .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0))).as("z"))
+    },
+
     "ts_seasonal_naive_forecast" -> { (s, d) =>
       // Seasonal-naive backtest — the forecast floor every capacity
       // model must beat before it ships: predict each hour's event
@@ -932,6 +968,31 @@ object StreamingBatch {
         |    ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y)), 9)
         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi_contrib
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_mk_trend" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN b.n > a.n THEN 1
+        |    WHEN b.n < a.n THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+        |  FROM hc a JOIN hc b ON a.h < b.h),
+        |ties AS (
+        |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        |    AS ties
+        |  FROM (SELECT count(*) AS t FROM hc GROUP BY n) g),
+        |nh AS (SELECT count(*) AS nh FROM hc),
+        |v AS (
+        |  SELECT nh.nh, s.s, ties.ties,
+        |    CAST(nh.nh * (nh.nh - 1) * (2 * nh.nh + 5) - ties.ties AS DOUBLE)
+        |      / 18.0 AS var_s
+        |  FROM nh CROSS JOIN s CROSS JOIN ties)
+        |SELECT nh AS n_hours, s,
+        |  floor(var_s * 1000000 + 0.5) / 1000000.0 AS var_s,
+        |  floor(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+        |    WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END
+        |    * 1000000 + 0.5) / 1000000.0 AS z
+        |FROM v""".stripMargin,
 
     "ts_seasonal_naive_forecast" ->
       """WITH hc AS (

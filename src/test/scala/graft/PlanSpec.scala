@@ -369,7 +369,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // attach of O(1) rows, zero shuffle over the corpus);
     // graph_hits_step attaches the 1-row (max-hub, max-authority)
     // normalizers and graph_modularity the 1-row edge-count m — both
-    // graph_triangles' counts-attach argument.
+    // graph_triangles' counts-attach argument; ts_mk_trend's pairwise
+    // sign join and its three 1-row statistic attaches all ride the
+    // calendar-bounded hour table (hours-in-corpus² pairs at ANY
+    // corpus size — the ts_acf boundedness argument).
     val allowed = Set("join_cross",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
@@ -378,7 +381,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
       "sim_ann_stacked", "sim_ann_production", "sim_pq_adc",
       "sim_matryoshka_audit", "graph_hits_step", "graph_modularity",
-      "join_point_in_interval", "bpe_merge_apply",
+      "join_point_in_interval", "ts_mk_trend", "bpe_merge_apply",
       "feat_pca_power_step", "text_kneser_ney", "agg_hll_intersect")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
