@@ -1194,6 +1194,37 @@ object Relational {
         (floor(z * 1000000 + 0.5).cast(DoubleType) / 1000000.0).as("z"))
     },
 
+    "agg_benford_test" -> { (s, d) =>
+      // Benford first-digit screen over order totals — the
+      // data-quality/fraud tripwire: naturally-occurring amounts
+      // follow P(d) = log10(1 + 1/d), and a feed that stops following
+      // it (flat digits: synthetic data; spikes: thresholds/caps) is
+      // worth an alert long before any downstream metric moves. One
+      // map-side-combined count per leading digit (9 groups at any
+      // input size), expected from the closed form on the exact total,
+      // χ² per digit snapped to 1e-9 and decimal-summed (the
+      // agg_chi_square recipe). First digit via the INTEGER-cents
+      // string head (integer rendering is unambiguous in any engine;
+      // double→string is not, and log10/floor would coin-flip on
+      // power-of-ten boundaries). Money is 2-decimal by fixture, so
+      // cents' leading digit IS the amount's leading digit.
+      val obs = orders(s, d)
+        .select(substring(
+          floor(col("o_totalprice") * 100 + 0.5).cast(LongType).cast(StringType),
+          1, 1).cast(LongType).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val w = Window.partitionBy()
+      obs
+        .withColumn("n", sum(col("n_obs")).over(w))
+        .withColumn("expected",
+          round(col("n") * log(10.0, lit(1.0) + lit(1.0) / col("digit")), 9))
+        .select(col("digit"), col("n_obs"),
+          round(col("expected"), 6).as("n_expected"),
+          round((col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+            / col("expected"), 6).as("chi2_term"))
+        .orderBy("digit")
+    },
+
     "agg_median_abs_deviation" -> { (s, d) =>
       // Median absolute deviation per event type — the robust spread
       // estimate (one wild value moves stddev arbitrarily, MAD not at
@@ -2141,6 +2172,20 @@ object Relational {
         |      * (1.0 / n0 + 1.0 / n1))
         |    * 1000000 + 0.5) / 1000000.0 AS z
         |FROM c""".stripMargin,
+
+    "agg_benford_test" ->
+      """WITH obs AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT obs.*, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM obs),
+        |e AS (SELECT *, round(n * log10(1.0 + 1.0 / digit), 9) AS expected FROM m)
+        |SELECT digit, n_obs,
+        |  round(expected, 6) AS n_expected,
+        |  round((n_obs - expected) * (n_obs - expected) / expected, 6)
+        |    AS chi2_term
+        |FROM e ORDER BY digit""".stripMargin,
 
     "agg_median_abs_deviation" ->
       """WITH med AS (

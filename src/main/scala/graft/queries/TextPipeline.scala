@@ -1499,6 +1499,28 @@ object TextPipeline {
           (col("n_chars").between(100, 400) && col("n_tok") >= 20).as("passes_filter"))
         .orderBy("doc_id")),
 
+    "pipeline_token_histogram" -> { (s, d) =>
+      // Per-source doc-length histogram in power-of-2 token buckets —
+      // the distribution pack_sequences' bin size and the trainer's
+      // max_seq_len are actually chosen FROM (mean length says
+      // nothing when the tail holds the tokens; this shows where the
+      // token MASS sits). Pure map-side: bucket = floor(log2) via the
+      // BINARY-STRING length (length(bin(n)) − 1 — integer-exact in
+      // any engine; an IEEE log2 would coin-flip floor() at exact
+      // powers of two), then one (source, bucket)-keyed rollup
+      // bounded at sources × ~20 buckets at any corpus size. Emits
+      // doc counts AND token mass per bucket so the "P99 docs hold
+      // half the tokens" read is immediate.
+      val nTok = size(split(col("text"), " ")).cast(LongType)
+      documents(s, d)
+        .select(col("source"), nTok.as("n_tok"))
+        .withColumn("bucket",
+          (length(conv(col("n_tok"), 10, 2)) - 1).cast(LongType))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "bucket")
+    },
+
     "text_zipf_fit" -> { (s, d) =>
       // Zipf-law fit over the corpus vocabulary — the sanity check
       // every corpus-stats report carries: natural text follows
@@ -2312,6 +2334,15 @@ object TextPipeline {
         |    ELSE 'test' END AS split, lang,
         |  count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
         |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "pipeline_token_histogram" ->
+      """SELECT source,
+        |  CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents) t
+        |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     "text_zipf_fit" ->
       """WITH cnt AS (
