@@ -22,18 +22,26 @@ import org.apache.spark.sql.functions._
   * they do not model a dedup-light real corpus.
   *
   * Mode `bounded` (optional 4th arg; round 8): clone clusters with
-  * DISJOINT membership instead. Every copy's tokens get a fixed-width
-  * per-copy prefix — a token bijection, so 5-WORD-shingle Jaccard
-  * within a copy is preserved EXACTLY (bijections on tokens are
-  * bijections on 5-token shingles), while cross-copy token sets are
-  * disjoint → cross-copy Jaccard is exactly 0. True near-dup pairs
-  * therefore grow EXACTLY K× (K copies × the per-copy pair count, by
-  * symmetry — all copies get same-length tags, including copy 0),
-  * cluster COUNT grows K×, cluster SIZE stays bounded at the source
-  * corpus's. This is the honest fixture for the iterative dedup
-  * family: a real 100 TB corpus has ~constant cluster size and
-  * O(corpus) near-dup edges, which the default near-dup mode's K²
-  * construction deliberately violates.
+  * DISJOINT membership instead. Each copy's text goes through one
+  * per-copy AFFINE CHARACTER CIPHER x → a·x+b (mod 26), a coprime to
+  * 26 (see the inline derivation at the documents transform). A
+  * letter bijection is simultaneously a bijection on character
+  * trigrams and on alphabetic tokens (hence word shingles), and
+  * Jaccard is invariant under any bijection of the element universe —
+  * so each copy's within-copy true-pair set equals the source
+  * corpus's EXACTLY and true near-dup pairs grow EXACTLY K× (pair
+  * counts verified K× at 4×/16×/64×, SCALING.md). Cross-copy, two
+  * distinct affine maps agree on at most 2 letters, so cross-copy
+  * similarity is ~0 — NOT exactly 0: non-letter characters (digits,
+  * punctuation) pass through `translate` unchanged, so all-digit
+  * tokens and digit-bearing trigrams survive across copies. The
+  * residue is far below every dedup threshold (measured: cross-copy
+  * candidate pairs 0 at every tier), so cluster COUNT grows K× and
+  * cluster SIZE stays bounded at the source corpus's. This is the
+  * honest fixture for the iterative dedup family: a real 100 TB
+  * corpus has ~constant cluster size and O(corpus) near-dup edges,
+  * which the default near-dup mode's K² construction deliberately
+  * violates.
   */
 object ScaleGen {
   private val Stride = 100000000L

@@ -252,6 +252,13 @@ object Joins {
       val maxRow = eventsTs(s, d).agg((max(col("us")) + 1).as("max_us"))
       val ivb = iv.crossJoin(broadcast(maxRow))
         .withColumn("to_us", coalesce(col("valid_to_us"), col("max_us")))
+        // EMPTY intervals (to_us == valid_from_us, possible when a user
+        // has duplicate `us` instants) can contain no t, and banding
+        // one would hand sequence() a stop < start — Spark emits a
+        // DESCENDING sequence there, silently generating spurious day
+        // rows that only the residual predicate mops up. Drop them
+        // before banding instead of leaning on that fragile behavior.
+        .filter(col("to_us") > col("valid_from_us"))
         .select(col("user_id").as("iv_user"), col("state"),
           col("valid_from_us"), col("to_us"),
           explode(sequence(

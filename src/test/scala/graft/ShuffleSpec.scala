@@ -40,10 +40,13 @@ class ShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def shuffleBytes(name: String, sf: String): Long = {
     val bytes = new AtomicLong(0)
+    val tasks = new AtomicLong(0)
     val l = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
         if (t.taskMetrics != null)
           bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+      }
     }
     spark.sparkContext.addSparkListener(l)
     try {
@@ -57,14 +60,23 @@ class ShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
       SparkEntry.queries(name)(spark, sf).queryExecution.toRdd.count(): Unit
       // TaskEnd events are posted async on the listener bus
       // (private[spark], so no waitUntilEmpty from here): poll until
-      // the counter is stable for 500 ms, bounded at 15 s.
-      var last = -1L
+      // the (tasks, bytes) pair is stable across THREE consecutive
+      // 500 ms windows, bounded at 15 s — a single quiet window can
+      // fall inside a listener-bus stall and truncate the count,
+      // making the ≤-bound asserts pass vacuously (round-8 advice).
+      var last = (-1L, -1L)
+      var stable = 0
       var waited = 0
-      while (bytes.get() != last && waited < 15000) {
-        last = bytes.get()
+      while (stable < 3 && waited < 15000) {
+        val cur = (tasks.get(), bytes.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
         Thread.sleep(500)
         waited += 500
       }
+      // Liveness: the job just ran ≥1 task; zero seen means the
+      // listener never drained (or never attached) — the measurement
+      // is broken, not the claim.
+      assert(tasks.get() > 0, s"listener saw no TaskEnd events for $name")
     } finally {
       spark.sparkContext.removeSparkListener(l)
       spark.catalog.clearCache()
