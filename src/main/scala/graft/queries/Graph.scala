@@ -89,10 +89,14 @@ object Graph {
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      // Node-count table is |V| rows — broadcast onto the edge list.
+      // Degree table is O(|V|) rows — NO broadcast hint, matching
+      // ccLabels' at-scale pattern: under the threshold Catalyst
+      // auto-broadcasts anyway (it does at every test tier), and an
+      // oversized |V| degrades to a shuffle join instead of OOMing
+      // the executors a forced hint would.
       val ordered = und
-        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
-        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       val fwd = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
       val ori = ordered.select(
@@ -173,9 +177,12 @@ object Graph {
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+      // Degree attach: no broadcast hint (same rationale as
+      // graph_triangles' — O(|V|) rows must be allowed to degrade to
+      // a shuffle join when the node table outgrows the threshold).
       val ordered = und
-        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
-        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       val fwd = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
       val ori = ordered.select(
@@ -233,9 +240,11 @@ object Graph {
           col("a.nbr") === col("b.nbr") && col("a.node") =!= col("b.node"))
         .groupBy(col("a.node").as("node"), col("b.node").as("cand"))
         .agg(count(lit(1)).as("common"))
+      // Degree attach: no broadcast hint either — O(|V|) rows, same
+      // degrade-don't-OOM rationale as the triangles degree joins.
       val scored = common
-        .join(broadcast(deg.select(col("node"), col("deg").as("dn"))), "node")
-        .join(broadcast(deg.select(col("node").as("cand"), col("deg").as("dc"))),
+        .join(deg.select(col("node"), col("deg").as("dn")), "node")
+        .join(deg.select(col("node").as("cand"), col("deg").as("dc")),
           "cand")
         .withColumn("jac",
           floor(col("common").cast(DoubleType)
@@ -248,6 +257,93 @@ object Graph {
         .select(col("node"), col("cand").as("best_match"), col("common"),
           col("jac"))
         .orderBy("node")
+    },
+
+    "graph_adamic_adar" -> { (s, d) =>
+      // Per-node best link-prediction candidate by Adamic–Adar —
+      // jaccard_neighbors' frequency-weighted upgrade: a shared
+      // neighbor contributes 1/ln(deg(w)), so two pages co-linked by
+      // an obscure hub count far more than two co-linked by a
+      // mega-hub (the recommender/crawl-frontier scoring standard).
+      // Same candidate schedule as jaccard_neighbors: the wedge
+      // EQUI-join on the shared neighbor generates pairs, so disjoint
+      // neighborhoods never pair. Determinism: 1/ln(deg) is libm —
+      // snapped to the 1e-9 grid (the MI recipe) and DECIMAL-summed
+      // per pair, so the AA score is exact and order-free; the
+      // per-node argmax window orders by that exact decimal (ties →
+      // cand ASC) and only the EMISSION casts to double.
+      val op = lineitem(s, d).filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+        .persist() // 3 consumers: degree + both wedge sides
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      val pairs = adj.as("a").join(adj.as("b"),
+          col("a.nbr") === col("b.nbr") && col("a.node") < col("b.node"))
+        .select(col("a.node").as("node"), col("b.node").as("cand"),
+          col("a.nbr").as("w"))
+      // Center degree attaches AFTER the wedge join, not before: the
+      // symmetric adj⋈adj self-join reuses ONE exchange for both
+      // sides, and pre-joining the weight onto one side breaks that
+      // reuse (measured: attach-before 4.2 s vs attach-after 3.1 s at
+      // sf0.1); deg (|V| rows ≤ edges) lands on the wedge stream as a
+      // map-side join under the auto-broadcast threshold. No
+      // broadcast hint (degrade-don't-OOM).
+      val aa = pairs
+        .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+        .groupBy("node", "cand")
+        .agg(sum(round(lit(1.0) / log(col("dw")), 9)
+          .cast(DecimalType(28, 9))).as("aa_dec"))
+      val win = Window.partitionBy("node")
+        .orderBy(col("aa_dec").desc, col("cand").asc)
+      aa.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("cand").as("best_cand"),
+          col("aa_dec").cast(DoubleType).as("aa"))
+        .orderBy("node")
+    },
+
+    "graph_assortativity" -> { (s, d) =>
+      // Degree assortativity — Pearson correlation of endpoint degrees
+      // over the edge list (both orientations): r > 0 means hubs link
+      // hubs (social nets), r < 0 hubs link leaves (the web, most
+      // crawl graphs). THE one-number topology audit behind the
+      // hub-salting decision graph_degree_dist motivates. Shape: edge
+      // derivation + one degree shuffle, then ONE O(edges) join
+      // attaches both endpoint degrees (no broadcast hint — the
+      // degree-join rationale) and a global aggregate collapses to a
+      // 1-row exact-sum state; n, Σd, Σd², Σd_u·d_v all accumulate as
+      // exact DECIMAL(38,0) integers, r is one IEEE expression on the
+      // 1-row result.
+      val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist() // 2 consumers: degree count + orientation fan-out
+      val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val e2 = und.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      val d38 = DecimalType(38, 0)
+      val sums = e2
+        .join(deg.select(col("node").as("a"), col("deg").cast(d38).as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").cast(d38).as("db")), "b")
+        .agg(count(lit(1)).as("n_dir"),
+          sum(col("da")).cast(DoubleType).as("sx"),
+          sum(col("db")).cast(DoubleType).as("sy"),
+          sum(col("da") * col("da")).cast(DoubleType).as("sxx"),
+          sum(col("db") * col("db")).cast(DoubleType).as("syy"),
+          sum(col("da") * col("db")).cast(DoubleType).as("sxy"))
+      val nD = col("n_dir").cast(DoubleType)
+      sums.select((col("n_dir") / 2).cast(LongType).as("n_edges"),
+        round((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+            sqrt(nD * col("syy") - col("sy") * col("sy"))), 6)
+          .as("assortativity"))
     },
 
     "graph_degree_dist" -> { (s, d) =>
@@ -568,6 +664,62 @@ object Graph {
         |  FROM scored)
         |SELECT node, cand AS best_match, common, jac
         |FROM top WHERE rn = 1 ORDER BY node""".stripMargin,
+
+    "graph_adamic_adar" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |adj AS (
+        |  SELECT u AS node, v AS nbr FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+        |pairs AS (
+        |  SELECT a.node AS node, b.node AS cand, a.nbr AS w
+        |  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node),
+        |aa AS (
+        |  SELECT pairs.node AS node, pairs.cand AS cand,
+        |    sum(CAST(round(1.0 / ln(dw.deg), 9) AS DECIMAL(28,9))) AS aa_dec
+        |  FROM pairs JOIN deg dw ON pairs.w = dw.node
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY node ORDER BY aa_dec DESC, cand ASC) AS rn
+        |  FROM aa)
+        |SELECT node, cand AS best_cand, CAST(aa_dec AS DOUBLE) AS aa
+        |FROM top WHERE rn = 1 ORDER BY node""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+        |  GROUP BY node),
+        |e2 AS (
+        |  SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_dir,
+        |    CAST(sum(CAST(da.deg AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(db.deg AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(da.deg AS DECIMAL(38,0))
+        |      * CAST(da.deg AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(db.deg AS DECIMAL(38,0))
+        |      * CAST(db.deg AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(da.deg AS DECIMAL(38,0))
+        |      * CAST(db.deg AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM e2 JOIN deg da ON e2.a = da.node JOIN deg db ON e2.b = db.node)
+        |SELECT CAST(n_dir / 2 AS BIGINT) AS n_edges,
+        |  round((n_dir * sxy - sx * sy)
+        |    / (sqrt(n_dir * sxx - sx * sx) * sqrt(n_dir * syy - sy * sy)), 6)
+        |    AS assortativity
+        |FROM s""".stripMargin,
 
     "graph_degree_dist" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -1350,7 +1350,143 @@ object Relational {
       c.select(col("n0"), col("n1"), r6(t).as("t"), r6(df).as("df"))
     },
 
+    "agg_anova_oneway" -> { (s, d) =>
+      // One-way ANOVA F across event types over `value` — the k-group
+      // generalization of agg_welch_ttest (two arms get a t; k
+      // treatment variants get ANOVA before anyone inspects pairwise).
+      // Shape: ONE map-side-combined groupBy(event_type) collapses the
+      // stream to k rows of (n, Σv, Σv²); everything after rides that
+      // k-row table — no shuffle grows with data. Determinism: the
+      // per-group Σv/Σv² stay EXACT DECIMALS through the second
+      // (k-row) aggregation, so the grand totals are exact and
+      // order-free; the one per-group non-exact term, (Σv_g)²/n_g, is
+      // computed as identical IEEE from the exact decimals, snapped to
+      // the 1e-9 grid, and decimal-summed across groups (the
+      // agg_chi_square recipe — a k-double sum would be
+      // partial-aggregation-order-dependent). F, df emit from those.
+      val d6 = col("value").cast(DecimalType(18, 6))
+      val g = eventsTs(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n_g"),
+        sum(d6).as("sx_g"),
+        sum(d6 * d6).as("sxx_g"))
+      val tot = g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n_g")).as("n"),
+        sum(col("sx_g")).cast(DoubleType).as("sx"),
+        sum(col("sxx_g")).cast(DoubleType).as("sxx"),
+        sum(round(col("sx_g").cast(DoubleType) * col("sx_g").cast(DoubleType)
+            / col("n_g"), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("sb"))
+      val ssb = col("sb") - col("sx") * col("sx") / col("n")
+      val ssw = col("sxx") - col("sb")
+      val f = (ssb / (col("k") - 1)) / (ssw / (col("n") - col("k")))
+      def r6(c: Column) = (floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
+      tot.select(col("k").cast(LongType).as("n_groups"), col("n"),
+        (col("k") - 1).cast(LongType).as("df1"),
+        (col("n") - col("k")).as("df2"), r6(f).as("f_stat"))
+    },
+
+    "agg_ks_test" -> { (s, d) =>
+      // Two-sample Kolmogorov–Smirnov over event `value` by arm (user
+      // parity) — the DISTRIBUTION-drift gate (welch/z compare means;
+      // KS fires when the mean holds but the shape moves — the
+      // training-data drift case). D = max |F0(v) − F1(v)| over
+      // observed values. A naive ECDF is a GLOBAL sort — at 100 TB an
+      // unpartitioned window over every distinct value. Instead the
+      // shuffle_global / agg_weighted_median two-level decomposition:
+      // per-value arm counts (one data-sized groupBy), values band
+      // into 256 range buckets off a 1-row (min,max) broadcast, bucket
+      // subtotals make a ≤256-row table whose exclusive prefix sums
+      // ride a tiny unpartitioned window, and the within-bucket
+      // cumulative is a window PARTITIONED by bucket — so no stage
+      // sorts more than one bucket's values on one task. All
+      // cumulative counts are exact longs; each |F0−F1| is one
+      // identical-IEEE expression, and max is order-free. The oracle
+      // is the FLAT global-window ECDF — the hash gate proves the
+      // bucket decomposition lossless. D's critical scaling
+      // sqrt(n0·n1/(n0+n1)) emits alongside (reject at 5% when
+      // scaled D > 1.358).
+      val arm0 = col("user_id") % 2 === 0
+      val pv = eventsTs(s, d).filter(col("value").isNotNull)
+        .groupBy("value").agg(
+          sum(when(arm0, 1L).otherwise(0L)).as("c0"),
+          sum(when(arm0, 0L).otherwise(1L)).as("c1"))
+      val rng = pv.agg(min("value").as("lo"), max("value").as("hi"),
+        sum("c0").as("n0"), sum("c1").as("n1"))
+      val nB = 256
+      val width = (col("hi") - col("lo")) / nB
+      val withB = pv.crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(nB - 1),
+              floor((col("value") - col("lo")) / width).cast(IntegerType))))
+      val bt = withB.groupBy("b")
+        .agg(sum(col("c0")).as("b0"), sum(col("c1")).as("b1"))
+      val wPre = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bt.select(col("b"),
+        coalesce(sum(col("b0")).over(wPre), lit(0L)).as("p0"),
+        coalesce(sum(col("b1")).over(wPre), lit(0L)).as("p1"))
+      val wIn = Window.partitionBy("b").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dRow = withB.join(pre, "b")
+        .withColumn("gap", abs(
+          (col("p0") + sum(col("c0")).over(wIn)).cast(DoubleType) / col("n0") -
+            (col("p1") + sum(col("c1")).over(wIn)).cast(DoubleType) / col("n1")))
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          max(col("gap")).as("d_raw"))
+      dRow.select(col("n0"), col("n1"),
+        round(col("d_raw"), 6).as("ks_d"),
+        round(col("d_raw") * sqrt(col("n0").cast(DoubleType) * col("n1")
+          / (col("n0") + col("n1"))), 6).as("ks_scaled"))
+    },
+
+    "agg_spearman_corr" -> { (s, d) =>
+      // Spearman rank correlation between l_quantity and l_discount —
+      // the monotone-association screen (Pearson needs linearity;
+      // Spearman survives any monotone transform, the first stat a
+      // feature audit runs on skewed columns). Ranks are the scale
+      // hazard: a global rank() is one unpartitioned sort. Both
+      // columns here have BOUNDED distinct values (quantity 1..50,
+      // discount 11 grid points — the TPC-H generator's construction,
+      // stable at any SF; a continuous column would bucket first, the
+      // agg_ks_test banding), so average ranks derive from per-VALUE
+      // counts: one tiny groupBy per column, exclusive prefix over the
+      // ≤50-row distinct table, and avg-rank attaches back by
+      // equi-join (Catalyst auto-broadcasts; no hint — the Graph
+      // degree-join rationale). Exactness: avg rank for ties is
+      // (2·cum_before + cnt + 1)/2 — kept ×2 as an exact LONG, so
+      // Σ, Σ², Σxy over 2·rank accumulate as exact DECIMAL(38,0)
+      // integers (the ×2 cancels in r), and rho's one division is
+      // identical IEEE on identical exact inputs.
+      val li = lineitem(s, d)
+        .select(col("l_quantity").as("x"), col("l_discount").as("y"))
+      def rank2(c: String): DataFrame = {
+        val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+        li.groupBy(c).agg(count(lit(1)).as("cnt"))
+          .select(col(c),
+            (coalesce(sum(col("cnt")).over(w), lit(0L)) * 2 + col("cnt") + 1)
+              .as(s"r2_$c"))
+      }
+      val d19 = DecimalType(19, 0)
+      val ranked = li.join(rank2("x"), "x").join(rank2("y"), "y")
+        .select(col("r2_x").cast(d19).as("rx"), col("r2_y").cast(d19).as("ry"))
+      val sums = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).cast(DoubleType).as("sx"),
+        sum(col("ry")).cast(DoubleType).as("sy"),
+        sum(col("rx") * col("rx")).cast(DoubleType).as("sxx"),
+        sum(col("ry") * col("ry")).cast(DoubleType).as("syy"),
+        sum(col("rx") * col("ry")).cast(DoubleType).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      sums.select(col("n"),
+        round((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+            sqrt(nD * col("syy") - col("sy") * col("sy"))), 6).as("rho"))
+    },
+
     "subquery_correlated" -> { (s, d) =>
+      // Correlated scalar subquery — exercises Catalyst's
+      // RewriteCorrelatedScalarSubquery decorrelation (SURVEY.md §4b).
       // Correlated scalar subquery — exercises Catalyst's
       // RewriteCorrelatedScalarSubquery decorrelation (SURVEY.md §4b).
       // The per-customer average is an exact decimal sum divided as
@@ -2270,6 +2406,74 @@ object Relational {
         |    / (v0 * v0 / (n0 - 1) + v1 * v1 / (n1 - 1))
         |    * 1000000 + 0.5) / 1000000.0 AS df
         |FROM v""".stripMargin,
+
+    // DECIMAL(19,6) in the square (not 18): DuckDB int64-backed ≤18
+    // multiply doesn't widen — the corrMatrixOracle / welch finding.
+    "agg_anova_oneway" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n_g,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sx_g,
+        |    sum(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6)))
+        |      AS sxx_g
+        |  FROM events GROUP BY event_type),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(sx_g) AS DOUBLE) AS sx,
+        |    CAST(sum(sxx_g) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+        |      / n_g, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sb
+        |  FROM g)
+        |SELECT k AS n_groups, n, k - 1 AS df1, n - k AS df2,
+        |  floor(((sb - sx * sx / n) / (k - 1))
+        |    / ((sxx - sb) / (n - k)) * 1000000 + 0.5) / 1000000.0 AS f_stat
+        |FROM t""".stripMargin,
+
+    // The FLAT global-window ECDF — the Spark side runs the 256-bucket
+    // two-level decomposition; the hash gate proves it lossless.
+    "agg_ks_test" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events WHERE value IS NOT NULL GROUP BY value),
+        |t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |             CAST(sum(c1) AS BIGINT) AS n1 FROM pv),
+        |c AS (
+        |  SELECT CAST(sum(c0) OVER (ORDER BY value) AS BIGINT) AS f0,
+        |         CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS f1
+        |  FROM pv),
+        |m AS (
+        |  SELECT max(abs(CAST(f0 AS DOUBLE) / (SELECT n0 FROM t)
+        |    - CAST(f1 AS DOUBLE) / (SELECT n1 FROM t))) AS d_raw FROM c)
+        |SELECT n0, n1, round(d_raw, 6) AS ks_d,
+        |  round(d_raw * sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)), 6)
+        |    AS ks_scaled
+        |FROM m, t""".stripMargin,
+
+    "agg_spearman_corr" ->
+      """WITH li AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
+        |rx AS (
+        |  SELECT x, CAST(2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt + 1
+        |    AS BIGINT) AS r2_x
+        |  FROM (SELECT x, count(*) AS cnt FROM li GROUP BY x)),
+        |ry AS (
+        |  SELECT y, CAST(2 * (sum(cnt) OVER (ORDER BY y) - cnt) + cnt + 1
+        |    AS BIGINT) AS r2_y
+        |  FROM (SELECT y, count(*) AS cnt FROM li GROUP BY y)),
+        |j AS (
+        |  SELECT CAST(r2_x AS DECIMAL(19,0)) AS rx,
+        |         CAST(r2_y AS DECIMAL(19,0)) AS ry
+        |  FROM li JOIN rx USING (x) JOIN ry USING (y)),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+        |    CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+        |    CAST(sum(ry * ry) AS DOUBLE) AS syy,
+        |    CAST(sum(rx * ry) AS DOUBLE) AS sxy
+        |  FROM j)
+        |SELECT n, round((n * sxy - sx * sy)
+        |  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS rho
+        |FROM s""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,

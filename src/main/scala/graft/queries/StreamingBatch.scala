@@ -671,6 +671,40 @@ object StreamingBatch {
       chiSquareTail(joint)
     },
 
+    "agg_cramers_v" -> { (s, d) =>
+      // Cramér's V over the same (type, hour-of-day) contingency —
+      // agg_chi_square's EFFECT SIZE companion (χ² scales with n, so at
+      // 100 TB everything is "significant"; V ∈ [0,1] is the
+      // n-invariant association strength drift dashboards actually
+      // threshold on). Identical distributed shape: one map-side
+      // rollup, then margins/terms ride the ≤ types×24-row joint table
+      // through tiny windows. χ² accumulates via the same 1e-9
+      // snap + decimal sum; V = sqrt(χ²/(n·min(r−1,c−1))) is one IEEE
+      // expression on the then-identical total.
+      val joint = eventsTs(s, d)
+        .groupBy(col("event_type"), (expr(s"us DIV $hourUs") % 24).as("hr"))
+        .agg(count(lit(1)).as("n_xy"))
+      val w = Window.partitionBy()
+      val tot = joint
+        .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy("event_type")))
+        .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy("hr")))
+        .withColumn("n", sum(col("n_xy")).over(w))
+        .withColumn("n_types", size(collect_set(col("event_type")).over(w)))
+        .withColumn("n_hours", size(collect_set(col("hr")).over(w)))
+        .withColumn("e", col("n_x").cast(DoubleType) * col("n_y") / col("n"))
+        .agg(max(col("n")).as("n"),
+          max(col("n_types")).cast(LongType).as("n_rows_dim"),
+          max(col("n_hours")).cast(LongType).as("n_cols_dim"),
+          sum(round((col("n_xy") - col("e")) * (col("n_xy") - col("e"))
+              / col("e"), 9).cast(DecimalType(28, 9)))
+            .cast(DoubleType).as("chi2_raw"))
+      tot.select(col("n"), col("n_rows_dim"), col("n_cols_dim"),
+        round(col("chi2_raw"), 6).as("chi2"),
+        round(sqrt(col("chi2_raw") / (col("n")
+          * least(col("n_rows_dim") - 1, col("n_cols_dim") - 1))), 6)
+          .as("cramers_v"))
+    },
+
     "feat_robust_scale" -> { (s, d) =>
       // Robust (median/IQR) scaling per category — the outlier-immune
       // sibling of feat_minmax_scale (one wild value shifts min/max and
@@ -823,6 +857,92 @@ object StreamingBatch {
                 sqrt(nD * col("syy") - col("sy") * col("sy"))), 6))
             .as("acf"))
         .orderBy("lag_h")
+    },
+
+    "ts_pacf" -> { (s, d) =>
+      // Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+      // recursion on ts_acf's correlations — THE AR-order selector
+      // (ACF says "correlated at lag k", PACF says "correlated at lag
+      // k AFTER removing lags < k" — where PACF cuts off is the AR
+      // order a forecaster fits). Distributed shape is exactly
+      // ts_acf's: one map-side hourly rollup, a ×3 lag fan-out on the
+      // calendar-bounded hour table, exact integer sums. The DL
+      // recursion itself is closed-form arithmetic on the three
+      // UNROUNDED r's, pivoted onto one row — r1..r3 are identical
+      // IEEE in both engines (pure expressions over exact sums), so
+      // φ11/φ22/φ33 are too; round at 1e-6 on emission only.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val a = hc.select(col("h"), col("n").as("x"))
+        .withColumn("lag_h", explode(array((1 to 3).map(lit): _*)))
+      val b = hc.select(col("h").as("hb"), col("n").as("y"))
+      val sums = a.join(b, col("hb") === col("h") + col("lag_h"))
+        .groupBy("lag_h")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("x")).cast(DoubleType).as("sx"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+          sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+          sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+      val nD = col("n_hours").cast(DoubleType)
+      val r = (nD * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+          sqrt(nD * col("syy") - col("sy") * col("sy")))
+      val piv = sums.withColumn("r", r)
+        .agg(max(when(col("lag_h") === 1, col("r"))).as("r1"),
+          max(when(col("lag_h") === 2, col("r"))).as("r2"),
+          max(when(col("lag_h") === 3, col("r"))).as("r3"))
+      val p1 = col("r1")
+      val p2 = (col("r2") - col("r1") * col("r1")) /
+        (lit(1.0) - col("r1") * col("r1"))
+      val phi21 = p1 - p2 * p1
+      val p3 = (col("r3") - phi21 * col("r2") - p2 * col("r1")) /
+        (lit(1.0) - phi21 * col("r1") - p2 * col("r2"))
+      piv.select(round(p1, 6).as("pacf1"), round(p2, 6).as("pacf2"),
+        round(p3, 6).as("pacf3"))
+    },
+
+    "ts_holt_linear" -> { (s, d) =>
+      // Holt's linear (double exponential) smoothing of the global
+      // hourly series — level + trend state, the capacity-planning
+      // forecast one rung above ts_seasonal_naive_forecast. A
+      // two-state recurrence (l' = αy + (1−α)(l+b); b' = β(l'−l) +
+      // (1−β)b) is inherently sequential — no window reformulation —
+      // so like ts_ewma it folds via the aggregate() higher-order
+      // function; the state is a 2-element DOUBLE ARRAY. (Oracle-side
+      // finding, recorded in the verify skill: DuckDB list_reduce
+      // with a STRUCT accumulator updates fields sequentially and
+      // corrupts exactly this fold, but a LIST accumulator evaluates
+      // every element against the OLD acc — verified against a
+      // sequential reference — so the twin is a list fold.) Scale:
+      // the fold's input is the calendar-bounded hourly array
+      // (ts_acf's boundedness argument: input-size-invariant past the
+      // one map-side rollup); counts are exact ints → exact doubles,
+      // the fold order is pinned by sort_array over unique hours, so
+      // every intermediate is identical IEEE in both engines. Emits
+      // final level/trend + the 1..3-hour-ahead forecasts, 1e-6.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val series = hc
+        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
+        .select(expr("transform(sn, p -> cast(p.n as double))").as("ys"),
+          size(col("sn")).as("n_hours"))
+      val folded = series.select(col("n_hours"),
+        expr("""aggregate(
+          slice(ys, 2, size(ys) - 1),
+          array(ys[0], cast(0.0 as double)),
+          (acc, y) -> array(
+            0.2d * y + 0.8d * (acc[0] + acc[1]),
+            0.1d * (0.2d * y + 0.8d * (acc[0] + acc[1]) - acc[0])
+              + 0.9d * acc[1]))""").as("st"))
+      folded.select(col("n_hours"),
+        round(col("st").getItem(0), 6).as("level"),
+        round(col("st").getItem(1), 6).as("trend"),
+        round(col("st").getItem(0) + col("st").getItem(1), 6).as("fc_1h"),
+        round(col("st").getItem(0) + lit(2.0) * col("st").getItem(1), 6).as("fc_2h"),
+        round(col("st").getItem(0) + lit(3.0) * col("st").getItem(1), 6).as("fc_3h"))
     },
 
     "ts_stl_decompose" -> { (s, d) =>
@@ -1026,6 +1146,33 @@ object StreamingBatch {
         |  CAST(max((n_types - 1) * (n_hours - 1)) AS BIGINT) AS dof
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "agg_cramers_v" ->
+      """WITH joint AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hr,
+        |    count(*) AS n_xy
+        |  FROM events GROUP BY event_type, hr),
+        |m AS (
+        |  SELECT event_type, hr, n_xy,
+        |    CAST(sum(n_xy) OVER (PARTITION BY event_type) AS BIGINT) AS n_x,
+        |    CAST(sum(n_xy) OVER (PARTITION BY hr) AS BIGINT) AS n_y,
+        |    CAST(sum(n_xy) OVER () AS BIGINT) AS n,
+        |    count(DISTINCT event_type) OVER () AS n_types,
+        |    count(DISTINCT hr) OVER () AS n_hours
+        |  FROM joint),
+        |e AS (SELECT *, CAST(n_x AS DOUBLE) * n_y / n AS e FROM m),
+        |t AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(n_types) AS BIGINT) AS n_rows_dim,
+        |    CAST(max(n_hours) AS BIGINT) AS n_cols_dim,
+        |    CAST(sum(CAST(round((n_xy - e) * (n_xy - e) / e, 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS chi2_raw
+        |  FROM e)
+        |SELECT n, n_rows_dim, n_cols_dim,
+        |  round(chi2_raw, 6) AS chi2,
+        |  round(sqrt(chi2_raw / (n * least(n_rows_dim - 1, n_cols_dim - 1))), 6)
+        |    AS cramers_v
+        |FROM t""".stripMargin,
+
     "feat_robust_scale" ->
       """WITH cuts AS (
         |  SELECT event_type, round(quantile_cont(value, 0.25), 9) AS q1,
@@ -1074,6 +1221,67 @@ object StreamingBatch {
         |         (sqrt(n_hours * sxx - sx * sx) * sqrt(n_hours * syy - sy * sy)), 6)
         |  END AS acf
         |FROM agg ORDER BY lag_h""".stripMargin,
+
+    "ts_pacf" ->
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT l.lag_h AS lag_h, a.n AS x, b.n AS y
+        |  FROM hc a CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag_h) l
+        |  JOIN hc b ON b.h = a.h + l.lag_h),
+        |agg AS (
+        |  SELECT lag_h, count(*) AS n_hours,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM j GROUP BY 1),
+        |rr AS (
+        |  SELECT lag_h, (n_hours * sxy - sx * sy) /
+        |    (sqrt(n_hours * sxx - sx * sx) * sqrt(n_hours * syy - sy * sy)) AS r
+        |  FROM agg),
+        |p AS (
+        |  SELECT max(CASE WHEN lag_h = 1 THEN r END) AS r1,
+        |    max(CASE WHEN lag_h = 2 THEN r END) AS r2,
+        |    max(CASE WHEN lag_h = 3 THEN r END) AS r3
+        |  FROM rr),
+        |dl AS (
+        |  SELECT r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+        |  FROM p),
+        |dl2 AS (SELECT *, r1 - p2 * r1 AS phi21 FROM dl)
+        |SELECT round(r1, 6) AS pacf1, round(p2, 6) AS pacf2,
+        |  round((r3 - phi21 * r2 - p2 * r1)
+        |    / (1.0 - phi21 * r1 - p2 * r2), 6) AS pacf3
+        |FROM dl2""".stripMargin,
+
+    // The LIST-accumulator fold (NOT a struct: DuckDB list_reduce
+    // updates struct fields sequentially — skill-gotcha finding — but
+    // list elements all evaluate against the OLD acc, verified against
+    // a sequential reference). list_prepend supplies the init value
+    // since this DuckDB's list_reduce has no 3-arg form.
+    "ts_holt_linear" ->
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |ser AS (
+        |  SELECT list(CAST(n AS DOUBLE) ORDER BY h) AS ys,
+        |    CAST(count(*) AS INTEGER) AS n_hours
+        |  FROM hc),
+        |folded AS (
+        |  SELECT n_hours, list_reduce(
+        |    list_prepend([ys[1], CAST(0.0 AS DOUBLE)],
+        |      list_transform(ys[2:], y -> [y])),
+        |    (acc, y) -> [
+        |      0.2 * y[1] + 0.8 * (acc[1] + acc[2]),
+        |      0.1 * (0.2 * y[1] + 0.8 * (acc[1] + acc[2]) - acc[1])
+        |        + 0.9 * acc[2]]) AS st
+        |  FROM ser)
+        |SELECT n_hours, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+        |  round(st[1] + st[2], 6) AS fc_1h,
+        |  round(st[1] + 2.0 * st[2], 6) AS fc_2h,
+        |  round(st[1] + 3.0 * st[2], 6) AS fc_3h
+        |FROM folded""".stripMargin,
 
     // Full replication of the classical decomposition: range-framed
     // 25-hour trend window (full frames only), ×25 integer detrended

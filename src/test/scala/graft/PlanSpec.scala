@@ -372,8 +372,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // graph_triangles' counts-attach argument; ts_mk_trend's pairwise
     // sign join and its three 1-row statistic attaches all ride the
     // calendar-bounded hour table (hours-in-corpus² pairs at ANY
-    // corpus size — the ts_acf boundedness argument).
-    val allowed = Set("join_cross",
+    // corpus size — the ts_acf boundedness argument). Round-9
+    // addition: agg_ks_test attaches a 1-row (min, max, n0, n1)
+    // global-aggregate row to band values into its 256 buckets — the
+    // subquery_scalar/agg_decay_halflife argument (one tiny job, then
+    // a map-side attach of one row).
+    val allowed = Set("join_cross", "agg_ks_test",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
