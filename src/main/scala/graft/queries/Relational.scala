@@ -1208,21 +1208,12 @@ object Relational {
       // double→string is not, and log10/floor would coin-flip on
       // power-of-ten boundaries). Money is 2-decimal by fixture, so
       // cents' leading digit IS the amount's leading digit.
-      val obs = orders(s, d)
-        .select(substring(
-          floor(col("o_totalprice") * 100 + 0.5).cast(LongType).cast(StringType),
-          1, 1).cast(LongType).as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
-      val w = Window.partitionBy()
-      obs
-        .withColumn("n", sum(col("n_obs")).over(w))
-        .withColumn("expected",
-          round(col("n") * log(10.0, lit(1.0) + lit(1.0) / col("digit")), 9))
-        .select(col("digit"), col("n_obs"),
-          round(col("expected"), 6).as("n_expected"),
-          round((col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
-            / col("expected"), 6).as("chi2_term"))
-        .orderBy("digit")
+      // Digit derivation + statistic tail are factored (benfordDigit /
+      // benfordTail) so the streaming twin — a complete-mode 9-key agg
+      // over a streamed orders source — shares both definitions.
+      benfordTail(orders(s, d)
+        .select(benfordDigit(col("o_totalprice")).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs")))
     },
 
     "agg_median_abs_deviation" -> { (s, d) =>
@@ -1323,31 +1314,16 @@ object Relational {
       // sibling of agg_ab_ztest (z for conversion rates, Welch for
       // revenue/latency means; Welch because arms NEVER have equal
       // variance in production). Arm = user parity over event `value`.
-      // Shape: one conditional-sum pass collapses the stream to a
-      // single 6-long row (n, Σv, Σv² per arm), map-side combined —
-      // no shuffle grows with data. Determinism: Σv, Σv² through the
-      // exact decimal capture (DECIMAL(18,6); squares widen to (37,12)
-      // inside precision 38 — the ts_anomaly_zscore recipe), so t and
-      // the Welch–Satterthwaite df are pure IEEE on identical inputs,
-      // floored at 1e-6.
-      val d6 = col("value").cast(DecimalType(18, 6))
-      val arm0 = col("user_id") % 2 === 0
-      val c = eventsTs(s, d).agg(
-        sum(when(arm0, 1L).otherwise(0L)).as("n0"),
-        sum(when(arm0, d6)).cast(DoubleType).as("sx0"),
-        sum(when(arm0, d6 * d6)).cast(DoubleType).as("sxx0"),
-        sum(when(!arm0, 1L).otherwise(0L)).as("n1"),
-        sum(when(!arm0, d6)).cast(DoubleType).as("sx1"),
-        sum(when(!arm0, d6 * d6)).cast(DoubleType).as("sxx1"))
-      def s2(sx: Column, sxx: Column, n: Column) =
-        (sxx - sx * sx / n) / (n - 1)
-      val v0 = s2(col("sx0"), col("sxx0"), col("n0")) / col("n0")
-      val v1 = s2(col("sx1"), col("sxx1"), col("n1")) / col("n1")
-      val t = (col("sx0") / col("n0") - col("sx1") / col("n1")) / sqrt(v0 + v1)
-      val df = (v0 + v1) * (v0 + v1) /
-        (v0 * v0 / (col("n0") - 1) + v1 * v1 / (col("n1") - 1))
-      def r6(c: Column) = (floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
-      c.select(col("n0"), col("n1"), r6(t).as("t"), r6(df).as("df"))
+      // Shape: one map-side-combined groupBy(arm) collapses the stream
+      // to a 2-row (n, Σv, Σv²) table — no shuffle grows with data.
+      // Determinism: Σv, Σv² through the exact decimal capture
+      // (DECIMAL(18,6); squares widen to (37,12) inside precision 38 —
+      // the ts_anomaly_zscore recipe), so t and the Welch–Satterthwaite
+      // df are pure IEEE on identical inputs, floored at 1e-6. The
+      // statistic tail is factored (welchTail) so the streaming twin —
+      // a complete-mode 2-key agg maintaining exactly this table —
+      // shares the definition (the chiSquareTail pattern).
+      welchTail(armValueSums(eventsTs(s, d)))
     },
 
     "agg_anova_oneway" -> { (s, d) =>
@@ -1841,6 +1817,63 @@ object Relational {
         .agg(min(col("c_custkey")).as("keep_custkey"), count(lit(1)).as("n_dups"))
         .orderBy("c_nationkey", "c_mktsegment"))
   )
+
+  /** Per-arm (user parity) value sums — the ONLY part of
+    * agg_welch_ttest that touches raw events, hence exactly what its
+    * streaming twin maintains (complete-mode agg, 2 keys forever).
+    * Exact decimal capture per the ts_anomaly_zscore recipe; the
+    * doubles emitted here are the unique decimal→double conversions,
+    * identical wherever the table was accumulated.
+    */
+  private[graft] def armValueSums(events: DataFrame): DataFrame = {
+    val d6 = col("value").cast(DecimalType(18, 6))
+    events.groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(d6).cast(DoubleType).as("sx"),
+        sum(d6 * d6).cast(DoubleType).as("sxx"))
+  }
+
+  /** Welch t statistic tail over the 2-row per-arm table. */
+  private[graft] def welchTail(perArm: DataFrame): DataFrame = {
+    val c = perArm.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("sx"))).as("sx0"),
+      max(when(col("arm") === 0, col("sxx"))).as("sxx0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("sx"))).as("sx1"),
+      max(when(col("arm") === 1, col("sxx"))).as("sxx1"))
+    def s2(sx: Column, sxx: Column, n: Column) =
+      (sxx - sx * sx / n) / (n - 1)
+    val v0 = s2(col("sx0"), col("sxx0"), col("n0")) / col("n0")
+    val v1 = s2(col("sx1"), col("sxx1"), col("n1")) / col("n1")
+    val t = (col("sx0") / col("n0") - col("sx1") / col("n1")) / sqrt(v0 + v1)
+    val df = (v0 + v1) * (v0 + v1) /
+      (v0 * v0 / (col("n0") - 1) + v1 * v1 / (col("n1") - 1))
+    def r6(c: Column) = (floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
+    c.select(col("n0"), col("n1"), r6(t).as("t"), r6(df).as("df"))
+  }
+
+  /** Leading digit of a money column via the INTEGER-cents string head
+    * (integer rendering is unambiguous in any engine; double→string is
+    * not) — shared by agg_benford_test and its streamed form.
+    */
+  private[graft] def benfordDigit(money: Column): Column =
+    substring(floor(money * 100 + 0.5).cast(LongType).cast(StringType), 1, 1)
+      .cast(LongType)
+
+  /** Benford χ² tail over the ≤9-row (digit, n_obs) count table. */
+  private[graft] def benfordTail(obs: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    obs
+      .withColumn("n", sum(col("n_obs")).over(w))
+      .withColumn("expected",
+        round(col("n") * log(10.0, lit(1.0) + lit(1.0) / col("digit")), 9))
+      .select(col("digit"), col("n_obs"),
+        round(col("expected"), 6).as("n_expected"),
+        round((col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+          / col("expected"), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
 
   // -------------------------------------------------------------- oracles
   /** agg_corr_matrix oracle, generated from the same measure/pair lists

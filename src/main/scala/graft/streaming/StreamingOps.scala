@@ -115,6 +115,32 @@ object StreamingOps {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts_t", watermark).dropDuplicates("event_id")
 
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  /** Unbounded orders source — the feed agg_benford_test's streaming
+    * twin watches (the fraud tripwire is exactly an alert you want ON
+    * the live ingest, not a nightly batch).
+    */
+  def readOrders(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(ordersSchema).parquet(dir)
+
+  /** Leading-digit counts over a streamed orders source — the
+    * incremental rollup behind agg_benford_test's streaming twin:
+    * complete-mode agg on ≤9 keys forever (not a time window), digit
+    * derivation shared with the batch op (Relational.benfordDigit);
+    * the χ² tail (Relational.benfordTail) rides this table.
+    */
+  def benfordDigitCounts(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(graft.queries.Relational.benfordDigit(col("o_totalprice")).as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 
   /** Explicit keyed state: per-user running totals via

@@ -133,6 +133,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("welch t over the streamed per-arm sums == batch agg_welch_ttest") {
+    // Complete-mode agg on the 2-key arm table — the only part of the
+    // operator that touches raw events; the t/df tail is the shared
+    // batch definition (Relational.welchTail), so equality proves the
+    // whole operator streaming ≡ batch. Exact decimal sums make the
+    // streamed state's emission bit-identical to the batch pass.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val perArm = runToMemory(
+      graft.queries.Relational.armValueSums(stream), "t_welch_arms", "complete")
+    val got = graft.queries.Relational.welchTail(perArm).collect().toSeq
+    val want = SparkEntry.queries("agg_welch_ttest")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("benford digits over a streamed orders source == batch agg_benford_test") {
+    // The fraud tripwire on the live ingest: digit derivation AND the
+    // χ² tail are the shared batch definitions; the stream maintains
+    // only the ≤9-key digit counts (complete mode, bounded forever).
+    val ordersDir = Files.createTempDirectory("graft_stream_orders")
+    graft.Tables.orders(spark, sf)
+      .repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(ordersDir.toString)
+    val stream = StreamingOps.readOrders(spark, ordersDir.toString)
+    val obs = runToMemory(
+      StreamingOps.benfordDigitCounts(stream), "t_benford_obs", "complete")
+    val got = graft.queries.Relational.benfordTail(obs).collect().toSeq
+    val want = SparkEntry.queries("agg_benford_test")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("seasonal-naive backtest over the streamed hourly rollup == batch operator") {
     val stream = StreamingOps.readEvents(spark, srcDir.toString)
     val hc = runToMemory(StreamingOps.hourlyCounts(stream), "t_snf_hc", "complete")
