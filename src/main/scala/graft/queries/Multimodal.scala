@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -229,6 +230,46 @@ object Multimodal {
         .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
+    },
+
+    "mm_shard_pack" -> { (s, d) =>
+      // WebDataset-style shard planning — the packaging step every
+      // multimodal estate runs before training: millions of small
+      // blobs become ~fixed-size tar shards for sequential reads, and
+      // the PLAN is a deterministic blob → shard-index assignment
+      // (the byte copy that executes it is fs_compact's shape). A blob
+      // lands in shard ⌊bytes-before-it / budget⌋ of its source, in
+      // (source, doc_id) order — offset-based sharding, gap-free and
+      // rerun-stable. The naive form is a per-source running sum — ONE
+      // window partition per source, a straggler when a source is
+      // most of the corpus — so this uses the shuffle_global /
+      // sample_token_budget two-level decomposition: per-(source,
+      // 512-doc bucket) byte subtotals, an exclusive prefix over the
+      // per-source BUCKET table (corpus-size/512 rows), and an
+      // in-bucket running sum partitioned by (source, bucket); offset
+      // + in-bucket prefix is the exact global byte position. All
+      // integer arithmetic; n_chars stands for blob length (the
+      // container-less mm convention — a real estate sums
+      // length(payload)). The oracle is the FLAT per-source window —
+      // the hash gate proves the decomposition exact.
+      val docs = documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          expr("doc_id DIV 512").as("bkt"))
+      val bt = docs.groupBy("source", "bkt")
+        .agg(sum(col("n_chars")).as("b_bytes"))
+      val wOff = Window.partitionBy("source").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bt.select(col("source"), col("bkt"),
+        coalesce(sum(col("b_bytes")).over(wOff), lit(0L)).as("off"))
+      val wIn = Window.partitionBy("source", "bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(off, Seq("source", "bkt"))
+        .withColumn("cum_before",
+          col("off") + coalesce(sum(col("n_chars")).over(wIn), lit(0L)))
+        .groupBy(col("source"), expr("cum_before DIV 65536").as("shard_idx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "shard_idx")
     }
   )
 
@@ -319,6 +360,21 @@ object Multimodal {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.vec_id < b.vec_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The FLAT per-source running sum — the Spark side runs the
+    // two-level (source, bucket) decomposition; hash match proves it.
+    "mm_shard_pack" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM documents)
+        |SELECT source, cum_before // 65536 AS shard_idx,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin
   )
 }

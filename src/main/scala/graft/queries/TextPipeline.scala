@@ -66,6 +66,30 @@ object TextPipeline {
     * planted near-dups — the probabilistic case banding can miss — stays
     * asserted in PipelineSpec.
     */
+  /** Per-doc unigram-LM scores (doc_id, lang, n_tokens, avg_logprob) —
+    * the corpus-LM fit + scoring shared by text_unigram_logprob (the
+    * raw score emission) and text_perplexity_filter (the CCNet-style
+    * tercile gate). Lang rides the grouping (functionally dependent on
+    * doc_id, so the rows are unchanged); see text_unigram_logprob's
+    * scaladoc for the shape and determinism arguments.
+    */
+  private[graft] def unigramDocScores(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .persist() // 2 consumers (total + logp) — uncached each would
+                 // re-run the explode+groupBy corpus pass (tfidf's r2
+                 // lesson); the cached table is vocab-sized, not corpus-sized
+    val tot = cnt.agg(sum("cnt").as("tot"))
+    val logp = cnt.crossJoin(broadcast(tot))
+      .select(col("term"), round(log(col("cnt") / col("tot")), 6).as("logp"))
+    toks.join(broadcast(logp), "term")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(sum(dec(col("logp"))).cast(DoubleType) / count(lit(1)) * 1000000 + 0.5)
+          .cast(DoubleType) / 1000000.0).as("avg_logprob"))
+  }
+
   private val ShingleT = 0.5
   private def shingleVerify(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val shs = documents(s, d).select(col("doc_id"),
@@ -873,21 +897,42 @@ object TextPipeline {
       // ln(cnt/total) is rounded at 1e-6 then decimal-captured, so the
       // per-doc sum is order-free; the final mean uses the floor
       // half-up formula on exact inputs (Tables.davg policy).
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-        .persist() // 2 consumers (total + logp) — uncached each would
-                   // re-run the explode+groupBy corpus pass (tfidf's r2
-                   // lesson); the cached table is vocab-sized, not corpus-sized
-      val tot = cnt.agg(sum("cnt").as("tot"))
-      val logp = cnt.crossJoin(broadcast(tot))
-        .select(col("term"), round(log(col("cnt") / col("tot")), 6).as("logp"))
-      toks.join(broadcast(logp), "term")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          (floor(sum(dec(col("logp"))).cast(DoubleType) / count(lit(1)) * 1000000 + 0.5)
-            .cast(DoubleType) / 1000000.0).as("avg_logprob"))
+      // Factored (unigramDocScores) so text_perplexity_filter — the
+      // operational tercile gate over these scores — shares the LM.
+      unigramDocScores(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("avg_logprob"))
         .orderBy("doc_id")
+    },
+
+    "text_perplexity_filter" -> { (s, d) =>
+      // The OPERATIONAL form of the corpus-LM score — CCNet's
+      // head/middle/tail split: docs bucket by perplexity terciles
+      // (perplexity = exp(−avg_logprob), monotone, so the cut is on
+      // avg_logprob directly: head = most predictable third), and
+      // training mixes then sample buckets at different rates instead
+      // of hard-dropping. Shape on top of the shared unigram scorer:
+      // the two cut points are ONE exact-percentile row broadcast
+      // back (1-row attach), bucketing is map-side, and the emission
+      // rolls up to ≤ langs×3 rows. Cut points snap to the 1e-9 grid
+      // before use (cross-engine quantile interpolation is not
+      // bit-identical — the feat_robust_scale fix); per-bucket mean
+      // logprob goes through decimal capture of the 1e-6-grid scores.
+      val scores = unigramDocScores(s, d)
+        .persist() // 2 consumers: the percentile row + the bucketing
+      val cuts = scores.agg(
+        round(expr("percentile(avg_logprob, 0.3333333333333333D)"), 9).as("c33"),
+        round(expr("percentile(avg_logprob, 0.6666666666666666D)"), 9).as("c67"))
+      scores.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("avg_logprob") >= col("c67"), lit("head"))
+            .when(col("avg_logprob") >= col("c33"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          (floor(sum(dec(col("avg_logprob"))).cast(DoubleType) / count(lit(1))
+            * 1000000 + 0.5).cast(DoubleType) / 1000000.0).as("mean_logprob"))
+        .orderBy("lang", "bucket")
     },
 
     "text_langid" -> { (s, d) =>
@@ -2276,6 +2321,36 @@ object TextPipeline {
         |    / 1000000.0 AS avg_logprob
         |FROM toks t JOIN lp USING (term)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "text_perplexity_filter" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS tot FROM cnt),
+        |lp AS (SELECT term, round(ln(cnt / tot), 6) AS logp FROM cnt, tot),
+        |scores AS (
+        |  SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+        |    floor(CAST(sum(CAST(logp AS $oD)) AS DOUBLE) / count(*) * 1000000 + 0.5)
+        |      / 1000000.0 AS avg_logprob
+        |  FROM toks t JOIN lp USING (term)
+        |  GROUP BY t.doc_id, t.lang),
+        |cuts AS (
+        |  SELECT round(quantile_cont(avg_logprob, 0.3333333333333333), 9) AS c33,
+        |    round(quantile_cont(avg_logprob, 0.6666666666666666), 9) AS c67
+        |  FROM scores),
+        |b AS (
+        |  SELECT lang,
+        |    CASE WHEN avg_logprob >= c67 THEN 'head'
+        |         WHEN avg_logprob >= c33 THEN 'middle'
+        |         ELSE 'tail' END AS bucket,
+        |    n_tokens, avg_logprob
+        |  FROM scores, cuts)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(CAST(avg_logprob AS $oD)) AS DOUBLE) / count(*)
+        |    * 1000000 + 0.5) / 1000000.0 AS mean_logprob
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "text_langid" ->
       """WITH tris AS (
