@@ -200,6 +200,10 @@ object GraftFunctions {
       exprs => CharNGrams(exprs.head, 3), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => WordShingles(exprs.head, 5), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => WinnowedPrints(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
     // Spark's OWN bloom expressions (the pair InjectRuntimeFilter

@@ -89,6 +89,71 @@ object NGramKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowed fingerprints (the MOSS selection, Schleimer et al.):
+    * polynomial hashes h_i = Σ cp_j·31^(k−1−j) mod 1e9+7 of every
+    * k-CODE-POINT gram — computed by ROLLING update, O(len) not
+    * O(len·k) (the interpreted higher-order-function form measured
+    * 36 s at sf0.1; this kernel replaces it) — then the minimum of
+    * each w-window of consecutive hashes via a monotonic deque, ties
+    * keeping the leftmost (= the window min VALUE — identical to the
+    * oracle's list_min, which is all that survives the distinct).
+    * Emits the DISTINCT selected hashes sorted ascending. The hash
+    * matches the SQL left fold `(a*31 + ord(cp)) % p` exactly, so the
+    * positional DuckDB oracle replicates it.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    // Code points (ord() semantics — ASCII corpus takes the fast path,
+    // astral chars still count as one position like the oracle).
+    val cps: Array[Int] =
+      if (str.codePointCount(0, len) == len) {
+        val a = new Array[Int](len)
+        var i = 0
+        while (i < len) { a(i) = str.charAt(i).toInt; i += 1 }
+        a
+      } else str.codePoints().toArray
+    val n = cps.length
+    val nh = n - k + 1
+    if (nh < w) return new GenericArrayData(Array.empty[Any])
+    val P = 1000000007L
+    // 31^(k-1) mod P for the rolling subtract
+    var pow = 1L
+    var e = 0
+    while (e < k - 1) { pow = pow * 31 % P; e += 1 }
+    val hs = new Array[Long](nh)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 31 + cps(i)) % P; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nh) {
+      h = ((h + P * 128 - cps(i - 1) * pow % P) % P * 31 + cps(i + k - 1)) % P
+      hs(i) = h
+      i += 1
+    }
+    // Sliding-window minimum, monotonic deque of indices (ties keep
+    // the rightmost occurrence — only the min VALUE matters here,
+    // identical to the oracle's list_min).
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val dq = new Array[Int](nh)
+    var head = 0
+    var tail = 0 // dq[head until tail]
+    i = 0
+    while (i < nh) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) sel.add(hs(dq(head)))
+      i += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** |A ∩ B| for two sorted-ascending UTF8String arrays (two-pointer). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
@@ -156,6 +221,28 @@ case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.NGramKernels.charNGrams($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): CharNGrams = copy(child = c)
+}
+
+/** `graft_winnow(text, k, w)` → array<long>: distinct winnowed
+  * fingerprints (sorted ascending) — see NGramKernels.winnow.
+  */
+case class WinnowedPrints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_winnow expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NGramKernels.winnow(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NGramKernels.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): WinnowedPrints = copy(child = c)
 }
 
 /** `graft_shingles(text)` → array<string>: distinct 5-word shingles. */

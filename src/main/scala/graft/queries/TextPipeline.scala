@@ -1544,6 +1544,54 @@ object TextPipeline {
           (col("n_chars").between(100, 400) && col("n_tok") >= 20).as("passes_filter"))
         .orderBy("doc_id")),
 
+    "text_winnowing" -> { (s, d) =>
+      // Winnowing fingerprint matching (the MOSS algorithm, Schleimer
+      // et al.) — the GUARANTEED-detection member of the dedup family:
+      // k-gram hashes (k=20 chars) at every position, per-window (w=8)
+      // minimum selected, so any verbatim match of length ≥ k+w−1 = 27
+      // chars is PROVABLY caught by a shared fingerprint (sketch
+      // dedup is probabilistic; dedup_substring_spans is exact but
+      // fixed-stride — winnowing is the position-robust middle).
+      // k=20 ≈ 3 words, not MOSS's textbook 5: this synthetic corpus
+      // draws from a small vocabulary, so 5-char-grams collapse to 588
+      // distinct prints with df up to 398 (measured — every print is
+      // "boilerplate" and the df band empties the result); at k=20 the
+      // print space is 28k distinct with ZERO df>10 prints and the
+      // near-dup pairs surface (974 candidates, 25 at the ≥5 gate).
+      // Shape: k-gram hashing and window-min selection run in the
+      // codegen'd WinnowedPrints kernel — O(len) rolling hash + a
+      // monotonic-deque window minimum per doc, map-side; only the
+      // ~2/(w+1)-density SELECTED prints leave the row. (The
+      // higher-order-function form — transform+aggregate over
+      // positions — is interpreted, O(len·k), and measured 36 s at
+      // sf0.1; the kernel is the documented custom-Expression
+      // escalation, and DeterminismSpec's NO_CODEGEN double-run pins
+      // eval ≡ codegen.) The posting-list self-join is an equi-join
+      // on fingerprint with a df ∈ [2,10] band (df>10 = boilerplate,
+      // dropped corpus-wide — the CCNet line-dedup rationale; the
+      // band bounds any posting list's pair fan-out at 45), and the
+      // pair rollup emits doc pairs sharing ≥ 5 prints. Determinism:
+      // the polynomial hash is exact BIGINT arithmetic ((a·31+ord)%p
+      // — text_fingerprint's fold), window minima are integer order
+      // statistics, counts are longs.
+      graft.functions.GraftFunctions.register(s)
+      val K = 20; val W = 8
+      val fps = documents(s, d)
+        .filter(length(col("text")) >= K + W - 1)
+        .select(col("doc_id"),
+          explode(call_function("graft_winnow", col("text"), lit(K), lit(W)))
+            .as("fp"))
+        .persist() // 3 consumers: df table + both pair sides
+      val dfT = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      val sel = fps.join(dfT.filter(col("df").between(2, 10)).select("fp"), "fp")
+      sel.as("a").join(sel.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("doc_a", "doc_b")
+    },
+
     "pipeline_token_histogram" -> { (s, d) =>
       // Per-source doc-length histogram in power-of-2 token buckets —
       // the distribution pack_sequences' bin size and the trainer's
@@ -2760,6 +2808,35 @@ object TextPipeline {
         |    list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |  (a, x) -> (a * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Full replication: polynomial k-gram hashes (the text_fingerprint
+    // fold per position), window minima, distinct selection, df band,
+    // pair rollup. DuckDB range() is end-EXCLUSIVE where Spark
+    // sequence() is inclusive; list_slice is end-INCLUSIVE where Spark
+    // slice takes a length — bounds adjusted accordingly.
+    "text_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 27),
+        |hs AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) - 18),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(i, i + 20),
+        |        j -> CAST(ord(text[CAST(j AS INTEGER)]) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(hs) - 6),
+        |      j -> list_min(list_slice(hs, CAST(j AS INTEGER),
+        |        CAST(j + 7 AS INTEGER)))))) AS fp
+        |  FROM hs),
+        |dft AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 10)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM f a JOIN dft USING (fp) JOIN f b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, n_tok,

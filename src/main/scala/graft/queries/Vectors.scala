@@ -557,6 +557,83 @@ object Vectors {
         .orderBy("rank")
     },
 
+    "sim_ivf_pq" -> { (s, d) =>
+      // IVF + PQ composed — the faiss-IVFPQ production shape at 10⁹
+      // vectors: the coarse quantizer (sim_ann_ivf's label centroids,
+      // nprobe=2) prunes WHICH inverted lists are read, and PQ/ADC
+      // (sim_pq_adc's 8×16 codebook) prunes WHAT each candidate costs
+      // — compose them and RAM holds 4-byte codes for only the probed
+      // fraction of the corpus. Both levers' audits exist separately;
+      // this cell measures their COMPOSITION: top-20 by ADC over the
+      // probed lists, each row carrying the exact dist² and an
+      // in-exact-top20 flag vs the WHOLE-corpus truth (so the flag
+      // prices coarse-pruning loss + quantization loss together), and
+      // n_cand — the probed-list size every ADC lookup pays. Scale
+      // shape: centroids/codebook/query/probe-set are all O(1)-row
+      // broadcasts, candidate selection is one equi-join on label,
+      // encode+score is map-only, both top-20s are TakeOrdered — the
+      // only data-sized work is one corpus scan. Determinism: the
+      // sim_pq_adc recipe verbatim (grid-snapped dist² before argmin,
+      // DECIMAL(28,6) ADC accumulation).
+      GraftFunctions.register(s)
+      val M = 8; val K = 16; val SUB = 8
+      val emb = embeddings(s, d)
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy("label", "idx")
+        .agg((sum(col("v").cast(D)).cast(DoubleType) / count(lit(1))).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("idx"), col("c")))),
+          x => x.getField("c").cast(FloatType)).as("centroid"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val probes = cent.crossJoin(broadcast(q))
+        .withColumn("csim", cosine(col("centroid"), col("q_emb")))
+        .orderBy(desc("csim"), asc("label"))
+        .limit(2)
+        .select(col("label").as("probe_label"))
+      val cb = emb.filter(col("vec_id") < K)
+        .select(explode(array((0 until M).map(j => struct(
+          lit(j).as("j"), col("vec_id").cast("int").as("cid"),
+          slice(col("embedding"), j * SUB + 1, SUB).as("cemb"))): _*)).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("cb"))
+      def dist2(a: String, b: String) =
+        s"round(graft_dot($a, $a) - 2 * graft_dot($a, $b) + graft_dot($b, $b), 6)"
+      def bestJ(j: Int) = expr(
+        s"""array_min(transform(filter(cb, c -> c.j = $j), c -> named_struct(
+           |  'dist2', ${dist2(s"slice(embedding, ${j * SUB + 1}, $SUB)", "c.cemb")},
+           |  'cid', c.cid,
+           |  'qdist', ${dist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")})))
+           |""".stripMargin)
+      val D6 = DecimalType(28, 6)
+      val cands = emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("label") === col("probe_label"))
+      val nC = cands.agg(count(lit(1)).as("n_cand"))
+      val scored = cands
+        .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
+        .withColumn("adc_dist2",
+          (0 until M).map(j => bestJ(j).getField("qdist").cast(D6))
+            .reduce(_ + _).cast(DoubleType))
+        .withColumn("exact_dist2", expr(dist2("embedding", "q_emb")))
+        .select(col("vec_id"), col("adc_dist2"), col("exact_dist2"))
+      val topExact = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr(dist2("embedding", "q_emb")).as("ed"))
+        .orderBy(col("ed"), col("vec_id")).limit(20)
+        .select(col("vec_id").as("x_id"))
+      scored.orderBy(col("adc_dist2"), col("vec_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("adc_dist2"), col("vec_id"))))
+        .join(topExact.withColumn("hit", lit(true)),
+          col("vec_id") === col("x_id"), "left")
+        .crossJoin(broadcast(nC))
+        .select(col("rank"), col("vec_id"), col("adc_dist2"),
+          col("exact_dist2"),
+          coalesce(col("hit"), lit(false)).as("in_exact_top20"),
+          col("n_cand"))
+        .orderBy("rank")
+    },
+
     "feat_pca_power_step" -> { (s, d) =>
       // One power-iteration step toward the corpus's top principal
       // component: w = Xᵀ(Xv), normalized — the spectral sibling of
@@ -1042,6 +1119,72 @@ object Vectors {
         |SELECT rank, t.vec_id, adc_dist2, exact_dist2,
         |  (t.vec_id IN (SELECT vec_id FROM topx)) AS in_exact_top20
         |FROM topa t ORDER BY rank""".stripMargin
+    },
+
+    // The IVF oracle's centroid/probe CTEs composed with the PQ
+    // oracle's encode/ADC CTEs — only the candidate set (probed
+    // labels) and the n_cand emission differ from sim_pq_adc's.
+    "sim_ivf_pq" -> {
+      def dot(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
+      def d2(a: String, b: String) =
+        s"round(${dot(a, a)} - 2 * ${dot(a, b)} + ${dot(b, b)}, 6)"
+      s"""WITH dims AS (SELECT unnest(range(64)) AS idx),
+        |cm AS (
+        |  SELECT label, idx, CAST(
+        |    CAST(sum(CAST(embedding[idx + 1] AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |    AS FLOAT) AS c
+        |  FROM embeddings CROSS JOIN dims GROUP BY label, idx),
+        |cent AS (SELECT label, list(c ORDER BY idx) AS centroid FROM cm GROUP BY label),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT c.label FROM cent c, q
+        |  ORDER BY ${oCos.replace("%A", "c.centroid").replace("%B", "q.q_emb")} DESC,
+        |    c.label ASC LIMIT 2),
+        |cands AS (
+        |  SELECT e.vec_id, e.embedding FROM embeddings e
+        |  JOIN probes p ON e.label = p.label WHERE e.vec_id <> 0),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cands),
+        |cents AS (
+        |  SELECT j.j, c.vec_id AS cid,
+        |    list_slice(c.embedding, j.j * 8 + 1, j.j * 8 + 8) AS cemb
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT unnest(range(8)) AS j) j
+        |  WHERE c.vec_id < 16),
+        |sliced AS (
+        |  SELECT e.vec_id, ct.j, ct.cid, ct.cemb,
+        |    list_slice(e.embedding, ct.j * 8 + 1, ct.j * 8 + 8) AS sub,
+        |    list_slice(q.q_emb, ct.j * 8 + 1, ct.j * 8 + 8) AS qsub
+        |  FROM cands e CROSS JOIN q CROSS JOIN cents ct),
+        |pairs AS (
+        |  SELECT vec_id, j, cid,
+        |    ${d2("sub", "cemb")} AS dist2,
+        |    ${d2("qsub", "cemb")} AS qdist
+        |  FROM sliced),
+        |enc AS (
+        |  SELECT vec_id, j, qdist, row_number() OVER (
+        |    PARTITION BY vec_id, j ORDER BY dist2 ASC, cid ASC) AS rn
+        |  FROM pairs),
+        |adc AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(qdist AS DECIMAL(28,6))) AS DOUBLE) AS adc_dist2
+        |  FROM enc WHERE rn = 1 GROUP BY vec_id),
+        |candx AS (
+        |  SELECT e.vec_id, ${d2("e.embedding", "q.q_emb")} AS exact_dist2
+        |  FROM cands e CROSS JOIN q),
+        |exact AS (
+        |  SELECT e.vec_id, ${d2("e.embedding", "q.q_emb")} AS ed
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |topx AS (SELECT vec_id FROM exact ORDER BY ed, vec_id LIMIT 20),
+        |topa AS (
+        |  SELECT a.vec_id, a.adc_dist2, x.exact_dist2,
+        |    CAST(row_number() OVER (ORDER BY a.adc_dist2, a.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM adc a JOIN candx x ON a.vec_id = x.vec_id
+        |  ORDER BY a.adc_dist2, a.vec_id LIMIT 20)
+        |SELECT rank, t.vec_id, adc_dist2, exact_dist2,
+        |  (t.vec_id IN (SELECT vec_id FROM topx)) AS in_exact_top20,
+        |  nc.n_cand
+        |FROM topa t CROSS JOIN nc ORDER BY rank""".stripMargin
     },
 
     // Full replication of the power step: left-fold dot scores, rounded

@@ -65,7 +65,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_embedding",    // LshBucket
       "sim_ann_multitable", // LshBucket planeOffset path (offsets 8/16)
       "sim_cosine_topk",    // DotProductF
-      "udf_chmod_parse")    // Chmod kernel
+      "udf_chmod_parse",    // Chmod kernel
+      "text_winnowing")     // WinnowedPrints (rolling hash + deque min)
     val bad = kernelQueries.flatMap { name =>
       val q = SparkEntry.queries(name)
       val r1 = q(spark, sf).collect().map(_.toString).toSeq

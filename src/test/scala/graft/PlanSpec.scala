@@ -367,6 +367,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sim_pq_adc attaches a 1-row 128-struct codebook and a 1-row
     // query vector (the kmeans/quantized_rerank argument — map-side
     // attach of O(1) rows, zero shuffle over the corpus);
+    // sim_ivf_pq composes those same attaches with the 2-row probe
+    // set and a 1-row candidate count — all O(1) by construction;
     // graph_hits_step attaches the 1-row (max-hub, max-authority)
     // normalizers and graph_modularity the 1-row edge-count m — both
     // graph_triangles' counts-attach argument; ts_mk_trend's pairwise
@@ -386,7 +388,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
-      "sim_ann_stacked", "sim_ann_production", "sim_pq_adc",
+      "sim_ann_stacked", "sim_ann_production", "sim_pq_adc", "sim_ivf_pq",
       "sim_matryoshka_audit", "graph_hits_step", "graph_modularity",
       "join_point_in_interval", "ts_mk_trend", "bpe_merge_apply",
       "feat_pca_power_step", "text_kneser_ney", "agg_hll_intersect")
