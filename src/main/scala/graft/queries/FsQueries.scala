@@ -135,7 +135,88 @@ object FsQueries {
     dir
   }
 
+  /** The fs_tier_plan fixture: files with DECLARED mtimes so the
+    * age-based tier decision is a known construction (the fs_ls_long
+    * oracle pattern — stat() data is only oracle-able for a planted
+    * declaration). Ages span the three bands relative to the NEWEST
+    * file: 0 d and 3 d (hot, < 7), 20 d (warm, < 30), 60 d and 400 d
+    * (cold); tp_e is an empty cold file (pins the zero-byte path).
+    * Base instant is arbitrary-but-fixed (2025-01-01 UTC): the tier
+    * rule reads ages off the listing's own max mtime, never the
+    * wall clock, so the plan is rerun-stable forever.
+    */
+  private val tierDayMs = 86400000L
+  private val tierBaseMs = 1735689600000L
+  private val tierFixture: Seq[(String, String, Long)] = Seq(
+    ("tp_a.dat", "fresh hourly drop", tierBaseMs + 400 * tierDayMs),
+    ("tp_b.dat", "this week's batch", tierBaseMs + 397 * tierDayMs),
+    ("tp_c.dat", "last sprint's features", tierBaseMs + 380 * tierDayMs),
+    ("tp_d.dat", "quarterly snapshot", tierBaseMs + 340 * tierDayMs),
+    ("tp_e.dat", "", tierBaseMs))
+
+  /** plantDir variant that also stamps each file's declared mtime. */
+  private def plantDirTimes(s: SparkSession, tag: String, d: String,
+      files: Seq[(String, String, Long)]): String = plantLock.synchronized {
+    val dir = scratch(s, tag, d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      fs.mkdirs(root)
+      files.foreach { case (name, content, mtime) =>
+        val p = new org.apache.hadoop.fs.Path(root, name)
+        val out = fs.create(p, true)
+        out.write(content.getBytes("UTF-8"))
+        out.close()
+        fs.setTimes(p, mtime, -1)
+      }
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** Oracle generated from the same fixture Seq as the query plants —
+    * the corrMatrixOracle can't-drift pattern.
+    */
+  private def tierPlanOracle: String = {
+    val rows = tierFixture.map { case (n, c, m) =>
+      s"('$n', ${c.getBytes("UTF-8").length}, CAST($m AS BIGINT))"
+    }
+    s"""WITH f(name, length, mtime_ms) AS (VALUES ${rows.mkString(", ")}),
+       |r AS (SELECT max(mtime_ms) AS ref_ms FROM f)
+       |SELECT name, CAST(length AS BIGINT) AS length,
+       |  CAST((ref_ms - mtime_ms) // $tierDayMs AS BIGINT) AS age_days,
+       |  CASE WHEN (ref_ms - mtime_ms) // $tierDayMs < 7 THEN 'hot'
+       |       WHEN (ref_ms - mtime_ms) // $tierDayMs < 30 THEN 'warm'
+       |       ELSE 'cold' END AS tier
+       |FROM f, r ORDER BY name""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "fs_tier_plan" -> { (s, d) =>
+      // Storage-tier planner (`hh`-layer lifecycle management — the
+      // hot/warm/cold decision behind HDFS storage policies and
+      // S3-class transitions): every file's age decides its tier, and
+      // the PLAN is what a mover executes (fs_distcp's shape again).
+      // Age is measured against the listing's own newest mtime — the
+      // corpus-end clamp, so the plan is a pure function of the
+      // estate, never of the wall clock (rerun-stable, oracle-able).
+      // At estate scale this is listings-only: executor-streamed
+      // FileStatus rows, map-side tier arithmetic, bytes ∝ file
+      // count; the 1-row ref instant rides a broadcast.
+      val dir = plantDirTimes(s, "tier", d, tierFixture)
+      val ls = FsOps.ls(s, dir)
+        .filter(!col("is_dir") && col("name").endsWith(".dat"))
+      val ref = ls.agg(max(col("mtime_ms")).as("ref_ms"))
+      ls.crossJoin(broadcast(ref))
+        .withColumn("age_days", expr(s"(ref_ms - mtime_ms) DIV $tierDayMs"))
+        .withColumn("tier",
+          when(col("age_days") < 7, lit("hot"))
+            .when(col("age_days") < 30, lit("warm"))
+            .otherwise(lit("cold")))
+        .select(col("name"), col("length"), col("age_days"), col("tier"))
+        .orderBy("name")
+    },
+
     "fs_sync_plan" -> { (s, d) =>
       // The incremental-mirror planner (`hh sync` / rsync-over-estates,
       // the decision layer fs_distcp executes): full-outer join of two
@@ -379,6 +460,8 @@ object FsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fs_tier_plan" -> tierPlanOracle,
+
     // Known-construction emission straight from the SAME fixture Seq the
     // query plants — one source of truth; owner/group are Verify-injected
     // environment facts (java.nio probe of the planting process).

@@ -1416,6 +1416,70 @@ object Relational {
           / (col("n0") + col("n1"))), 6).as("ks_scaled"))
     },
 
+    "agg_mannwhitney_u" -> { (s, d) =>
+      // Mann–Whitney U (Wilcoxon rank-sum) between the user-parity
+      // arms over `value` — the nonparametric location test the
+      // experimentation platform reaches for when Welch's normality
+      // assumption is indefensible (heavy-tailed revenue/latency).
+      // Rank enumeration is the scale trap; U never needs it:
+      // U₀ = Σ_v c₀(v)·F₁⁻(v) + ½·Σ_v c₀(v)·c₁(v) over per-value arm
+      // counts, where F₁⁻ is the exclusive cumulative of the other
+      // arm — kept ×2 as exact integers, with the cumulative from the
+      // same 256-bucket two-level decomposition as agg_ks_test (no
+      // global sort at any size). The tie-corrected normal z uses
+      // Σ(t³−t) over tie-group sizes: computed as doubles (exact
+      // while t < 2¹⁷ — ties are per-DISTINCT-VALUE groups, tiny for
+      // a continuous metric; both engines compute identical IEEE
+      // regardless), decimal-captured so the sum is order-free.
+      val arm0 = col("user_id") % 2 === 0
+      val pv = eventsTs(s, d).filter(col("value").isNotNull)
+        .groupBy("value").agg(
+          sum(when(arm0, 1L).otherwise(0L)).as("c0"),
+          sum(when(arm0, 0L).otherwise(1L)).as("c1"))
+      val rng = pv.agg(min("value").as("lo"), max("value").as("hi"),
+        sum("c0").as("n0"), sum("c1").as("n1"))
+      val nB = 256
+      val width = (col("hi") - col("lo")) / nB
+      val withB = pv.crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(nB - 1),
+              floor((col("value") - col("lo")) / width).cast(IntegerType))))
+      val bt = withB.groupBy("b").agg(sum(col("c1")).as("b1"))
+      val wPre = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bt.select(col("b"),
+        coalesce(sum(col("b1")).over(wPre), lit(0L)).as("p1"))
+      val wIn = Window.partitionBy("b").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d19 = DecimalType(19, 0)
+      val rows = withB.join(pre, "b")
+        .withColumn("f1x",
+          col("p1") + coalesce(sum(col("c1")).over(wIn), lit(0L)))
+        // ×2 folds into the LONG factor before the decimal cast: a
+        // (38,0)×(1,0) decimal product would need width 39, which
+        // DuckDB rejects outright.
+        .withColumn("u2row",
+          (col("c0") * 2).cast(d19) * col("f1x").cast(d19)
+            + col("c0").cast(d19) * col("c1").cast(d19))
+        .withColumn("t", (col("c0") + col("c1")).cast(DoubleType))
+        .withColumn("tt",
+          round(col("t") * col("t") * col("t") - col("t"), 0)
+            .cast(DecimalType(38, 0)))
+      val agg = rows.agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        sum(col("u2row")).cast(DoubleType).as("u2"),
+        sum(col("tt")).cast(DoubleType).as("ties"))
+      val n0D = col("n0").cast(DoubleType)
+      val n1D = col("n1").cast(DoubleType)
+      val nD = n0D + n1D
+      val u1 = col("u2") / 2
+      val mu = n0D * n1D / 2
+      val v = n0D * n1D / 12 *
+        ((nD + 1) - col("ties") / (nD * (nD - 1)))
+      agg.select(col("n0"), col("n1"),
+        (col("u2") / 2).as("u"),
+        round((u1 - mu) / sqrt(v), 6).as("z"))
+    },
+
     "agg_spearman_corr" -> { (s, d) =>
       // Spearman rank correlation between l_quantity and l_discount —
       // the monotone-association screen (Pearson needs linearity;
@@ -2482,6 +2546,39 @@ object Relational {
         |  round(d_raw * sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)), 6)
         |    AS ks_scaled
         |FROM m, t""".stripMargin,
+
+    // The FLAT global-window form (like agg_ks_test's oracle) — the
+    // Spark side runs the 256-bucket decomposition.
+    "agg_mannwhitney_u" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events WHERE value IS NOT NULL GROUP BY value),
+        |t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |             CAST(sum(c1) AS BIGINT) AS n1 FROM pv),
+        |c AS (
+        |  SELECT c0, c1,
+        |    CAST(coalesce(sum(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS f1x
+        |  FROM pv),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CAST(c0 * 2 AS DECIMAL(19,0)) * CAST(f1x AS DECIMAL(19,0))
+        |      + CAST(c0 AS DECIMAL(19,0)) * CAST(c1 AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS u2,
+        |    CAST(sum(CAST(round(
+        |      CAST(c0 + c1 AS DOUBLE) * (c0 + c1) * (c0 + c1) - (c0 + c1), 0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) AS ties
+        |  FROM c)
+        |SELECT n0, n1, u2 / 2 AS u,
+        |  round((u2 / 2 - CAST(n0 AS DOUBLE) * n1 / 2)
+        |    / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
+        |      * ((CAST(n0 AS DOUBLE) + n1 + 1)
+        |        - ties / ((CAST(n0 AS DOUBLE) + n1)
+        |          * (CAST(n0 AS DOUBLE) + n1 - 1)))), 6) AS z
+        |FROM s, t""".stripMargin,
 
     "agg_spearman_corr" ->
       """WITH li AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),

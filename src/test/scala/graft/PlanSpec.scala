@@ -375,14 +375,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sign join and its three 1-row statistic attaches all ride the
     // calendar-bounded hour table (hours-in-corpus² pairs at ANY
     // corpus size — the ts_acf boundedness argument). Round-9
-    // addition: agg_ks_test attaches a 1-row (min, max, n0, n1)
+    // addition: agg_ks_test (and agg_mannwhitney_u, the same banded
+    // two-level ECDF machinery) attaches a 1-row (min, max, n0, n1)
     // global-aggregate row to band values into its 256 buckets — the
     // subquery_scalar/agg_decay_halflife argument (one tiny job, then
     // a map-side attach of one row); text_perplexity_filter attaches
     // its 1-row tercile cut points the same way (plus the shared
     // unigram scorer's 1-row corpus-total attach, already exempted
     // via text_unigram_logprob).
-    val allowed = Set("join_cross", "agg_ks_test", "text_perplexity_filter",
+    // fs_tier_plan attaches its 1-row ref-instant (max mtime) the same
+    // way.
+    val allowed = Set("join_cross", "agg_ks_test", "agg_mannwhitney_u",
+      "text_perplexity_filter", "fs_tier_plan",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
