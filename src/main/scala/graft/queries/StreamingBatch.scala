@@ -903,6 +903,46 @@ object StreamingBatch {
         round(p3, 6).as("pacf3"))
     },
 
+    "ts_periodogram" -> { (s, d) =>
+      // Schuster periodogram at candidate periods {6, 12, 24, 168 h}
+      // — WHICH cycle dominates a series (ts_acf says "correlated at
+      // lag k"; the periodogram ranks whole periods, the question a
+      // seasonality-aware capacity model actually asks — 24 should
+      // dominate for diurnal traffic, 168 adds the weekly rhythm).
+      // Power_p ∝ C'² + S'² with C' = Σn·cosφ − n̄·Σcosφ (mean
+      // centering in closed form — no second pass, no broadcast).
+      // Shape: one map-side hourly rollup, a ×4 period fan-out on the
+      // calendar-bounded hour table, one agg per period. Determinism:
+      // cos/sin are libm → snapped to the 1e-9 grid and cast to
+      // DECIMAL(12,9) (the MI ln recipe), products against integer
+      // counts accumulate as exact decimals, and every double after
+      // the sums is identical IEEE; 1e-6 at emission.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val twoPi = lit(2 * math.Pi)
+      val d9 = DecimalType(12, 9)
+      val d19 = DecimalType(19, 0)
+      val rows = hc
+        .withColumn("p", explode(array(lit(6L), lit(12L), lit(24L), lit(168L))))
+        .withColumn("phase", col("h") % col("p"))
+        .withColumn("c9", round(cos(twoPi * col("phase") / col("p")), 9).cast(d9))
+        .withColumn("s9", round(sin(twoPi * col("phase") / col("p")), 9).cast(d9))
+      val agg = rows.groupBy("p").agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n")).cast(DoubleType).as("sn"),
+        sum(col("c9")).cast(DoubleType).as("sc"),
+        sum(col("s9")).cast(DoubleType).as("ss"),
+        sum(col("n").cast(d19) * col("c9")).cast(DoubleType).as("snc"),
+        sum(col("n").cast(d19) * col("s9")).cast(DoubleType).as("sns"))
+      val nh = col("n_hours").cast(DoubleType)
+      val cP = col("snc") - col("sn") / nh * col("sc")
+      val sP = col("sns") - col("sn") / nh * col("ss")
+      agg.select(col("p").as("period_h"), col("n_hours"),
+          round((cP * cP + sP * sP) / (nh * nh), 6).as("power"))
+        .orderBy("period_h")
+    },
+
     "ts_holt_linear" -> { (s, d) =>
       // Holt's linear (double exponential) smoothing of the global
       // hourly series — level + trend state, the capacity-planning
@@ -1254,6 +1294,31 @@ object StreamingBatch {
         |  round((r3 - phi21 * r2 - p2 * r1)
         |    / (1.0 - phi21 * r1 - p2 * r2), 6) AS pacf3
         |FROM dl2""".stripMargin,
+
+    "ts_periodogram" ->
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |rows_ AS (
+        |  SELECT h, n, p.p AS p, h % p.p AS phase
+        |  FROM hc CROSS JOIN (SELECT unnest([6, 12, 24, 168]) AS p) p),
+        |f AS (
+        |  SELECT p, n,
+        |    CAST(round(cos(2 * pi() * phase / p), 9) AS DECIMAL(12,9)) AS c9,
+        |    CAST(round(sin(2 * pi() * phase / p), 9) AS DECIMAL(12,9)) AS s9
+        |  FROM rows_),
+        |agg AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(n) AS DOUBLE) AS sn,
+        |    CAST(sum(c9) AS DOUBLE) AS sc, CAST(sum(s9) AS DOUBLE) AS ss,
+        |    CAST(sum(CAST(n AS DECIMAL(19,0)) * c9) AS DOUBLE) AS snc,
+        |    CAST(sum(CAST(n AS DECIMAL(19,0)) * s9) AS DOUBLE) AS sns
+        |  FROM f GROUP BY p)
+        |SELECT CAST(p AS BIGINT) AS period_h, n_hours,
+        |  round(((snc - sn / n_hours * sc) * (snc - sn / n_hours * sc)
+        |    + (sns - sn / n_hours * ss) * (sns - sn / n_hours * ss))
+        |    / (CAST(n_hours AS DOUBLE) * n_hours), 6) AS power
+        |FROM agg ORDER BY period_h""".stripMargin,
 
     // The LIST-accumulator fold (NOT a struct: DuckDB list_reduce
     // updates struct fields sequentially — skill-gotcha finding — but
