@@ -1416,6 +1416,28 @@ object Relational {
           / (col("n0") + col("n1"))), 6).as("ks_scaled"))
     },
 
+    "agg_srm_check" -> { (s, d) =>
+      // Sample-ratio-mismatch guardrail — the FIRST check every A/B
+      // readout runs: if the unit split deviates from its design
+      // (50/50 here) the assignment pipeline is broken and every
+      // downstream stat (welch/z/U above) is invalid. Units are
+      // DISTINCT users (events-per-user skew must not leak into the
+      // ratio test); χ² vs the designed split with 1 dof, flagged at
+      // the 5% critical value. One distinct shuffle + a 1-row closed
+      // form; counts exact longs, χ² identical IEEE.
+      val u = eventsTs(s, d)
+        .select((col("user_id") % 2).as("arm"), col("user_id")).distinct()
+      val c = u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      val e = (col("n0") + col("n1")).cast(DoubleType) / 2
+      val chi2 = (col("n0") - e) * (col("n0") - e) / e +
+        (col("n1") - e) * (col("n1") - e) / e
+      c.select(col("n0"), col("n1"),
+        round(chi2, 6).as("chi2"),
+        (chi2 > 3.841459).as("srm_detected"))
+    },
+
     "agg_mannwhitney_u" -> { (s, d) =>
       // Mann–Whitney U (Wilcoxon rank-sum) between the user-parity
       // arms over `value` — the nonparametric location test the
@@ -2546,6 +2568,25 @@ object Relational {
         |  round(d_raw * sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)), 6)
         |    AS ks_scaled
         |FROM m, t""".stripMargin,
+
+    "agg_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id % 2 AS arm, user_id FROM events),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM u)
+        |SELECT n0, n1,
+        |  round((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+        |      / ((n0 + n1) / 2.0)
+        |    + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+        |      / ((n0 + n1) / 2.0), 6) AS chi2,
+        |  ((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+        |      / ((n0 + n1) / 2.0)
+        |    + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+        |      / ((n0 + n1) / 2.0)) > 3.841459 AS srm_detected
+        |FROM c""".stripMargin,
 
     // The FLAT global-window form (like agg_ks_test's oracle) — the
     // Spark side runs the 256-bucket decomposition.

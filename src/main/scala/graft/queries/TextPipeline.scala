@@ -1544,6 +1544,53 @@ object TextPipeline {
           (col("n_chars").between(100, 400) && col("n_tok") >= 20).as("passes_filter"))
         .orderBy("doc_id")),
 
+    "text_rake_keyphrases" -> { (s, d) =>
+      // RAKE keyphrase extraction (Rose et al.) — the unsupervised
+      // keyword/topic surface a corpus card ships (what IS this data
+      // about): candidate phrases are maximal stopword-free word runs
+      // (≤ 4 words), each word scores deg/freq over the candidate set
+      // (deg = Σ phrase-length over its phrases — words living in
+      // longer phrases rank up), a phrase scores the sum of its
+      // words' scores; top 20 corpus-wide. Shape: one posexplode +
+      // gaps-and-islands window per doc (the win_streak machinery)
+      // finds phrase runs WITHOUT re-exploding — phrase length rides
+      // a (doc, run) window; word stats are a vocab-bounded groupBy
+      // broadcast back; the emission is a TakeOrdered. Determinism:
+      // deg/freq snaps to 1e-9 and the per-phrase score decimal-sums
+      // (order-free); ties break on (phrase, doc_id, grp).
+      val stop = Seq("a", "the", "of", "and", "to")
+      val words = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(!col("w").isin(stop: _*) && length(col("w")) > 0)
+      val wIsl = Window.partitionBy("doc_id").orderBy("pos")
+      val wRun = Window.partitionBy("doc_id", "grp")
+      val isl = words
+        .withColumn("grp", col("pos") - row_number().over(wIsl))
+        .withColumn("plen", count(lit(1)).over(wRun))
+        .filter(col("plen") <= 4)
+        .persist() // 2 consumers: word stats + phrase rollup
+      val wstats = isl.groupBy("w").agg(
+        count(lit(1)).as("freq"),
+        sum(col("plen")).as("deg"))
+        .select(col("w"),
+          round(col("deg").cast(DoubleType) / col("freq"), 9)
+            .cast(DecimalType(28, 9)).as("score9"))
+      val scored = isl.join(wstats, "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("phrase"),
+          max(col("plen")).as("n_words"),
+          sum(col("score9")).as("sc9"))
+      scored
+        .orderBy(col("sc9").desc, col("phrase").asc, col("doc_id").asc,
+          col("grp").asc)
+        .limit(20)
+        .select(col("doc_id"), col("phrase"), col("n_words"),
+          col("sc9").cast(DoubleType).as("score"))
+    },
+
     "text_winnowing" -> { (s, d) =>
       // Winnowing fingerprint matching (the MOSS algorithm, Schleimer
       // et al.) — the GUARANTEED-detection member of the dedup family:
@@ -2808,6 +2855,36 @@ object TextPipeline {
         |    list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |  (a, x) -> (a * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_rake_keyphrases" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(ws)),
+        |    i -> {'pos': i, 'w': ws[CAST(i + 1 AS INTEGER)]})) AS u
+        |  FROM w0),
+        |flat AS (
+        |  SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.w AS w FROM words
+        |  WHERE u.w NOT IN ('a', 'the', 'of', 'and', 'to')
+        |    AND length(u.w) > 0),
+        |isl AS (
+        |  SELECT *, pos - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM flat),
+        |runs AS (
+        |  SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS plen
+        |  FROM isl),
+        |r4 AS (SELECT * FROM runs WHERE plen <= 4),
+        |wstats AS (
+        |  SELECT w, CAST(round(CAST(sum(plen) AS DOUBLE) / count(*), 9)
+        |    AS DECIMAL(28,9)) AS score9
+        |  FROM r4 GROUP BY w),
+        |ph AS (
+        |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    CAST(max(plen) AS BIGINT) AS n_words, sum(score9) AS sc9
+        |  FROM r4 JOIN wstats USING (w) GROUP BY doc_id, grp)
+        |SELECT doc_id, phrase, n_words, CAST(sc9 AS DOUBLE) AS score
+        |FROM ph ORDER BY sc9 DESC, phrase, doc_id, grp LIMIT 20""".stripMargin,
 
     // Full replication: polynomial k-gram hashes (the text_fingerprint
     // fold per position), window minima, distinct selection, df band,
