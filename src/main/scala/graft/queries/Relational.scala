@@ -970,6 +970,45 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    "agg_jarque_bera" -> { (s, d) =>
+      // Jarque–Bera normality screen per returnflag group — the gate a
+      // parametric readout (agg_welch_ttest / agg_ab_ztest) should run
+      // FIRST: JB = n/6·(S² + K²/4) over sample skewness S and excess
+      // kurtosis K, ~χ²(2 dof) under normality, rejected at the 5%
+      // critical value 5.991465. Rides the agg_moments machinery
+      // unchanged: one Q1-shaped pass emits Σx..Σx⁴ as EXACT decimals
+      // (2-dp quantity ≤ 50 keeps x⁴ far inside DECIMAL(38)), so every
+      // double after the sums — the central-moment recomposition, S, K,
+      // and JB itself — is identical IEEE in both engines; the boolean
+      // compares the unrounded JB (the agg_srm_check flag pattern).
+      // Shuffle bytes: 5 numbers per (group, task) — input-size-free.
+      val d2: Column => Column = c => c.cast(DecimalType(8, 2))
+      val q = col("l_quantity")
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(d2(q)).cast(DoubleType).as("s1"),
+          sum(d2(q) * d2(q)).cast(DoubleType).as("s2"),
+          sum(d2(q) * d2(q) * d2(q)).cast(DoubleType).as("s3"),
+          sum(d2(q) * d2(q) * d2(q) * d2(q)).cast(DoubleType).as("s4"))
+        .withColumn("mu", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+        .withColumn("m3", col("s3") / col("n") -
+          lit(3) * col("mu") * col("s2") / col("n") +
+          lit(2) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4", col("s4") / col("n") -
+          lit(4) * col("mu") * col("s3") / col("n") +
+          lit(6) * col("mu") * col("mu") * col("s2") / col("n") -
+          lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .withColumn("sk", col("m3") / pow(col("m2"), 1.5))
+        .withColumn("ku", col("m4") / (col("m2") * col("m2")) - 3)
+        .withColumn("jb",
+          col("n") / 6 * (col("sk") * col("sk") + col("ku") * col("ku") / 4))
+        .select(col("l_returnflag"), col("n").cast(LongType).as("n_rows"),
+          round(col("jb"), 6).as("jb"),
+          (col("jb") > 5.991465).as("normal_rejected"))
+        .orderBy("l_returnflag")
+    },
+
     "agg_gini" -> { (s, d) =>
       // Gini concentration of order value per status — the inequality
       // audit that tells a mixture designer how skewed a source's
@@ -1500,6 +1539,58 @@ object Relational {
       agg.select(col("n0"), col("n1"),
         (col("u2") / 2).as("u"),
         round((u1 - mu) / sqrt(v), 6).as("z"))
+    },
+
+    "agg_roc_auc" -> { (s, d) =>
+      // ROC AUC of `value` ranking purchase events above the rest — the
+      // classifier-eval primitive a quality-filter calibration runs
+      // before trusting a score column at corpus scale. AUC is the
+      // Mann–Whitney statistic rescaled (AUC = U⁺/(n⁺·n⁻) = P(score⁺ >
+      // score⁻) + ½P(tie)), so it inherits the whole no-rank-enumeration
+      // decomposition: per-value class counts, the negative arm's
+      // exclusive cumulative from the agg_ks_test 256-bucket two-level
+      // ECDF (no global sort at any size), everything ×2 as exact
+      // integers decimal-summed; the ONLY IEEE steps are the two closing
+      // divisions, identical in both engines. Emits the Gini/accuracy-
+      // ratio twin (2·AUC−1) from the same sum. At 100 TB the per-value
+      // table is the one shuffle; the bucket table is 256 rows.
+      val pos = col("event_type") === "purchase"
+      val pv = eventsTs(s, d).filter(col("value").isNotNull)
+        .groupBy("value").agg(
+          sum(when(pos, 1L).otherwise(0L)).as("cp"),
+          sum(when(pos, 0L).otherwise(1L)).as("cn"))
+      val rng = pv.agg(min("value").as("lo"), max("value").as("hi"),
+        sum("cp").as("np"), sum("cn").as("nn"))
+      val nB = 256
+      val width = (col("hi") - col("lo")) / nB
+      val withB = pv.crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(nB - 1),
+              floor((col("value") - col("lo")) / width).cast(IntegerType))))
+      val bt = withB.groupBy("b").agg(sum(col("cn")).as("bn"))
+      val wPre = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bt.select(col("b"),
+        coalesce(sum(col("bn")).over(wPre), lit(0L)).as("pn"))
+      val wIn = Window.partitionBy("b").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d19 = DecimalType(19, 0)
+      val rows = withB.join(pre, "b")
+        .withColumn("fnx",
+          col("pn") + coalesce(sum(col("cn")).over(wIn), lit(0L)))
+        // ×2 folds into the LONG factor before the decimal cast (the
+        // agg_mannwhitney_u width-39 rationale).
+        .withColumn("a2row",
+          (col("cp") * 2).cast(d19) * col("fnx").cast(d19)
+            + col("cp").cast(d19) * col("cn").cast(d19))
+      val agg2 = rows.agg(max(col("np")).as("n_pos"),
+        max(col("nn")).as("n_neg"),
+        sum(col("a2row")).cast(DoubleType).as("a2"))
+      agg2.select(col("n_pos"), col("n_neg"),
+        round(col("a2") / 2 /
+          (col("n_pos").cast(DoubleType) * col("n_neg")), 6).as("auc"),
+        round(col("a2") /
+          (col("n_pos").cast(DoubleType) * col("n_neg")) - 1, 6).as("gini_ar"))
     },
 
     "agg_spearman_corr" -> { (s, d) =>
@@ -2369,6 +2460,36 @@ object Relational {
         |  round(m4 / (m2 * m2) - 3, 6) AS kurtosis
         |FROM c ORDER BY l_returnflag""".stripMargin,
 
+    // Same exact-raw-moment pipeline as agg_moments; JB and the flag are
+    // pure IEEE arithmetic after the decimal sums.
+    "agg_jarque_bera" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(8,2))
+        |      * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(8,2))
+        |      * CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4 FROM p),
+        |c AS (
+        |  SELECT l_returnflag, n, mu,
+        |    s2 / n - mu * mu AS m2,
+        |    s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu AS m3,
+        |    s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |x AS (
+        |  SELECT l_returnflag, n,
+        |    n / 6 * ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5))
+        |      + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4) AS jb
+        |  FROM c)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round(jb, 6) AS jb, jb > 5.991465 AS normal_rejected
+        |FROM x ORDER BY l_returnflag""".stripMargin,
+
     "scan_schema_evolution" ->
       """SELECT lang, count(*) AS n, count(n_chars) AS n_with_chars,
         |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars
@@ -2619,6 +2740,34 @@ object Relational {
         |      * ((CAST(n0 AS DOUBLE) + n1 + 1)
         |        - ties / ((CAST(n0 AS DOUBLE) + n1)
         |          * (CAST(n0 AS DOUBLE) + n1 - 1)))), 6) AS z
+        |FROM s, t""".stripMargin,
+
+    // The FLAT global-window form again — the Spark side runs the same
+    // 256-bucket decomposition as agg_mannwhitney_u with the class flag
+    // swapped from user parity to event_type.
+    "agg_roc_auc" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM events WHERE value IS NOT NULL GROUP BY value),
+        |t AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+        |             CAST(sum(cn) AS BIGINT) AS nn FROM pv),
+        |c AS (
+        |  SELECT cp, cn,
+        |    CAST(coalesce(sum(cn) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS fnx
+        |  FROM pv),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CAST(cp * 2 AS DECIMAL(19,0)) * CAST(fnx AS DECIMAL(19,0))
+        |      + CAST(cp AS DECIMAL(19,0)) * CAST(cn AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS a2
+        |  FROM c)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  round(a2 / 2 / (CAST(np AS DOUBLE) * nn), 6) AS auc,
+        |  round(a2 / (CAST(np AS DOUBLE) * nn) - 1, 6) AS gini_ar
         |FROM s, t""".stripMargin,
 
     "agg_spearman_corr" ->
