@@ -270,6 +270,47 @@ object Multimodal {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_bytes"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("source", "shard_idx")
+    },
+
+    "mm_aspect_bucket" -> { (s, d) =>
+      // Aspect-ratio bucketing for image-batch formation — the SDXL-
+      // style resolution-bucket trick: a training batch must share one
+      // shape, so frames are binned to a fixed ratio ladder and the
+      // loader schedules ceil(n/32) batches per bucket (images never
+      // cross buckets ⇒ no catastrophic crop). Assignment is
+      // nearest-ladder-ratio via MIDPOINT thresholds (0.625 / 0.875 /
+      // 1.165 / 1.665 between ladder ratios ½, ¾, 1, 4/3, 2) — an
+      // explicit CASE, so no argmin tie hazard; degenerate frames
+      // (width or height 0 from the stub's modulo) land in an
+      // `invalid` bucket instead of dividing by zero. Shape: decode is
+      // map-only mapPartitions (per-partition codec init, the contract
+      // stub), bucketing map-only, then ONE ≤6-row groupBy — the
+      // 100 TB cost is exactly one corpus scan.
+      val sp = s
+      import sp.implicits._
+      val frames = documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[Blob]
+        .mapPartitions { blobs =>
+          // per-partition init of the (stubbed) decoder would go here
+          blobs.map { b =>
+            val (n, sum, w, h) = fakeDecode(b.payload)
+            Frame(b.doc_id, n, sum, w, h)
+          }
+        }
+        .toDF()
+      val ar = col("width").cast(DoubleType) / col("height")
+      val bucket = when(col("height") === 0 || col("width") === 0, "invalid")
+        .when(ar < 0.625, "tall_1_2")
+        .when(ar < 0.875, "portrait_3_4")
+        .when(ar < 1.165, "square_1_1")
+        .when(ar < 1.665, "landscape_4_3")
+        .otherwise("wide_2_1")
+      frames.select(bucket.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_images"))
+        .withColumn("n_batches",
+          ceil(col("n_images") / lit(32.0)).cast(LongType))
+        .orderBy("bucket")
     }
   )
 
@@ -375,6 +416,26 @@ object Multimodal {
         |  count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin,
+
+    // The stub decode's width/height are n_bytes-derived (ASCII ⇒
+    // n_bytes == n_chars), so the ladder CASE is SQL-expressible and
+    // the bucket SET gets a real hash-compare.
+    "mm_aspect_bucket" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars % 640 AS w, n_chars % 480 AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE
+        |    WHEN h = 0 OR w = 0 THEN 'invalid'
+        |    WHEN CAST(w AS DOUBLE) / h < 0.625 THEN 'tall_1_2'
+        |    WHEN CAST(w AS DOUBLE) / h < 0.875 THEN 'portrait_3_4'
+        |    WHEN CAST(w AS DOUBLE) / h < 1.165 THEN 'square_1_1'
+        |    WHEN CAST(w AS DOUBLE) / h < 1.665 THEN 'landscape_4_3'
+        |    ELSE 'wide_2_1' END AS bucket
+        |  FROM f)
+        |SELECT bucket, count(*) AS n_images,
+        |  CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_batches
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -1544,6 +1544,45 @@ object TextPipeline {
           (col("n_chars").between(100, 400) && col("n_tok") >= 20).as("passes_filter"))
         .orderBy("doc_id")),
 
+    "text_lexical_diversity" -> { (s, d) =>
+      // Lexical-diversity audit — the repetition/memorization screen a
+      // corpus card reports next to text_quality's ratios: per-doc
+      // type-token ratio (distinct/total tokens, the cheap MTLD
+      // stand-in) rolled up per lang, plus the hapax-legomena share of
+      // each lang's TRIGRAM vocabulary (fraction of trigram types seen
+      // exactly once — Zipf-tail health; unigrams won't do here: the
+      // synthetic ~30-word vocabulary makes every unigram frequent,
+      // while trigram types outnumber instances enough to leave a real
+      // hapax tail — and trigram uniqueness is what a memorization
+      // audit actually measures). Shape: TTR is MAP-ONLY (distinct
+      // inside the row); the only shuffles are the lang rollup and the
+      // vocab-bounded (lang, trigram) groupBy; emission ≤ langs rows.
+      // Numeric policy: ratios floor-snapped at 1e-6 (the davg tie
+      // rationale), snapped TTRs summed as exact decimals.
+      val arr = split(col("text"), " ")
+      val snap: Column => Column =
+        x => floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      val ttr = snap(size(array_distinct(arr)).cast(DoubleType) / size(arr))
+      val tl = documents(s, d).select(col("lang"), ttr.as("ttr"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          snap(sum(dec(col("ttr"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_ttr"))
+      val tris = when(size(arr) >= 3,
+        transform(sequence(lit(0), size(arr) - 3),
+          i => array_join(slice(arr, i + 1, lit(3)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val hp = documents(s, d).select(col("lang"), explode(tris).as("tri"))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("freq"))
+        .groupBy("lang").agg(count(lit(1)).as("tri_vocab"),
+          sum(when(col("freq") === 1, 1L).otherwise(0L)).as("tri_hapax"))
+      tl.join(hp, "lang")
+        .select(col("lang"), col("n_docs"), col("avg_ttr"),
+          col("tri_vocab"), col("tri_hapax"),
+          snap(col("tri_hapax").cast(DoubleType) / col("tri_vocab"))
+            .as("hapax_share"))
+        .orderBy("lang")
+    },
+
     "text_rake_keyphrases" -> { (s, d) =>
       // RAKE keyphrase extraction (Rose et al.) — the unsupervised
       // keyword/topic surface a corpus card ships (what IS this data
@@ -2926,6 +2965,33 @@ object TextPipeline {
         |    len(list_filter(string_split(text, ' '),
         |      x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS n_stop
         |  FROM documents) t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_lexical_diversity" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
+        |tt AS (
+        |  SELECT lang, floor(CAST(len(list_distinct(arr)) AS DOUBLE)
+        |    / len(arr) * 1000000 + 0.5) / 1000000.0 AS ttr
+        |  FROM base),
+        |tl AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    floor(CAST(sum(CAST(ttr AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_ttr
+        |  FROM tt GROUP BY lang),
+        |tr AS (
+        |  SELECT lang, unnest(list_transform(range(greatest(len(arr) - 2, 0)),
+        |    i -> array_to_string(arr[i+1:i+3], ' '))) AS tri
+        |  FROM base),
+        |tf AS (SELECT lang, tri, count(*) AS freq FROM tr GROUP BY lang, tri),
+        |hp AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS tri_vocab,
+        |    CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tri_hapax
+        |  FROM tf GROUP BY lang)
+        |SELECT lang, n_docs, avg_ttr, tri_vocab, tri_hapax,
+        |  floor(CAST(tri_hapax AS DOUBLE) / tri_vocab * 1000000 + 0.5)
+        |    / 1000000.0 AS hapax_share
+        |FROM tl JOIN hp USING (lang) ORDER BY lang""".stripMargin
   )
 }
