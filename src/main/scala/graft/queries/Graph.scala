@@ -550,6 +550,50 @@ object Graph {
       edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
         .orderBy("node")
+    },
+
+    "graph_walk_pairs" -> { (s, d) =>
+      // Random-walk positive-pair generation — the DeepWalk/node2vec
+      // skip-gram sampler that turns a graph into embedding training
+      // pairs: from EVERY node, a 2-hop walk whose next-hop draw is
+      // hash-seeded (the sample_stratified salted-md5 determinism
+      // pattern): hop t from node u goes to the neighbor v minimizing
+      // md5("walk:t:u:v") with (hash, v) lexicographic tie-break, so
+      // both engines derive the identical walk and the gate can
+      // hash-compare the full pair table. Scale shape: a hop is ONE
+      // equi-join of the frontier against the edge table + a per-node
+      // min reduction — O(edges) per hop, one shuffle per hop, path
+      // sets never materialize (the walk table stays one row per start
+      // node at every hop). Dead ends can't occur: co-occurrence edges
+      // are symmetric, so every reachable node keeps ≥1 neighbor. The
+      // %3 subgraph bounds the gate the same way graph_triangles
+      // documents.
+      val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      val both = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+        .persist() // two hops probe the same edge table
+      def hop(frontier: DataFrame, cur: String, t: Int, out: String): DataFrame = {
+        val h = md5(concat(lit(s"walk:$t:"), col(cur).cast(StringType),
+          lit(":"), col("v").cast(StringType)))
+        // Partition by the walk's START node, not the current position:
+        // two walks standing on the same node draw the same (h, v)
+        // candidate rows, and a shared partition would hand rn=1 to
+        // only one of them — each walk must pick independently.
+        val w = Window.partitionBy(col("node_id"))
+          .orderBy(col("h"), col("v"))
+        frontier.join(both, frontier(cur) === both("u"))
+          .withColumn("h", h)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("h", "rn", "u").withColumnRenamed("v", out)
+      }
+      val starts = both.select(col("u").as("node_id")).distinct()
+      val w1 = hop(starts, "node_id", 1, "hop1")
+      val w2 = hop(w1, "hop1", 2, "hop2")
+      w2.select("node_id", "hop1", "hop2").orderBy("node_id")
     }
   )
 
@@ -851,6 +895,32 @@ object Graph {
         |SELECT n AS node, count(*) AS core_deg FROM (
         |  SELECT u AS n FROM e6 UNION ALL SELECT v FROM e6) f
         |GROUP BY n ORDER BY node""".stripMargin
-    }
+    },
+
+    // Same salted-md5 next-hop draw; identical string seeds in both
+    // engines make the full walk table hash-comparable.
+    "graph_walk_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |both_e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |h1 AS (
+        |  SELECT u AS node_id, v AS hop1, row_number() OVER (
+        |    PARTITION BY u ORDER BY
+        |      md5('walk:1:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)),
+        |      v) AS rn
+        |  FROM both_e),
+        |w1 AS (SELECT node_id, hop1 FROM h1 WHERE rn = 1),
+        |h2 AS (
+        |  SELECT w1.node_id, w1.hop1, e.v AS hop2, row_number() OVER (
+        |    PARTITION BY w1.node_id ORDER BY
+        |      md5('walk:2:' || CAST(w1.hop1 AS VARCHAR)
+        |        || ':' || CAST(e.v AS VARCHAR)),
+        |      e.v) AS rn
+        |  FROM w1 JOIN both_e e ON w1.hop1 = e.u)
+        |SELECT node_id, hop1, hop2 FROM h2 WHERE rn = 1
+        |ORDER BY node_id""".stripMargin
   )
 }

@@ -1941,6 +1941,37 @@ object TextPipeline {
         .orderBy("source")
     },
 
+    "pipeline_epoch_plan" -> { (s, d) =>
+      // Epoch planning for a fixed training-token budget — the step
+      // after pipeline_mixture_weights decides the TARGET mix: given a
+      // total budget T (3× corpus tokens here; any T is the same
+      // arithmetic) split uniformly across k sources, each source must
+      // be repeated epochs = (T/k)/available times, and a source whose
+      // plan exceeds 4 epochs gets the published repeated-data
+      // diminishing-returns flag (the "repeat small sources how many
+      // times?" readout a mixture designer acts on). Shape: ONE
+      // map-side-combined corpus pass to a #sources-row table, the
+      // total/count recomposed by an unpartitioned window over that
+      // tiny table (the mixture_weights rationale) — input-size-free
+      // after the scan. epochs snapped at 1e-6; the flag compares the
+      // UNROUNDED quotient (identical IEEE in both engines).
+      val wAll = Window.partitionBy(lit(1))
+      val ep = col("tot").cast(DoubleType) * 3 / col("k") / col("n_tokens")
+      documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("tot", sum(col("n_tokens")).over(wAll))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("tot") * 3).as("budget_tokens"),
+          (floor(ep * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
+            .as("epochs"),
+          (ep > 4.0).as("over_repetition_risk"))
+        .orderBy("source")
+    },
+
     "feat_hashing_vectorize" -> { (s, d) =>
       // Hashing-trick bag-of-words vectorizer — the unbounded-vocab
       // featurizer: each token hashes to one of D=64 buckets (salted
@@ -2077,6 +2108,22 @@ object TextPipeline {
         |  count(*) OVER () AS k FROM bs)
         |SELECT source, n_docs, n_tokens,
         |  floor(CAST(tot AS DOUBLE) / k / n_tokens * 1000000 + 0.5) / 1000000.0 AS weight
+        |FROM t ORDER BY source""".stripMargin,
+
+    "pipeline_epoch_plan" ->
+      """WITH bs AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT source, n_docs, n_tokens,
+        |  CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+        |  count(*) OVER () AS k FROM bs)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(tot * 3 AS BIGINT) AS budget_tokens,
+        |  floor(CAST(tot AS DOUBLE) * 3 / k / n_tokens * 1000000 + 0.5)
+        |    / 1000000.0 AS epochs,
+        |  CAST(tot AS DOUBLE) * 3 / k / n_tokens > 4.0
+        |    AS over_repetition_risk
         |FROM t ORDER BY source""".stripMargin,
 
     "feat_hashing_vectorize" ->
