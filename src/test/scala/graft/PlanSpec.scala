@@ -384,8 +384,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unigram scorer's 1-row corpus-total attach, already exempted
     // via text_unigram_logprob).
     // fs_tier_plan attaches its 1-row ref-instant (max mtime) the same
-    // way.
+    // way. agg_roc_auc is the third user of the banded two-level ECDF
+    // machinery (the agg_ks_test 1-row range/count attach, verbatim).
     val allowed = Set("join_cross", "agg_ks_test", "agg_mannwhitney_u",
+      "agg_roc_auc",
       "text_perplexity_filter", "fs_tier_plan",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
