@@ -1547,50 +1547,16 @@ object Relational {
       // before trusting a score column at corpus scale. AUC is the
       // Mann–Whitney statistic rescaled (AUC = U⁺/(n⁺·n⁻) = P(score⁺ >
       // score⁻) + ½P(tie)), so it inherits the whole no-rank-enumeration
-      // decomposition: per-value class counts, the negative arm's
+      // decomposition: per-value class counts (valueClassCounts — the
+      // table the streaming twin maintains), the negative arm's
       // exclusive cumulative from the agg_ks_test 256-bucket two-level
       // ECDF (no global sort at any size), everything ×2 as exact
       // integers decimal-summed; the ONLY IEEE steps are the two closing
-      // divisions, identical in both engines. Emits the Gini/accuracy-
-      // ratio twin (2·AUC−1) from the same sum. At 100 TB the per-value
-      // table is the one shuffle; the bucket table is 256 rows.
-      val pos = col("event_type") === "purchase"
-      val pv = eventsTs(s, d).filter(col("value").isNotNull)
-        .groupBy("value").agg(
-          sum(when(pos, 1L).otherwise(0L)).as("cp"),
-          sum(when(pos, 0L).otherwise(1L)).as("cn"))
-      val rng = pv.agg(min("value").as("lo"), max("value").as("hi"),
-        sum("cp").as("np"), sum("cn").as("nn"))
-      val nB = 256
-      val width = (col("hi") - col("lo")) / nB
-      val withB = pv.crossJoin(broadcast(rng))
-        .withColumn("b",
-          when(col("hi") === col("lo"), lit(0))
-            .otherwise(least(lit(nB - 1),
-              floor((col("value") - col("lo")) / width).cast(IntegerType))))
-      val bt = withB.groupBy("b").agg(sum(col("cn")).as("bn"))
-      val wPre = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-      val pre = bt.select(col("b"),
-        coalesce(sum(col("bn")).over(wPre), lit(0L)).as("pn"))
-      val wIn = Window.partitionBy("b").orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val d19 = DecimalType(19, 0)
-      val rows = withB.join(pre, "b")
-        .withColumn("fnx",
-          col("pn") + coalesce(sum(col("cn")).over(wIn), lit(0L)))
-        // ×2 folds into the LONG factor before the decimal cast (the
-        // agg_mannwhitney_u width-39 rationale).
-        .withColumn("a2row",
-          (col("cp") * 2).cast(d19) * col("fnx").cast(d19)
-            + col("cp").cast(d19) * col("cn").cast(d19))
-      val agg2 = rows.agg(max(col("np")).as("n_pos"),
-        max(col("nn")).as("n_neg"),
-        sum(col("a2row")).cast(DoubleType).as("a2"))
-      agg2.select(col("n_pos"), col("n_neg"),
-        round(col("a2") / 2 /
-          (col("n_pos").cast(DoubleType) * col("n_neg")), 6).as("auc"),
-        round(col("a2") /
-          (col("n_pos").cast(DoubleType) * col("n_neg")) - 1, 6).as("gini_ar"))
+      // divisions, identical in both engines (rocAucTail — shared with
+      // the streaming form). Emits the Gini/accuracy-ratio twin
+      // (2·AUC−1) from the same sum. At 100 TB the per-value table is
+      // the one shuffle; the bucket table is 256 rows.
+      rocAucTail(valueClassCounts(eventsTs(s, d)))
     },
 
     "agg_spearman_corr" -> { (s, d) =>
@@ -2002,6 +1968,60 @@ object Relational {
     * doubles emitted here are the unique decimal→double conversions,
     * identical wherever the table was accumulated.
     */
+  /** Per-score-value class counts behind agg_roc_auc — the ONLY part of
+    * the operator that touches raw events, so it is what the streaming
+    * twin maintains (complete-mode agg; state is one key per distinct
+    * score, exactly the batch shuffle's key cardinality — a production
+    * deployment with a truly continuous score pre-bins to its declared
+    * score grid and feeds the same tail).
+    */
+  private[graft] def valueClassCounts(events: DataFrame): DataFrame = {
+    val pos = col("event_type") === "purchase"
+    events.filter(col("value").isNotNull)
+      .groupBy("value").agg(
+        sum(when(pos, 1L).otherwise(0L)).as("cp"),
+        sum(when(pos, 0L).otherwise(1L)).as("cn"))
+  }
+
+  /** AUC/Gini tail over the per-value class-count table: the 256-bucket
+    * two-level ECDF recomposition shared verbatim by the batch operator
+    * and the streaming twin.
+    */
+  private[graft] def rocAucTail(pv: DataFrame): DataFrame = {
+    val rng = pv.agg(min("value").as("lo"), max("value").as("hi"),
+      sum("cp").as("np"), sum("cn").as("nn"))
+    val nB = 256
+    val width = (col("hi") - col("lo")) / nB
+    val withB = pv.crossJoin(broadcast(rng))
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(nB - 1),
+            floor((col("value") - col("lo")) / width).cast(IntegerType))))
+    val bt = withB.groupBy("b").agg(sum(col("cn")).as("bn"))
+    val wPre = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val pre = bt.select(col("b"),
+      coalesce(sum(col("bn")).over(wPre), lit(0L)).as("pn"))
+    val wIn = Window.partitionBy("b").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d19 = DecimalType(19, 0)
+    val rows = withB.join(pre, "b")
+      .withColumn("fnx",
+        col("pn") + coalesce(sum(col("cn")).over(wIn), lit(0L)))
+      // ×2 folds into the LONG factor before the decimal cast (the
+      // agg_mannwhitney_u width-39 rationale).
+      .withColumn("a2row",
+        (col("cp") * 2).cast(d19) * col("fnx").cast(d19)
+          + col("cp").cast(d19) * col("cn").cast(d19))
+    val agg2 = rows.agg(max(col("np")).as("n_pos"),
+      max(col("nn")).as("n_neg"),
+      sum(col("a2row")).cast(DoubleType).as("a2"))
+    agg2.select(col("n_pos"), col("n_neg"),
+      round(col("a2") / 2 /
+        (col("n_pos").cast(DoubleType) * col("n_neg")), 6).as("auc"),
+      round(col("a2") /
+        (col("n_pos").cast(DoubleType) * col("n_neg")) - 1, 6).as("gini_ar"))
+  }
+
   private[graft] def armValueSums(events: DataFrame): DataFrame = {
     val d6 = col("value").cast(DecimalType(18, 6))
     events.groupBy((col("user_id") % 2).as("arm"))

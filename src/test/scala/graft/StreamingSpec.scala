@@ -148,6 +148,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("roc auc over the streamed per-value class counts == batch agg_roc_auc") {
+    // Complete-mode agg on the per-score-value class-count table — the
+    // only part of the operator that touches raw events (state is one
+    // key per distinct score, the batch shuffle's own key cardinality;
+    // a continuous production score pre-bins to its declared grid).
+    // The banded ECDF AUC tail is the shared batch definition
+    // (Relational.rocAucTail), so equality proves the whole operator
+    // streaming ≡ batch — the newest stats family joins the proof
+    // surface.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val pv = runToMemory(
+      graft.queries.Relational.valueClassCounts(stream), "t_auc_pv", "complete")
+    val got = graft.queries.Relational.rocAucTail(pv).collect().toSeq
+    val want = SparkEntry.queries("agg_roc_auc")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("benford digits over a streamed orders source == batch agg_benford_test") {
     // The fraud tripwire on the live ingest: digit derivation AND the
     // χ² tail are the shared batch definitions; the stream maintains
