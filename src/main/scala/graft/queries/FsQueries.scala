@@ -55,7 +55,46 @@ object FsQueries {
     * Relational's layouts; the lock serializes concurrent consumers in
     * one JVM.
     */
+  /** The fs_audit_perms fixture: DECLARED modes spanning every audit
+    * rule — world-writable (666 / 777 / sticky-1777), group-writable
+    * (664), and two clean files (644, 400). Hadoop's FsPermission
+    * strips setuid/setgid (the fs_ls_long note), so the audit covers
+    * exactly the permission bits the FileSystem API can carry; the
+    * expected finding is declared alongside the mode, making the
+    * oracle a known-construction VALUES emission.
+    */
+  private val auditFixture: Seq[(String, String, Int, String, String)] = Seq(
+    ("ap_a.txt", "readme",   Integer.parseInt("644", 8),  "-rw-r--r--", "none"),
+    ("ap_b.dat", "shared",   Integer.parseInt("666", 8),  "-rw-rw-rw-", "world_writable"),
+    ("ap_c.sh",  "runme",    Integer.parseInt("777", 8),  "-rwxrwxrwx", "world_writable"),
+    ("ap_d.dat", "teamfile", Integer.parseInt("664", 8),  "-rw-rw-r--", "group_writable"),
+    ("ap_e.key", "secret",   Integer.parseInt("400", 8),  "-r--------", "none"),
+    ("ap_f.tmp", "scratch",  Integer.parseInt("1777", 8), "-rwxrwxrwt", "world_writable"))
+
   private val plantLock = new Object
+
+  /** lsLongDir's planter shape for the audit fixture (declared modes,
+    * chmod'd through the same FileSystem API the listing reads back).
+    */
+  private def auditDir(s: SparkSession, d: String): String = plantLock.synchronized {
+    val dir = scratch(s, "audit", d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      fs.mkdirs(root)
+      auditFixture.foreach { case (name, content, mode, _, _) =>
+        val p = new org.apache.hadoop.fs.Path(root, name)
+        val out = fs.create(p, true)
+        out.write(content.getBytes("UTF-8"))
+        out.close()
+        fs.setPermission(p,
+          new org.apache.hadoop.fs.permission.FsPermission(mode.toShort))
+      }
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
   def lsLongDir(s: SparkSession, d: String): String = plantLock.synchronized {
     val dir = scratch(s, "lsl", d)
     val conf = s.sparkContext.hadoopConfiguration
@@ -214,6 +253,33 @@ object FsQueries {
             .when(col("age_days") < 30, lit("warm"))
             .otherwise(lit("cold")))
         .select(col("name"), col("length"), col("age_days"), col("tier"))
+        .orderBy("name")
+    },
+
+    "fs_audit_perms" -> { (s, d) =>
+      // hh-layer permissions audit — the security sweep an estate runs
+      // before widening access: flag world-writable files (any actor
+      // can corrupt the data; the classic open-/tmp-on-HDFS hazard)
+      // and group-writable ones from the executor-streamed listing.
+      // Rules are pure column arithmetic on the octal digits — no
+      // per-file stat re-fetch, so at estate scale the audit costs one
+      // listing stream (bytes ∝ file count, the fs_tier_plan shape).
+      // Hadoop's FsPermission strips setuid/setgid (fs_ls_long note),
+      // so the rule set covers exactly the bits the FileSystem API
+      // carries; the planted fixture declares modes spanning every
+      // rule, and the hash gate proves the create → chmod → list →
+      // classify chain reproduces the declared findings.
+      val o = substring(col("perm_octal"), 4, 1).cast("int")
+      val g = substring(col("perm_octal"), 3, 1).cast("int")
+      val finding = when(o.bitwiseAND(lit(2)) =!= 0, "world_writable")
+        .when(g.bitwiseAND(lit(2)) =!= 0, "group_writable")
+        .otherwise("none")
+      FsOps.ls(s, auditDir(s, d))
+        .filter(!col("is_dir") && col("name") =!= "_SUCCESS")
+        .withColumn("perm", concat(lit("-"), permString(col("perm_octal"))))
+        .withColumn("finding", finding)
+        .withColumn("flagged", col("finding") =!= "none")
+        .select("name", "perm", "finding", "flagged")
         .orderBy("name")
     },
 
@@ -465,6 +531,16 @@ object FsQueries {
     // Known-construction emission straight from the SAME fixture Seq the
     // query plants — one source of truth; owner/group are Verify-injected
     // environment facts (java.nio probe of the planting process).
+    // Known construction (the fs_ls_long pattern): the expected finding
+    // is part of the fixture declaration.
+    "fs_audit_perms" -> {
+      val rows = auditFixture.map { case (name, _, _, perm, finding) =>
+        s"('$name', '$perm', '$finding', ${finding != "none"})"
+      }.mkString(", ")
+      s"SELECT name, perm, finding, flagged FROM (VALUES $rows) " +
+        "t(name, perm, finding, flagged) ORDER BY name"
+    },
+
     "fs_ls_long" -> {
       val rows = lsLongFixture.map { case (name, content, _, perm) =>
         s"('$perm', CAST(${content.length} AS BIGINT), '$name')"

@@ -1559,6 +1559,52 @@ object Relational {
       rocAucTail(valueClassCounts(eventsTs(s, d)))
     },
 
+    "agg_calibration_bins" -> { (s, d) =>
+      // Reliability diagram + expected calibration error — agg_roc_auc's
+      // companion readout: AUC says a score RANKS well, calibration says
+      // its magnitude can be trusted as a probability (the keep/drop
+      // thresholds a quality-gate sets assume it can). Score p̂ is the
+      // min-max-normalized value (1-row range attach, the ECDF banding
+      // pattern), binned into 10 fixed deciles of the score range;
+      // per bin: count, exact positive count, mean score and positive
+      // rate; ECE = Σ (n_b/n)·|mean − rate| over the 10-row table.
+      // Determinism: p̂ is identical IEEE in both engines, so the bin
+      // assignment is too; means ride 1e-6-snapped decimal sums (davg
+      // rationale), the gap is arithmetic on those identical doubles,
+      // and ECE decimal-sums n_b·gap over the bounded bin table. At
+      // 100 TB: one corpus pass + a ≤10-row rollup — the windows never
+      // see more than 10 rows.
+      val snap: Column => Column =
+        x => floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      val ev = eventsTs(s, d).filter(col("value").isNotNull)
+      val rng = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val p = (col("value") - col("lo")) / (col("hi") - col("lo"))
+      val binned = ev.crossJoin(broadcast(rng))
+        .withColumn("bin", least(lit(9L), floor(p * 10).cast(LongType)))
+        .withColumn("ps", snap(p))
+        .withColumn("pos",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+      val bins = binned.groupBy("bin")
+        .agg(count(lit(1)).as("n_events"), sum(col("pos")).as("n_pos"),
+          snap(sum(dec(col("ps"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_score"))
+        .withColumn("pos_rate",
+          snap(col("n_pos").cast(DoubleType) / col("n_events")))
+        .withColumn("gap", snap(abs(col("avg_score") - col("pos_rate"))))
+      val wAll = Window.partitionBy(lit(1))
+      bins
+        // (10,6)×(19,0) keeps the product inside width 38 in BOTH
+        // engines (gap ≤ 1 at 6 dp; DuckDB rejects wider outright).
+        .withColumn("ece", snap(
+          sum(col("gap").cast(DecimalType(10, 6))
+            * col("n_events").cast(DecimalType(19, 0)))
+            .over(wAll).cast(DoubleType)
+            / sum(col("n_events")).over(wAll)))
+        .select("bin", "n_events", "n_pos", "avg_score", "pos_rate",
+          "gap", "ece")
+        .orderBy("bin")
+    },
+
     "agg_spearman_corr" -> { (s, d) =>
       // Spearman rank correlation between l_quantity and l_discount —
       // the monotone-association screen (Pearson needs linearity;
@@ -2789,6 +2835,41 @@ object Relational {
         |  round(a2 / 2 / (CAST(np AS DOUBLE) * nn), 6) AS auc,
         |  round(a2 / (CAST(np AS DOUBLE) * nn) - 1, 6) AS gini_ar
         |FROM s, t""".stripMargin,
+
+    "agg_calibration_bins" ->
+      """WITH rng AS (
+        |  SELECT min(value) AS lo, max(value) AS hi FROM events
+        |  WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT least(9, CAST(floor((value - lo) / (hi - lo) * 10)
+        |      AS BIGINT)) AS bin,
+        |    floor((value - lo) / (hi - lo) * 1000000 + 0.5) / 1000000.0
+        |      AS ps,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events, rng WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT bin, count(*) AS n_events,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    floor(CAST(sum(CAST(ps AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_score
+        |  FROM b GROUP BY bin),
+        |r AS (
+        |  SELECT bin, n_events, n_pos, avg_score,
+        |    floor(CAST(n_pos AS DOUBLE) / n_events * 1000000 + 0.5)
+        |      / 1000000.0 AS pos_rate
+        |  FROM g),
+        |gg AS (
+        |  SELECT bin, n_events, n_pos, avg_score, pos_rate,
+        |    floor(abs(avg_score - pos_rate) * 1000000 + 0.5) / 1000000.0
+        |      AS gap
+        |  FROM r)
+        |SELECT bin, n_events, n_pos, avg_score, pos_rate, gap,
+        |  floor(CAST(sum(CAST(gap AS DECIMAL(10,6))
+        |        * CAST(n_events AS DECIMAL(19,0))) OVER ()
+        |      AS DOUBLE)
+        |    / CAST(sum(n_events) OVER () AS BIGINT) * 1000000 + 0.5)
+        |    / 1000000.0 AS ece
+        |FROM gg ORDER BY bin""".stripMargin,
 
     "agg_spearman_corr" ->
       """WITH li AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
