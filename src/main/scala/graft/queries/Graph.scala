@@ -594,6 +594,73 @@ object Graph {
       val w1 = hop(starts, "node_id", 1, "hop1")
       val w2 = hop(w1, "hop1", 2, "hop2")
       w2.select("node_id", "hop1", "hop2").orderBy("node_id")
+    },
+
+    "graph_connected_components" -> { (s, d) =>
+      // Connected components of the co-occurrence graph with a
+      // component census — the community-structure readout a crawl
+      // audit runs (how fragmented is the link graph? how big is the
+      // giant component?). Same iterative min-label fixpoint schedule
+      // as the dedup ccLabels flagship (TextPipeline) with the graph
+      // swapped: label(v) ← min(label(v), min over neighbors) each
+      // round, O(edges) per round, labels auto-broadcast under the
+      // size threshold and degrade to shuffle joins above it (no
+      // forced hint — the ccLabels rationale). Plain propagation, not
+      // pointer doubling: a co-occurrence graph's diameter is tiny
+      // (measured 3 rounds to fixpoint here); ccLabels documents the
+      // doubling variant for long-chain graphs. Per-round driver
+      // traffic is ONE changed-count row (the k_core idiom);
+      // localCheckpoint truncates the per-round lineage growth
+      // (measured exponential analysis cost without it — ccLabels
+      // note). The %10 subgraph bounds the recursive-CTE oracle's
+      // transitive closure, the graph_triangles gate rationale; edges
+      // keep only STRONG ties (pairs co-occurring in ≥ 2 distinct
+      // orders — the standard co-occurrence significance cut), which
+      // both matches how a real community census thresholds noise
+      // edges and fragments this synthetic graph into a multi-
+      // component emission (19 components at sf0.01) instead of one
+      // giant blob — the census grouping is genuinely exercised.
+      val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+        .agg(count(lit(1)).as("nord"))
+        .filter(col("nord") >= 2).select("u", "v")
+      val edges = und.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .persist() // joined every propagation round
+      var lab = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("lbl"))
+        .localCheckpoint(eager = false).persist()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val prop = edges.join(lab.withColumnRenamed("id", "v2"),
+            edges("v") === col("v2"))
+          .groupBy(col("u").as("id")).agg(min(col("lbl")).as("nbl"))
+        val next = lab.withColumnRenamed("lbl", "old")
+          .join(prop.withColumnRenamed("id", "id2"),
+            col("id") === col("id2"), "left")
+          .select(col("id"),
+            least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"),
+            col("old"))
+          .localCheckpoint(eager = false).persist()
+        val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
+        converged = changed == 0L
+        lab.unpersist()
+        lab = next.select("id", "lbl")
+        rounds += 1
+      }
+      require(converged,
+        s"graph_connected_components: no fixpoint in $rounds rounds — " +
+          "emission would carry stale labels, not components")
+      lab.groupBy(col("lbl").as("component_id"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("id")).as("min_node"), max(col("id")).as("max_node"))
+        .orderBy("component_id")
     }
   )
 
@@ -921,6 +988,27 @@ object Graph {
         |      e.v) AS rn
         |  FROM w1 JOIN both_e e ON w1.hop1 = e.u)
         |SELECT node_id, hop1, hop2 FROM h2 WHERE rn = 1
-        |ORDER BY node_id""".stripMargin
+        |ORDER BY node_id""".stripMargin,
+
+    // The dedup_clusters recursive-CTE fixpoint with the graph swapped;
+    // the %10 subgraph bounds the closure.
+    "graph_connected_components" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |e0 AS (
+        |  SELECT x.p AS u, y.p AS v FROM op x JOIN op y
+        |  ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON reach.id = e.u),
+        |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT comp AS component_id, count(*) AS n_nodes,
+        |  min(id) AS min_node, max(id) AS max_node
+        |FROM lab GROUP BY comp ORDER BY component_id""".stripMargin
   )
 }

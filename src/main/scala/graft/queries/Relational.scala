@@ -1365,6 +1365,21 @@ object Relational {
       welchTail(armValueSums(eventsTs(s, d)))
     },
 
+    "agg_cohens_d" -> { (s, d) =>
+      // Cohen's d effect size between the user-parity arms — the
+      // readout that separates statistically significant from
+      // practically meaningful (at 100 TB event counts EVERYTHING is
+      // significant; d is what a launch decision actually reads):
+      // standardized mean difference over the pooled SD, with the
+      // conventional negligible/small/medium/large bands at
+      // 0.2/0.5/0.8 (compared on the UNROUNDED d — the agg_srm_check
+      // flag pattern). Rides the agg_welch_ttest machinery unchanged:
+      // the same 2-row armValueSums exact-decimal table, a factored
+      // tail (cohensDTail) the streaming twin shares, and pure IEEE
+      // arithmetic after the sums. No shuffle grows with data.
+      cohensDTail(armValueSums(eventsTs(s, d)))
+    },
+
     "agg_anova_oneway" -> { (s, d) =>
       // One-way ANOVA F across event types over `value` — the k-group
       // generalization of agg_welch_ttest (two arms get a t; k
@@ -2068,6 +2083,35 @@ object Relational {
         (col("n_pos").cast(DoubleType) * col("n_neg")) - 1, 6).as("gini_ar"))
   }
 
+  /** Cohen's d tail over the same 2-row per-arm table as welchTail —
+    * the effect-size readout that tells an experimenter whether a
+    * significant t is PRACTICALLY meaningful; shared by the batch
+    * operator and (via the already-streamed armValueSums table) the
+    * streaming twin.
+    */
+  private[graft] def cohensDTail(perArm: DataFrame): DataFrame = {
+    val c = perArm.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("sx"))).as("sx0"),
+      max(when(col("arm") === 0, col("sxx"))).as("sxx0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("sx"))).as("sx1"),
+      max(when(col("arm") === 1, col("sxx"))).as("sxx1"))
+    def s2(sx: Column, sxx: Column, n: Column) =
+      (sxx - sx * sx / n) / (n - 1)
+    val s20 = s2(col("sx0"), col("sxx0"), col("n0"))
+    val s21 = s2(col("sx1"), col("sxx1"), col("n1"))
+    val dEff = (col("sx0") / col("n0") - col("sx1") / col("n1")) /
+      sqrt(((col("n0") - 1) * s20 + (col("n1") - 1) * s21) /
+        (col("n0") + col("n1") - 2))
+    def r6(x: Column) = floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+    c.select(col("n0"), col("n1"), r6(dEff).as("cohens_d"),
+      when(abs(dEff) < 0.2, "negligible")
+        .when(abs(dEff) < 0.5, "small")
+        .when(abs(dEff) < 0.8, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
   private[graft] def armValueSums(events: DataFrame): DataFrame = {
     val d6 = col("value").cast(DecimalType(18, 6))
     events.groupBy((col("user_id") % 2).as("arm"))
@@ -2712,6 +2756,42 @@ object Relational {
         |    / (v0 * v0 / (n0 - 1) + v1 * v1 / (n1 - 1))
         |    * 1000000 + 0.5) / 1000000.0 AS df
         |FROM v""".stripMargin,
+
+    // Same exact-decimal arm sums as agg_welch_ttest; d and the band
+    // label are pure IEEE after them.
+    "agg_cohens_d" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))
+        |      END) AS DOUBLE) AS sxx0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))
+        |      END) AS DOUBLE) AS sxx1
+        |  FROM events),
+        |v AS (
+        |  SELECT n0, n1,
+        |    (sxx0 - sx0 * sx0 / n0) / (n0 - 1) AS s20,
+        |    (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS s21,
+        |    sx0 / n0 AS m0, sx1 / n1 AS m1
+        |  FROM c),
+        |e AS (
+        |  SELECT n0, n1, (m0 - m1)
+        |    / sqrt(((n0 - 1) * s20 + (n1 - 1) * s21) / (n0 + n1 - 2)) AS d
+        |  FROM v)
+        |SELECT n0, n1,
+        |  floor(d * 1000000 + 0.5) / 1000000.0 AS cohens_d,
+        |  CASE WHEN abs(d) < 0.2 THEN 'negligible'
+        |    WHEN abs(d) < 0.5 THEN 'small'
+        |    WHEN abs(d) < 0.8 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM e""".stripMargin,
 
     // DECIMAL(19,6) in the square (not 18): DuckDB int64-backed ≤18
     // multiply doesn't widen — the corrMatrixOracle / welch finding.

@@ -148,6 +148,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("cohen's d over the streamed per-arm sums == batch agg_cohens_d") {
+    // Same streamed armValueSums table as the welch twin — the effect
+    // size comes for free on the live readout once the 2-key state
+    // exists; the tail is the shared batch definition.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val perArm = runToMemory(
+      graft.queries.Relational.armValueSums(stream), "t_cohd_arms", "complete")
+    val got = graft.queries.Relational.cohensDTail(perArm).collect().toSeq
+    val want = SparkEntry.queries("agg_cohens_d")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("roc auc over the streamed per-value class counts == batch agg_roc_auc") {
     // Complete-mode agg on the per-score-value class-count table — the
     // only part of the operator that touches raw events (state is one
