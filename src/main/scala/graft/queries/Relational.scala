@@ -1121,6 +1121,47 @@ object Relational {
           round(element_at(col("qs"), 3), 4).as("q3"))
         .orderBy("o_orderstatus")),
 
+    "agg_tukey_outliers" -> { (s, d) =>
+      // Tukey-fence outlier census per status — the box-plot screen a
+      // data audit runs before trusting means (agg_median_abs_deviation
+      // is the robust-scale sibling; this is the count-what-falls-out
+      // form). Quartiles are TYPE-1 order statistics (the value at rank
+      // ⌈0.25n⌉ / ⌈0.75n⌉) rather than interpolated: both engines pick
+      // an actual data value by exact integer rank arithmetic, so the
+      // fences q1 ∓ 1.5·IQR are arithmetic on IDENTICAL doubles and the
+      // outlier comparisons can never straddle an interpolation ulp.
+      // Shape: rank pass and census pass both ride the status shuffle;
+      // the ≤#status-row fence table attaches back by equi-join
+      // (Catalyst auto-broadcasts — the ccLabels no-hint rationale).
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = Window.partitionBy("o_orderstatus")
+      val t = orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val q = t.groupBy("o_orderstatus").agg(
+        max(when(col("rn") === ceil(col("n") * 0.25), col("o_totalprice")))
+          .as("q1"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("o_totalprice")))
+          .as("q3"))
+      val f = q
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      orders(s, d).join(f, "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(max(col("q1")), 4).as("q1"),
+          round(max(col("q3")), 4).as("q3"),
+          round(max(col("lo")), 4).as("lo_fence"),
+          round(max(col("hi")), 4).as("hi_fence"),
+          sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_high"))
+        .orderBy("o_orderstatus")
+    },
+
     "agg_rollup" -> ((s, d) =>
       customer(s, d)
         .rollup("c_mktsegment", "c_nationkey")
@@ -2950,6 +2991,35 @@ object Relational {
         |    / CAST(sum(n_events) OVER () AS BIGINT) * 1000000 + 0.5)
         |    / 1000000.0 AS ece
         |FROM gg ORDER BY bin""".stripMargin,
+
+    // Type-1 order-statistic quartiles by exact integer ranks — both
+    // engines pick identical data VALUES, so the fence arithmetic and
+    // comparisons are IEEE-identical (no interpolation ulp to straddle).
+    "agg_tukey_outliers" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders),
+        |q AS (
+        |  SELECT o_orderstatus,
+        |    max(CASE WHEN rn = ceil(n * 0.25) THEN o_totalprice END) AS q1,
+        |    max(CASE WHEN rn = ceil(n * 0.75) THEN o_totalprice END) AS q3
+        |  FROM t GROUP BY 1),
+        |f AS (
+        |  SELECT o_orderstatus, q1, q3,
+        |    q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM q)
+        |SELECT o.o_orderstatus, count(*) AS n_orders,
+        |  round(max(q1), 4) AS q1, round(max(q3), 4) AS q3,
+        |  round(max(lo), 4) AS lo_fence, round(max(hi), 4) AS hi_fence,
+        |  CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high
+        |FROM orders o JOIN f USING (o_orderstatus)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_spearman_corr" ->
       """WITH li AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),

@@ -903,6 +903,55 @@ object StreamingBatch {
         round(p3, 6).as("pacf3"))
     },
 
+    "ts_downsample_ltob" -> { (s, d) =>
+      // Largest-Triangle-One-Bucket downsampling of the global hourly
+      // series — the dashboard decimation step (render ~4 points/day
+      // without flattening spikes the way plain averaging does).
+      // Deliberately LTOB, not LTTB: LTTB's triangle anchors on the
+      // PREVIOUSLY SELECTED point, an inherently sequential recurrence
+      // (the fold shape ts_ewma documents); LTOB anchors each bucket's
+      // pick on its NEIGHBOR BUCKETS' fixed centroids — near-identical
+      // visual fidelity (Steinarsson's published one-bucket variant)
+      // and every bucket decides in PARALLEL, which is the correct
+      // 100 TB trade. Shape: one map-side hourly rollup, centroids on
+      // the calendar-bounded bucket table (the ts_mk_trend hour-table
+      // argument covers its unpartitioned lag/lead window), one
+      // per-bucket argmax window. Determinism: centroids are
+      // 1e-6-snapped decimal averages of exact longs, the 2×-area is
+      // IEEE on identical inputs, argmax tie-breaks on h; edge buckets
+      // keep their first/last point via a sign-trick score (max(−h) =
+      // min h), the standard LTTB endpoint rule.
+      val snap: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        x => floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bkt", expr("h DIV 6"))
+      val cent = hc.groupBy("bkt").agg(
+        snap(sum(dec(col("h"))).cast(DoubleType) / count(lit(1))).as("ct"),
+        snap(sum(dec(col("n"))).cast(DoubleType) / count(lit(1))).as("cv"),
+        count(lit(1)).as("n_in_bucket"))
+      val wB = Window.orderBy("bkt")
+      val anch = cent
+        .withColumn("ta", lag(col("ct"), 1).over(wB))
+        .withColumn("va", lag(col("cv"), 1).over(wB))
+        .withColumn("tc", lead(col("ct"), 1).over(wB))
+        .withColumn("vc", lead(col("cv"), 1).over(wB))
+      val area2 = abs((col("ta") - col("tc")) * (col("n") - col("va"))
+        - (col("ta") - col("h")) * (col("vc") - col("va")))
+      val score = when(col("ta").isNull, -col("h").cast(DoubleType))
+        .when(col("tc").isNull, col("h").cast(DoubleType))
+        .otherwise(area2)
+      val wS = Window.partitionBy("bkt").orderBy(desc("score"), col("h"))
+      hc.join(anch, "bkt")
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(wS))
+        .filter(col("rn") === 1)
+        .select(col("bkt"), col("h").as("sel_h"), col("n").as("sel_n"),
+          col("n_in_bucket"))
+        .orderBy("bkt")
+    },
+
     "ts_periodogram" -> { (s, d) =>
       // Schuster periodogram at candidate periods {6, 12, 24, 168 h}
       // — WHICH cycle dominates a series (ts_acf says "correlated at
@@ -1294,6 +1343,40 @@ object StreamingBatch {
         |  round((r3 - phi21 * r2 - p2 * r1)
         |    / (1.0 - phi21 * r1 - p2 * r2), 6) AS pacf3
         |FROM dl2""".stripMargin,
+
+    "ts_downsample_ltob" ->
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |hb AS (SELECT h, n, h // 6 AS bkt FROM hc),
+        |cent AS (
+        |  SELECT bkt,
+        |    floor(CAST(sum(CAST(h AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(*) * 1000000 + 0.5) / 1000000.0 AS ct,
+        |    floor(CAST(sum(CAST(n AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(*) * 1000000 + 0.5) / 1000000.0 AS cv,
+        |    count(*) AS n_in_bucket
+        |  FROM hb GROUP BY bkt),
+        |anch AS (
+        |  SELECT bkt, n_in_bucket,
+        |    lag(ct) OVER (ORDER BY bkt) AS ta,
+        |    lag(cv) OVER (ORDER BY bkt) AS va,
+        |    lead(ct) OVER (ORDER BY bkt) AS tc,
+        |    lead(cv) OVER (ORDER BY bkt) AS vc
+        |  FROM cent),
+        |cand AS (
+        |  SELECT hb.bkt, hb.h, hb.n, anch.n_in_bucket,
+        |    CASE WHEN ta IS NULL THEN -CAST(h AS DOUBLE)
+        |      WHEN tc IS NULL THEN CAST(h AS DOUBLE)
+        |      ELSE abs((ta - tc) * (n - va) - (ta - h) * (vc - va))
+        |    END AS score
+        |  FROM hb JOIN anch USING (bkt)),
+        |sel AS (
+        |  SELECT bkt, h, n, n_in_bucket, row_number() OVER (
+        |    PARTITION BY bkt ORDER BY score DESC, h) AS rn
+        |  FROM cand)
+        |SELECT bkt, h AS sel_h, n AS sel_n, n_in_bucket
+        |FROM sel WHERE rn = 1 ORDER BY bkt""".stripMargin,
 
     "ts_periodogram" ->
       s"""WITH hc AS (
