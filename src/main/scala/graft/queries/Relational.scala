@@ -1162,6 +1162,30 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    "agg_trimmed_mean" -> { (s, d) =>
+      // 5%-trimmed mean per status — the robust center a skewed-metric
+      // readout wants when the mean is hostage to its tails (the
+      // agg_tukey_outliers census tells you THAT tails exist; the trim
+      // is how you report the middle anyway). Trim bounds are exact
+      // integer ranks (rn in (⌈0.05n⌉, ⌈0.95n⌉] — n·0.05 is the same
+      // IEEE product in both engines, so ⌈⌉ agrees), the kept-set mean
+      // rides the davg exact-decimal policy. One status shuffle: the
+      // rank window and the rollup share it.
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = Window.partitionBy("o_orderstatus")
+      orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") > ceil(col("n") * 0.05) &&
+          col("rn") <= ceil(col("n") * 0.95))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_kept"),
+          davg(col("o_totalprice")).as("trimmed_mean"))
+        .orderBy("o_orderstatus")
+    },
+
     "agg_rollup" -> ((s, d) =>
       customer(s, d)
         .rollup("c_mktsegment", "c_nationkey")
@@ -3019,6 +3043,18 @@ object Relational {
         |  CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_high
         |FROM orders o JOIN f USING (o_orderstatus)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_trimmed_mean" ->
+      s"""WITH t AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_kept,
+        |  ${oAvg("o_totalprice")} AS trimmed_mean
+        |FROM t WHERE rn > ceil(n * 0.05) AND rn <= ceil(n * 0.95)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_spearman_corr" ->

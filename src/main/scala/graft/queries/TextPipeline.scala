@@ -1583,6 +1583,39 @@ object TextPipeline {
         .orderBy("lang")
     },
 
+    "text_token_entropy" -> { (s, d) =>
+      // Per-doc token-distribution entropy rolled up per source — the
+      // Gopher-rule-family repetition screen (a doc whose tokens
+      // concentrate on few types has low entropy = boilerplate or
+      // gibberish; the corpus card reports the per-source profile and
+      // the count below the 2.0-nat floor). Shape: token total rides
+      // the row BEFORE the explode (no second doc shuffle), the
+      // (doc, term) groupBy is the one data-sized shuffle, per-doc
+      // entropy and the source rollup are reductions. Determinism:
+      // p = c/n is exact-integer division (identical IEEE), each
+      // −p·ln p term is rounded at 1e-6 then decimal-summed
+      // (the text_js_divergence ln recipe), the per-source mean uses
+      // the davg floor-snap; the low-entropy flag compares the
+      // decimal-exact per-doc sum.
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"),
+        size(split(col("text"), " ")).cast(DoubleType).as("n"))
+      val g = docs.select(col("doc_id"), col("source"), col("n"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "source", "n", "term")
+        .agg(count(lit(1)).as("c"))
+      val contrib = round((col("c") / col("n")) * log(col("c") / col("n")), 6)
+      val ent = g.groupBy("doc_id", "source")
+        .agg((-sum(dec(contrib)).cast(DoubleType)).as("ent"))
+      ent.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(sum(dec(col("ent"))).cast(DoubleType) / count(lit(1))
+            * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
+            .as("avg_entropy"),
+          sum(when(col("ent") < 2.0, 1L).otherwise(0L)).as("n_low_entropy"))
+        .orderBy("source")
+    },
+
     "text_rake_keyphrases" -> { (s, d) =>
       // RAKE keyphrase extraction (Rose et al.) — the unsupervised
       // keyword/topic surface a corpus card ships (what IS this data
@@ -3013,6 +3046,29 @@ object TextPipeline {
         |      x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS n_stop
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "text_token_entropy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, source, CAST(len(arr) AS DOUBLE) AS n,
+        |    unnest(arr) AS term
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id, source, n, term, count(*) AS c
+        |  FROM tc GROUP BY 1, 2, 3, 4),
+        |e AS (
+        |  SELECT doc_id, source,
+        |    -CAST(sum(CAST(round(c / n * ln(c / n), 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE) AS ent
+        |  FROM g GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  floor(CAST(sum(CAST(ent AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_entropy,
+        |  CAST(sum(CASE WHEN ent < 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_entropy
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH base AS (
