@@ -1445,6 +1445,27 @@ object Relational {
       cohensDTail(armValueSums(eventsTs(s, d)))
     },
 
+    "agg_k_anonymity" -> { (s, d) =>
+      // k-anonymity audit over the (nation, market-segment) quasi-
+      // identifier — the privacy gate a dataset release runs: every
+      // equivalence class under the quasi-identifier must hold ≥ k
+      // individuals or its members are re-identifiable by linkage.
+      // Emits the class census (classes, the realized k = min class
+      // size, classes and rows below k=5) and the release verdict.
+      // Shape: one groupBy to the ≤ nations×segments class table, then
+      // a 1-row reduction — the audit costs one scan at any corpus
+      // size; counts exact longs, verdict on an integer compare.
+      val g = customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cls"))
+      g.agg(count(lit(1)).as("n_classes"),
+          min(col("cls")).as("k_anonymity"),
+          sum(when(col("cls") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+          sum(when(col("cls") < 5, col("cls")).otherwise(0L))
+            .as("n_exposed_rows"))
+        .withColumn("anonymity_ok", col("k_anonymity") >= 5)
+    },
+
     "agg_anova_oneway" -> { (s, d) =>
       // One-way ANOVA F across event types over `value` — the k-group
       // generalization of agg_welch_ttest (two arms get a t; k
@@ -2857,6 +2878,19 @@ object Relational {
         |    WHEN abs(d) < 0.8 THEN 'medium'
         |    ELSE 'large' END AS magnitude
         |FROM e""".stripMargin,
+
+    "agg_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS cls
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |  CAST(min(cls) AS BIGINT) AS k_anonymity,
+        |  CAST(sum(CASE WHEN cls < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_classes,
+        |  CAST(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS BIGINT)
+        |    AS n_exposed_rows,
+        |  min(cls) >= 5 AS anonymity_ok
+        |FROM g""".stripMargin,
 
     // DECIMAL(19,6) in the square (not 18): DuckDB int64-backed ≤18
     // multiply doesn't widen — the corrMatrixOracle / welch finding.

@@ -154,6 +154,31 @@ object Vectors {
       .filter(m => java.lang.Integer.bitCount(m) <= maxDist).map(_.toLong)
 
   val queries: Map[String, Q] = Map(
+    "feat_embedding_norm_audit" -> { (s, d) =>
+      // Embedding-health audit — the sanity gate an ANN/dedup build
+      // runs BEFORE trusting cosine anywhere: zero-norm vectors make
+      // cosine undefined, non-finite components poison every dot, and
+      // a drifting norm profile per label flags a broken encoder
+      // batch. Per-label census of L2 norms (count, snapped-decimal
+      // mean, min/max, zero and non-finite counts). Shape: norms via
+      // the codegen'd DotProductF kernel, MAP-ONLY; one ≤#labels-row
+      // groupBy — the whole audit costs one corpus scan at any size.
+      GraftFunctions.register(s)
+      val snap: Column => Column =
+        x => floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      embeddings(s, d)
+        .withColumn("nrm", round(norm(col("embedding")), 6))
+        .groupBy("label").agg(
+          count(lit(1)).as("n_vecs"),
+          snap(sum(dec(col("nrm"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(isnan(col("nrm")), 1L).otherwise(0L)).as("n_nonfinite"))
+        .orderBy("label")
+    },
+
     "sim_cosine_topk" -> { (s, d) =>
       // Brute-force top-20 cosine neighbors of vec_id 0: broadcast the
       // query row, map-side dot products, TakeOrdered for the top-k.
@@ -934,6 +959,25 @@ object Vectors {
         |    / 1000000.0 AS centroid
         |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
     },
+
+    // Same left-fold norm as the Spark kernel; the audit arithmetic is
+    // exact after the 6-dp snap.
+    "feat_embedding_norm_audit" ->
+      s"""WITH t AS (
+        |  SELECT label, round(sqrt(
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (acc, x) -> acc + x)), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  floor(CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_norm,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+        |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN isnan(nrm) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
 
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
