@@ -1466,6 +1466,31 @@ object Relational {
         .withColumn("anonymity_ok", col("k_anonymity") >= 5)
     },
 
+    "agg_dp_count_laplace" -> { (s, d) =>
+      // Differentially-private count release (Laplace mechanism,
+      // ε = 1, sensitivity 1) — agg_k_anonymity's complement: instead
+      // of gating the release, perturb it. The noise draw here is
+      // hash-seeded per released cell (the sample_mixture_resample
+      // md5-uniform, inverse-CDF'd to Laplace) so the gate can
+      // hash-verify the WHOLE mechanism; a production release swaps
+      // the per-cell uniform for a calibrated RNG — the shape (one
+      // map-side draw per output cell, zero extra passes) is
+      // identical, and the gate emission keeps n_true only to prove
+      // the draw. ln on the round-at-1e-6 recipe; the 1e-12 clamp
+      // guards the u→0.5 singularity.
+      val u = conv(substring(md5(concat(lit("graft-dp:"),
+        col("event_type"))), 1, 8), 16, 10)
+        .cast(LongType).cast(DoubleType) / 4294967296.0
+      val c = u - 0.5
+      val noise = round(-signum(c) *
+        log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(c))), 6)
+      eventsTs(s, d).groupBy("event_type").agg(count(lit(1)).as("n_true"))
+        .withColumn("epsilon", lit(1.0))
+        .withColumn("noise", noise)
+        .withColumn("n_released", round(col("n_true") + col("noise"), 6))
+        .orderBy("event_type")
+    },
+
     "agg_anova_oneway" -> { (s, d) =>
       // One-way ANOVA F across event types over `value` — the k-group
       // generalization of agg_welch_ttest (two arms get a t; k
@@ -2891,6 +2916,21 @@ object Relational {
         |    AS n_exposed_rows,
         |  min(cls) >= 5 AS anonymity_ok
         |FROM g""".stripMargin,
+
+    "agg_dp_count_laplace" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+        |n AS (
+        |  SELECT event_type, n_true,
+        |    CAST(('0x' || substring(md5('graft-dp:' || event_type), 1, 8))
+        |      AS BIGINT) / 4294967296.0 - 0.5 AS c
+        |  FROM g)
+        |SELECT event_type, n_true, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  round(-sign(c)
+        |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(c))), 6) AS noise,
+        |  round(n_true + round(-sign(c)
+        |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(c))), 6), 6) AS n_released
+        |FROM n ORDER BY event_type""".stripMargin,
 
     // DECIMAL(19,6) in the square (not 18): DuckDB int64-backed ≤18
     // multiply doesn't widen — the corrMatrixOracle / welch finding.

@@ -903,6 +903,26 @@ object StreamingBatch {
         round(p3, 6).as("pacf3"))
     },
 
+    "ts_new_vs_returning" -> { (s, d) =>
+      // New-vs-returning daily actives — the cohort-entry split every
+      // growth dashboard leads with (ts_retention answers "do they
+      // come back"; this answers "who arrived today"). Shape: one
+      // user-keyed groupBy for first-seen day, one (day, user)
+      // distinct for daily actives, an equi-join on user_id (both
+      // sides user-partitioned — co-located at any scale), and a
+      // calendar-bounded day rollup. Counts exact longs throughout.
+      val dayUs = 86400000000L
+      val ev = eventsTs(s, d)
+        .select(expr(s"us DIV $dayUs").as("d"), col("user_id"))
+      val firstDay = ev.groupBy("user_id").agg(min(col("d")).as("first_d"))
+      ev.distinct().join(firstDay, "user_id")
+        .groupBy("d").agg(count(lit(1)).as("n_active"),
+          sum(when(col("d") === col("first_d"), 1L).otherwise(0L))
+            .as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+        .orderBy("d")
+    },
+
     "ts_downsample_ltob" -> { (s, d) =>
       // Largest-Triangle-One-Bucket downsampling of the global hourly
       // series — the dashboard decimation step (render ~4 points/day
@@ -1343,6 +1363,19 @@ object StreamingBatch {
         |  round((r3 - phi21 * r2 - p2 * r1)
         |    / (1.0 - phi21 * r1 - p2 * r2), 6) AS pacf3
         |FROM dl2""".stripMargin,
+
+    "ts_new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+        |fd AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY 1),
+        |daily AS (SELECT DISTINCT d, user_id FROM ev)
+        |SELECT d, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  count(*) - CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning
+        |FROM daily JOIN fd USING (user_id)
+        |GROUP BY d ORDER BY d""".stripMargin,
 
     "ts_downsample_ltob" ->
       s"""WITH hc AS (
