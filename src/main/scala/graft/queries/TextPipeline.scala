@@ -1202,6 +1202,26 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    "sample_stratified_k" -> { (s, d) =>
+      // Exact-k stratified draw — "exactly 30 docs per language",
+      // the eval-set construction rule (a RATE draw's stratum size
+      // varies with the corpus; an eval set needs the exact count).
+      // Deterministic rank on the salted md5 (ties impossible at
+      // 128 bits; doc_id tiebreak anyway), one shuffle on the stratum
+      // key, top-k per stratum via the rank window — at 100 TB each
+      // stratum partition ranks independently and k rows survive per
+      // stratum, so the emission is #strata·k rows regardless of
+      // corpus size.
+      val h = md5(concat(lit("graft-ksample:"), col("doc_id").cast(StringType)))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      documents(s, d)
+        .withColumn("h", h)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 30)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+
     "sample_reservoir" -> { (s, d) =>
       // Exact-k per-stratum sample (reservoir semantics, deterministic
       // form): rank docs inside each language by a salted md5 of the id
@@ -1581,6 +1601,40 @@ object TextPipeline {
           snap(col("tri_hapax").cast(DoubleType) / col("tri_vocab"))
             .as("hapax_share"))
         .orderBy("lang")
+    },
+
+    "text_source_overlap" -> { (s, d) =>
+      // Source×source 5-gram-shingle Jaccard — WHICH sources duplicate
+      // each other (two crawls of the same site, a mirrored dump): the
+      // corpus-curation readout that decides source-level dedup before
+      // any doc-level pass runs. Shape: per-source DISTINCT shingle
+      // sets (one shuffle), then a shingle equi-join for pair
+      // intersections — the per-shingle fan-out is bounded by
+      // C(#sources, 2) (≤ 190 here) at ANY corpus size, so the join
+      // output is O(shingles·#source-pairs), never quadratic in rows;
+      // set sizes attach by auto-broadcast joins. Pairs sharing zero
+      // shingles are absent by construction (sparse emission,
+      // documented). Jaccard = i/(a+b−i) on exact longs, one IEEE
+      // division, rounded at 1e-6.
+      val arr = split(col("text"), " ")
+      val shing = when(size(arr) >= 5,
+        transform(sequence(lit(0), size(arr) - 5),
+          i => array_join(slice(arr, i + 1, lit(5)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val ss = documents(s, d)
+        .select(col("source"), explode(shing).as("sh")).distinct()
+      val sizes = ss.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = ss.as("a").join(ss.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("source").as("s1"), col("sz").as("za")), "s1")
+        .join(sizes.select(col("source").as("s2"), col("sz").as("zb")), "s2")
+        .select(col("s1"), col("s2"), col("n_shared"),
+          round(col("n_shared").cast(DoubleType) /
+            (col("za") + col("zb") - col("n_shared")), 6).as("jaccard"))
+        .orderBy("s1", "s2")
     },
 
     "text_token_entropy" -> { (s, d) =>
@@ -3046,6 +3100,35 @@ object TextPipeline {
         |      x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS n_stop
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "text_source_overlap" ->
+      """WITH docs AS (
+        |  SELECT source, string_split(text, ' ') AS arr FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(range(greatest(len(arr) - 4, 0)),
+        |      i -> array_to_string(arr[i+1:i+5], ' '))) AS sh
+        |  FROM docs),
+        |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (za.sz + zb.sz - n_shared), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.source = inter.s1
+        |JOIN sz zb ON zb.source = inter.s2
+        |ORDER BY s1, s2""".stripMargin,
+
+    "sample_stratified_k" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('graft-ksample:' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
 
     "text_token_entropy" ->
       """WITH docs AS (
