@@ -1491,6 +1491,49 @@ object Relational {
         .orderBy("event_type")
     },
 
+    "feat_psi_drift" -> { (s, d) =>
+      // Population-stability-index drift between the calendar's first
+      // and second half — THE production feature-drift tripwire (PSI >
+      // 0.2 = retrain/investigate; text_js_divergence is its term-
+      // distribution sibling). Reference = events before the integer
+      // midpoint of the time range, current = after; 10 fixed bins on
+      // the global value range (a quantile-bin variant would reuse the
+      // agg_tukey_outliers rank machinery — fixed bins keep the whole
+      // op one pass). PSI = Σ(q−p)·ln(q/p) with both shares clamped at
+      // 1e-6 (the standard empty-bin guard, and it makes every term
+      // finite). Shape: ONE 1-row global aggregate (lo/hi/min_us/
+      // max_us) broadcast back, one ≤2×10-row groupBy, a 1-row
+      // reduction — one corpus scan at any size. Shares are exact-long
+      // ratios (identical IEEE), terms round-at-1e-6 then decimal-
+      // summed (the ln recipe), flag on the decimal-exact sum.
+      val snap: Column => Column =
+        x => floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      val ev = eventsTs(s, d).filter(col("value").isNotNull)
+      val rng = ev.agg(min("value").as("lo"), max("value").as("hi"),
+        min("us").as("t0"), max("us").as("t1"))
+      val mid = expr("(t0 + t1) DIV 2")
+      val p = (col("value") - col("lo")) / (col("hi") - col("lo"))
+      val binned = ev.crossJoin(broadcast(rng))
+        .withColumn("bin", least(lit(9L), floor(p * 10).cast(LongType)))
+        .withColumn("cur", (col("us") >= mid).cast(LongType))
+      val counts = binned.groupBy("bin").agg(
+        sum(when(col("cur") === 0, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("cur") === 1, 1L).otherwise(0L)).as("nc"))
+      val wAll = Window.partitionBy(lit(1))
+      val shares = counts
+        .withColumn("tr", sum(col("nr")).over(wAll))
+        .withColumn("tc", sum(col("nc")).over(wAll))
+        .withColumn("pr", greatest(lit(1e-6),
+          col("nr").cast(DoubleType) / col("tr")))
+        .withColumn("pc", greatest(lit(1e-6),
+          col("nc").cast(DoubleType) / col("tc")))
+        .withColumn("term",
+          round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6))
+      shares.agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+          sum(dec(col("term"))).cast(DoubleType).as("psi"))
+        .withColumn("drift_detected", col("psi") > 0.2)
+    },
+
     "agg_anova_oneway" -> { (s, d) =>
       // One-way ANOVA F across event types over `value` — the k-group
       // generalization of agg_welch_ttest (two arms get a t; k
@@ -2931,6 +2974,41 @@ object Relational {
         |  round(n_true + round(-sign(c)
         |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(c))), 6), 6) AS n_released
         |FROM n ORDER BY event_type""".stripMargin,
+
+    "feat_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT value, epoch_us(ts) AS us FROM events
+        |  WHERE value IS NOT NULL),
+        |rng AS (
+        |  SELECT min(value) AS lo, max(value) AS hi,
+        |    min(us) AS t0, max(us) AS t1 FROM ev),
+        |b AS (
+        |  SELECT least(9, CAST(floor((value - lo) / (hi - lo) * 10)
+        |      AS BIGINT)) AS bin,
+        |    CASE WHEN us >= (t0 + t1) // 2 THEN 1 ELSE 0 END AS cur
+        |  FROM ev, rng),
+        |c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM b GROUP BY bin),
+        |sh AS (
+        |  SELECT nr, nc,
+        |    CAST(sum(nr) OVER () AS BIGINT) AS tr,
+        |    CAST(sum(nc) OVER () AS BIGINT) AS tc
+        |  FROM c),
+        |t AS (
+        |  SELECT tr, tc,
+        |    round((greatest(1e-6, CAST(nc AS DOUBLE) / tc)
+        |        - greatest(1e-6, CAST(nr AS DOUBLE) / tr))
+        |      * ln(greatest(1e-6, CAST(nc AS DOUBLE) / tc)
+        |        / greatest(1e-6, CAST(nr AS DOUBLE) / tr)), 6) AS term
+        |  FROM sh)
+        |SELECT max(tr) AS n_ref, max(tc) AS n_cur,
+        |  CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS psi,
+        |  CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE) > 0.2
+        |    AS drift_detected
+        |FROM t""".stripMargin,
 
     // DECIMAL(19,6) in the square (not 18): DuckDB int64-backed ≤18
     // multiply doesn't widen — the corrMatrixOracle / welch finding.

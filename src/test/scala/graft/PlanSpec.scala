@@ -386,9 +386,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fs_tier_plan attaches its 1-row ref-instant (max mtime) the same
     // way. agg_roc_auc is the third user of the banded two-level ECDF
     // machinery (the agg_ks_test 1-row range/count attach, verbatim);
-    // agg_calibration_bins attaches the same 1-row (lo, hi) range row.
+    // agg_calibration_bins and feat_psi_drift attach the same 1-row
+    // (lo, hi, …) global-range row.
     val allowed = Set("join_cross", "agg_ks_test", "agg_mannwhitney_u",
-      "agg_roc_auc", "agg_calibration_bins",
+      "agg_roc_auc", "agg_calibration_bins", "feat_psi_drift",
       "text_perplexity_filter", "fs_tier_plan",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
