@@ -1084,6 +1084,50 @@ object StreamingBatch {
         .groupBy(expr(s"us DIV $hourUs").as("h"))
         .agg(count(lit(1)).as("n"))
       stlTail(hc)
+    },
+
+    "ts_cusum_changepoint" -> { (s, d) =>
+      // CUSUM level-shift localization over the global hourly count
+      // series — ts_mk_trend answers "IS traffic trending";
+      // ts_anomaly_zscore flags single outlier points; CUSUM answers
+      // "WHERE did the level shift" (the deploy/incident localizer an
+      // on-call review jumps to first). S_k = Σ_{i≤k}(n_i − μ); the
+      // change-point estimate is argmax_k |S_k| with the means before/
+      // after it as the read-out. Determinism: multiply S through by
+      // nh so the argmax compares EXACT BIGINTs — D_k = nh·cum_k −
+      // k·total = nh·S_k and sign/ordering are unchanged — no float
+      // exists until the four reported divisions (each ONE IEEE
+      // expression over exact longs, floor-snapped). The last row is
+      // excluded from the argmax (D_nh ≡ 0 by construction — a "shift"
+      // at the end has no after-side), so mean_after never divides by
+      // zero. Shape: the map-side-combined hourly rollup is the ONLY
+      // data-sized work; rank/cumsum/totals all ride one ordered
+      // window pass over the calendar-bounded hour table
+      // (hours-in-corpus rows at ANY corpus size — the ts_acf
+      // argument), and the argmax is a 1-row sort-limit on that table.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      val w = Window.orderBy("h")
+      val wAll = Window.partitionBy(lit(1))
+      hc.withColumn("k", row_number().over(w).cast(LongType))
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("tot", sum("n").over(wAll))
+        .withColumn("nh", count(lit(1)).over(wAll))
+        .withColumn("dk", col("nh") * col("cum") - col("k") * col("tot"))
+        .filter(col("k") < col("nh"))
+        .orderBy(abs(col("dk")).desc, col("h").asc)
+        .limit(1)
+        .select(col("h").as("cp_hour"), col("nh").as("n_hours"),
+          r6(abs(col("dk")).cast(DoubleType) / col("nh")).as("s_max"),
+          r6(col("cum").cast(DoubleType) / col("k")).as("mean_before"),
+          r6((col("tot") - col("cum")).cast(DoubleType)
+            / (col("nh") - col("k"))).as("mean_after"),
+          r6((col("tot") - col("cum")).cast(DoubleType)
+              / (col("nh") - col("k"))
+            - col("cum").cast(DoubleType) / col("k")).as("shift"))
     }
   )
 
@@ -1850,6 +1894,32 @@ object StreamingBatch {
         |  count(*) AS n_docs, min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars
         |FROM documents d JOIN cuts USING (lang)
-        |GROUP BY d.lang, bucket ORDER BY lang, bucket""".stripMargin
+        |GROUP BY d.lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "ts_cusum_changepoint" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT h,
+        |    CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS k,
+        |    CAST(sum(n) OVER (ORDER BY h) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot,
+        |    CAST(count(*) OVER () AS BIGINT) AS nh
+        |  FROM hc),
+        |d AS (
+        |  SELECT h, k, cum, tot, nh, nh * cum - k * tot AS dk
+        |  FROM c WHERE k < nh)
+        |SELECT h AS cp_hour, nh AS n_hours,
+        |  floor(CAST(abs(dk) AS DOUBLE) / nh * 1000000 + 0.5)
+        |    / 1000000.0 AS s_max,
+        |  floor(CAST(cum AS DOUBLE) / k * 1000000 + 0.5)
+        |    / 1000000.0 AS mean_before,
+        |  floor(CAST(tot - cum AS DOUBLE) / (nh - k) * 1000000 + 0.5)
+        |    / 1000000.0 AS mean_after,
+        |  floor((CAST(tot - cum AS DOUBLE) / (nh - k)
+        |      - CAST(cum AS DOUBLE) / k) * 1000000 + 0.5)
+        |    / 1000000.0 AS shift
+        |FROM d ORDER BY abs(dk) DESC, h LIMIT 1""".stripMargin
   )
 }

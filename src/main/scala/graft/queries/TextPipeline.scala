@@ -2116,6 +2116,47 @@ object TextPipeline {
           sum(col("n_copies")).as("copies_out"),
           sum(col("n_copies") * col("n_tok")).as("tokens_out"))
         .orderBy("source")
+    },
+
+    "text_chao1_vocab" -> { (s, d) =>
+      // Chao1 unseen-vocabulary estimate per lang — "how much MORE
+      // vocabulary would another crawl surface": the corpus-growth
+      // question a data-acquisition plan prices before buying the next
+      // dump (a coverage near 1 says new data repeats what's seen;
+      // a chao1_est far above the observed vocab says the tail is
+      // unexhausted). Runs over each lang's TRIGRAM vocabulary — the
+      // text_lexical_diversity rationale: the synthetic ~30-word
+      // unigram vocabulary has no rare tail, while trigram types keep
+      // real hapax (f1) / doubleton (f2) censuses. Estimators: the
+      // bias-corrected Chao1 lower bound t + f1·(f1−1)/(2·(f2+1))
+      // (defined even at f2 = 0, unlike the classical f1²/2f2 form)
+      // and Good–Turing coverage 1 − f1/n. Shape: one vocab-bounded
+      // (lang, trigram) groupBy, then a per-lang count-of-counts
+      // reduction; emission ≤ langs rows. Every estimator input is an
+      // exact BIGINT; each emitted double is ONE identical-IEEE
+      // expression over them, floor-snapped at 1e-6.
+      val arr = split(col("text"), " ")
+      val snap: Column => Column =
+        x => floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      val tris = when(size(arr) >= 3,
+        transform(sequence(lit(0), size(arr) - 3),
+          i => array_join(slice(arr, i + 1, lit(3)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))
+      documents(s, d).select(col("lang"), explode(tris).as("tri"))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("freq"))
+        .groupBy("lang").agg(
+          sum(col("freq")).as("n_instances"),
+          count(lit(1)).as("tri_vocab"),
+          sum(when(col("freq") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("freq") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("lang"), col("n_instances"), col("tri_vocab"),
+          col("f1"), col("f2"),
+          snap(col("tri_vocab")
+            + (col("f1") * (col("f1") - 1)).cast(DoubleType)
+              / (lit(2L) * (col("f2") + 1))).as("chao1_est"),
+          snap(lit(1.0) - col("f1").cast(DoubleType) / col("n_instances"))
+            .as("coverage"))
+        .orderBy("lang")
     }
   )
 
@@ -3178,6 +3219,27 @@ object TextPipeline {
         |SELECT lang, n_docs, avg_ttr, tri_vocab, tri_hapax,
         |  floor(CAST(tri_hapax AS DOUBLE) / tri_vocab * 1000000 + 0.5)
         |    / 1000000.0 AS hapax_share
-        |FROM tl JOIN hp USING (lang) ORDER BY lang""".stripMargin
+        |FROM tl JOIN hp USING (lang) ORDER BY lang""".stripMargin,
+
+    "text_chao1_vocab" ->
+      """WITH base AS (
+        |  SELECT lang, string_split(text, ' ') AS arr FROM documents),
+        |tr AS (
+        |  SELECT lang, unnest(list_transform(range(greatest(len(arr) - 2, 0)),
+        |    i -> array_to_string(arr[i+1:i+3], ' '))) AS tri
+        |  FROM base),
+        |tf AS (SELECT lang, tri, count(*) AS freq FROM tr GROUP BY lang, tri),
+        |cc AS (
+        |  SELECT lang, CAST(sum(freq) AS BIGINT) AS n_instances,
+        |    CAST(count(*) AS BIGINT) AS tri_vocab,
+        |    CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tf GROUP BY lang)
+        |SELECT lang, n_instances, tri_vocab, f1, f2,
+        |  floor((tri_vocab + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |      / (2 * (f2 + 1))) * 1000000 + 0.5) / 1000000.0 AS chao1_est,
+        |  floor((1.0 - CAST(f1 AS DOUBLE) / n_instances) * 1000000 + 0.5)
+        |    / 1000000.0 AS coverage
+        |FROM cc ORDER BY lang""".stripMargin
   )
 }
