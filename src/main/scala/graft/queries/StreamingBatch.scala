@@ -1108,28 +1108,40 @@ object StreamingBatch {
       val hc = eventsTs(s, d)
         .groupBy(expr(s"us DIV $hourUs").as("h"))
         .agg(count(lit(1)).as("n"))
-      def r6(c: org.apache.spark.sql.Column) =
-        floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
-      val w = Window.orderBy("h")
-      val wAll = Window.partitionBy(lit(1))
-      hc.withColumn("k", row_number().over(w).cast(LongType))
-        .withColumn("cum", sum("n").over(w))
-        .withColumn("tot", sum("n").over(wAll))
-        .withColumn("nh", count(lit(1)).over(wAll))
-        .withColumn("dk", col("nh") * col("cum") - col("k") * col("tot"))
-        .filter(col("k") < col("nh"))
-        .orderBy(abs(col("dk")).desc, col("h").asc)
-        .limit(1)
-        .select(col("h").as("cp_hour"), col("nh").as("n_hours"),
-          r6(abs(col("dk")).cast(DoubleType) / col("nh")).as("s_max"),
-          r6(col("cum").cast(DoubleType) / col("k")).as("mean_before"),
-          r6((col("tot") - col("cum")).cast(DoubleType)
-            / (col("nh") - col("k"))).as("mean_after"),
-          r6((col("tot") - col("cum")).cast(DoubleType)
-              / (col("nh") - col("k"))
-            - col("cum").cast(DoubleType) / col("k")).as("shift"))
+      cusumTail(hc)
     }
   )
+
+  /** The CUSUM tail over the (h, n) hourly count table — factored for
+    * the streaming twin: a stream maintains exactly the hourly rollup
+    * (StreamingOps.hourlyCounts, the snfTail twin's source — state is
+    * calendar-bounded), and this tail is the shared definition both
+    * forms run, so StreamingSpec's equality proves the whole operator
+    * streaming ≡ batch. All comparisons inside are exact BIGINTs
+    * (D_k = nh·S_k); the four divisions happen once, at emission.
+    */
+  private[graft] def cusumTail(hc: DataFrame): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+    val w = Window.orderBy("h")
+    val wAll = Window.partitionBy(lit(1))
+    hc.withColumn("k", row_number().over(w).cast(LongType))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("tot", sum("n").over(wAll))
+      .withColumn("nh", count(lit(1)).over(wAll))
+      .withColumn("dk", col("nh") * col("cum") - col("k") * col("tot"))
+      .filter(col("k") < col("nh"))
+      .orderBy(abs(col("dk")).desc, col("h").asc)
+      .limit(1)
+      .select(col("h").as("cp_hour"), col("nh").as("n_hours"),
+        r6(abs(col("dk")).cast(DoubleType) / col("nh")).as("s_max"),
+        r6(col("cum").cast(DoubleType) / col("k")).as("mean_before"),
+        r6((col("tot") - col("cum")).cast(DoubleType)
+          / (col("nh") - col("k"))).as("mean_after"),
+        r6((col("tot") - col("cum")).cast(DoubleType)
+            / (col("nh") - col("k"))
+          - col("cum").cast(DoubleType) / col("k")).as("shift"))
+  }
 
   /** The statistic tail of agg_chi_square over the (event_type, hr,
     * n_xy) joint count table — factored out for the streaming twin:

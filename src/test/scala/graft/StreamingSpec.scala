@@ -205,6 +205,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("cusum change-point over the streamed hourly rollup == batch operator") {
+    // Same streamed hourlyCounts table as the seasonal-naive twin —
+    // the incident localizer comes for free on the live dashboard once
+    // the calendar-bounded hourly state exists; the exact-BIGINT CUSUM
+    // tail is the shared batch definition, so equality proves the
+    // whole operator streaming ≡ batch.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val hc = runToMemory(StreamingOps.hourlyCounts(stream), "t_cusum_hc", "complete")
+    val got = graft.queries.StreamingBatch.cusumTail(hc).collect().toSeq
+    val want = SparkEntry.queries("ts_cusum_changepoint")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState running totals == batch per-user totals") {
     val stream = StreamingOps.readEvents(spark, srcDir.toString)
     val mem = runToMemory(StreamingOps.runningTotals(stream).toDF(), "t_state", "update")
