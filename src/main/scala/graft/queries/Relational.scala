@@ -1534,6 +1534,41 @@ object Relational {
         .withColumn("drift_detected", col("psi") > 0.2)
     },
 
+    "agg_theil_index" -> { (s, d) =>
+      // Theil T inequality of order value per status — agg_gini's
+      // DECOMPOSABLE companion: unlike Gini, Theil splits exactly into
+      // within-group + between-group terms, which is why a 100 TB
+      // mixture audit prefers it (per-source Theils and the between
+      // term compose without re-ranking anything). Closed form from
+      // three order-free sums: T = Σx·ln x / (n·μ) − ln μ with
+      // μ = Σx/n — NO rank window at all (Gini needs one), so the
+      // whole op is a Q1-shaped one-shuffle aggregate of 3 partials
+      // per (status, task). Determinism: Σx is the exact decimal
+      // policy; each x·ln x term rounds at 1e-6 then decimal-sums
+      // (the text_js_divergence ln recipe); ln μ snaps to the 1e-9
+      // grid (the ts_periodogram trig treatment) before the one
+      // emitted subtraction, which floor-snaps at 1e-6.
+      val snap9: Column => Column =
+        x => floor(x * 1e9 + 0.5).cast(DoubleType) / 1e9
+      val snap6: Column => Column =
+        x => floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
+      val x = col("o_totalprice").cast(DoubleType)
+      orders(s, d)
+        .select(col("o_orderstatus"),
+          col("o_totalprice"),
+          dec(round(x * log(x), 6)).as("xlx"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sv"),
+          sum(col("xlx")).cast(DoubleType).as("sxlx"))
+        .withColumn("mu", col("sv") / col("n_orders"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          snap6(col("sxlx") / (col("n_orders") * col("mu"))
+            - snap9(log(col("mu")))).as("theil"))
+        .orderBy("o_orderstatus")
+    },
+
+
     "agg_anova_oneway" -> { (s, d) =>
       // One-way ANOVA F across event types over `value` — the k-group
       // generalization of agg_welch_ttest (two arms get a t; k
@@ -3009,6 +3044,24 @@ object Relational {
         |  CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE) > 0.2
         |    AS drift_detected
         |FROM t""".stripMargin,
+
+    "agg_theil_index" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CAST(round(o_totalprice * ln(o_totalprice), 6)
+        |      AS DECIMAL(28,6)) AS xlx
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+        |    CAST(sum(xlx) AS DOUBLE) AS sxlx
+        |  FROM t GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n_orders,
+        |  floor((sxlx / (n_orders * (sv / n_orders))
+        |      - floor(ln(sv / n_orders) * 1e9 + 0.5) / 1e9)
+        |    * 1000000 + 0.5) / 1000000.0 AS theil
+        |FROM p ORDER BY o_orderstatus""".stripMargin,
+
 
     // DECIMAL(19,6) in the square (not 18): DuckDB int64-backed ≤18
     // multiply doesn't widen — the corrMatrixOracle / welch finding.

@@ -97,4 +97,31 @@ class DriftSpec extends AnyFunSuite {
     assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).toList.sorted}")
     assert((o -- q).isEmpty, s"orphan oracles without queries: ${(o -- q).toList.sorted}")
   }
+
+  test("no query key is defined in two modules (Map ++ would shadow silently)") {
+    // Round-9 finding: a second feat_target_encode added to Relational
+    // compiled fine and was silently shadowed by StreamingBatch's (the
+    // later module in SparkEntry's ++ chain) — the subset oracle gate
+    // then "passed" by running the OLD query against the OLD oracle.
+    // Key uniqueness across modules is the invariant that makes every
+    // other check in this file mean what it says.
+    import graft.queries._
+    val modules: Seq[(String, Set[String])] = Seq(
+      "Relational" -> Relational.queries.keySet,
+      "Joins" -> Joins.queries.keySet,
+      "Windows" -> Windows.queries.keySet,
+      "Scalars" -> Scalars.queries.keySet,
+      "FsQueries" -> FsQueries.queries.keySet,
+      "TextPipeline" -> TextPipeline.queries.keySet,
+      "Vectors" -> Vectors.queries.keySet,
+      "Multimodal" -> Multimodal.queries.keySet,
+      "StreamingBatch" -> StreamingBatch.queries.keySet,
+      "Graph" -> Graph.queries.keySet)
+    val dups = modules.combinations(2).flatMap { case Seq((an, a), (bn, b)) =>
+      (a intersect b).map(k => s"$k ($an & $bn)")
+    }.toList.sorted
+    assert(dups.isEmpty, s"keys defined in two modules: $dups")
+    assert(modules.map(_._2.size).sum === SparkEntry.queries.size,
+      "per-module key counts must sum to the combined map size")
+  }
 }
