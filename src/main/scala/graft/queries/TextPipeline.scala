@@ -2157,6 +2157,50 @@ object TextPipeline {
           snap(lit(1.0) - col("f1").cast(DoubleType) / col("n_instances"))
             .as("coverage"))
         .orderBy("lang")
+    },
+
+    "text_bm25_score" -> { (s, d) =>
+      // BM25 ranking of the corpus against a fixed query — THE lexical
+      // retrieval primitive (text_tfidf weights terms; BM25 is what a
+      // search/RAG stack actually ranks with: tf saturation via k1 and
+      // doc-length normalization via b). Query includes the corpus's
+      // one rare term (`dup`, df≈5%) so idf genuinely separates.
+      // Shape: the explode is FILTERED to the ≤|q| query terms before
+      // the (doc, term) groupBy, so the one data-sized shuffle carries
+      // at most |q| rows per doc; the df table is ≤|q| rows and the
+      // (N, Σlen) globals are ONE row — both broadcast; the final
+      // top-20 is a TakeOrdered, no global sort. Determinism: idf
+      // snaps to the 1e-9 grid (the ln-recipe treatment — Spark/DuckDB
+      // libm may differ an ulp); every other input to the term score
+      // is an exact BIGINT, so the score expression is identical IEEE
+      // in both engines; terms round at 1e-6 and decimal-sum per doc;
+      // the top-20 cut orders by (rounded score, doc_id) so rank ties
+      // cannot straddle engines.
+      val snap9: Column => Column =
+        x => floor(x * 1e9 + 0.5).cast(DoubleType) / 1e9
+      val docs = documents(s, d).select(col("doc_id"),
+        split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), col("arr"),
+          size(col("arr")).cast(LongType).as("dl"))
+      val glob = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sumdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("arr")).as("w"))
+        .filter(col("w").isin("dup", "vector", "scan"))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("f"))
+      val dft = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dft), "w").crossJoin(broadcast(glob))
+        .withColumn("idf", snap9(log(
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)))
+        .withColumn("ts", round(col("idf") * col("f") * lit(2.2)
+          / (col("f") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl").cast(DoubleType)
+            / (col("sumdl").cast(DoubleType) / col("n_docs")))), 6))
+        .groupBy("doc_id")
+        .agg(max(col("dl")).as("doc_len"),
+          sum(dec(col("ts"))).cast(DoubleType).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
     }
   )
 
@@ -3240,6 +3284,33 @@ object TextPipeline {
         |      / (2 * (f2 + 1))) * 1000000 + 0.5) / 1000000.0 AS chao1_est,
         |  floor((1.0 - CAST(f1 AS DOUBLE) / n_instances) * 1000000 + 0.5)
         |    / 1000000.0 AS coverage
-        |FROM cc ORDER BY lang""".stripMargin
+        |FROM cc ORDER BY lang""".stripMargin,
+
+    "text_bm25_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sumdl FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT doc_id, dl, unnest(arr) AS w FROM docs)
+        |  WHERE w IN ('dup', 'vector', 'scan')
+        |  GROUP BY doc_id, dl, w),
+        |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |sc AS (
+        |  SELECT doc_id, dl,
+        |    round(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |        * 1e9 + 0.5) / 1e9
+        |      * f * 2.2
+        |      / (f + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |        / (CAST(sumdl AS DOUBLE) / n_docs))), 6) AS ts
+        |  FROM tf JOIN dft USING (w) CROSS JOIN g)
+        |SELECT doc_id, CAST(max(dl) AS BIGINT) AS doc_len,
+        |  CAST(sum(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   )
 }

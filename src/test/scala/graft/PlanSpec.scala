@@ -387,10 +387,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // way. agg_roc_auc is the third user of the banded two-level ECDF
     // machinery (the agg_ks_test 1-row range/count attach, verbatim);
     // agg_calibration_bins and feat_psi_drift attach the same 1-row
-    // (lo, hi, …) global-range row.
+    // (lo, hi, …) global-range row. text_bm25_score attaches its 1-row
+    // (N, Σlen) corpus globals the same way (the text_tfidf
+    // corpus-count argument; its df side joins as a broadcast
+    // equi-join, never nested-loop).
     val allowed = Set("join_cross", "agg_ks_test", "agg_mannwhitney_u",
       "agg_roc_auc", "agg_calibration_bins", "feat_psi_drift",
-      "text_perplexity_filter", "fs_tier_plan",
+      "text_perplexity_filter", "fs_tier_plan", "text_bm25_score",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
       "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
