@@ -77,16 +77,12 @@ class DriftSpec extends AnyFunSuite {
   test("every queries key carries a committed bench floor") {
     // The adjudication protocol (BASELINE.md) is only mechanical if
     // every key has a floor in BASELINE_QUERIES.json — a new operator
-    // without one silently escapes the 2×-floor wire. Flat JSON, so a
-    // line regex over the floor_sec block suffices.
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8")
-    val start = txt.indexOf("\"floor_sec\"")
-    assert(start >= 0, "BASELINE_QUERIES.json must contain floor_sec")
-    val block = txt.substring(start, txt.indexOf("}", start))
-    val floored = """"([a-z0-9_]+)":\s*[0-9.]+""".r
-      .findAllMatchIn(block).map(_.group(1)).toSet
-    val missing = SparkEntry.queries.keySet -- floored
+    // without one silently escapes the 2×-floor wire. Real JSON parse
+    // (Floors.load, shared with Bench's burst guard) — the r9 regex
+    // version was only correct while the file stayed flat.
+    val floors = Floors.load()
+    assert(floors.nonEmpty, "BASELINE_QUERIES.json must contain floor_sec")
+    val missing = SparkEntry.queries.keySet -- floors.keySet
     assert(missing.isEmpty,
       s"queries without a committed floor (run quiet benches and merge): ${missing.toList.sorted}")
   }
