@@ -157,6 +157,15 @@ object FsQueries {
     ("sp_b.dat", "bravo"), ("sp_c.dat", "charlie"),
     ("sp_d.dat", "delta"), ("sp_e.dat", ""))
 
+  /** fs_put's client-side fixture: printable-ASCII contents whose hex
+    * renderings the oracle re-digests (md5-of-hex, the fs_distcp rule),
+    * plus a zero-byte file pinning the binaryFile empty-file path on
+    * the UPLOAD direction too.
+    */
+  private val putFixture: Seq[(String, String)] = Seq(
+    ("up_a.dat", "alpha"), ("up_b.dat", "bravo-bravo"),
+    ("up_c.dat", "delta-42\n"), ("up_e.dat", ""))
+
   private def plantDir(s: SparkSession, tag: String, d: String,
       files: Seq[(String, String)]): String = plantLock.synchronized {
     val dir = scratch(s, tag, d)
@@ -430,6 +439,55 @@ object FsQueries {
         .select("n_files_in", "n_files_out", "n_rows", "n_docs")
     },
 
+    "fs_put" -> { (s, d) =>
+      // hh put — the UPLOAD direction fs_distcp's get/copy leaves out
+      // (VERDICT r9 item 7): client-side files pushed INTO the estate.
+      // Same machinery reversed: parallelize the client FILE LIST, one
+      // executor task per file streaming bytes through Hadoop
+      // FileSystem I/O — no driver materialization, aggregate-bandwidth
+      // uploads at any file count. The client side is a planted
+      // known-construction fixture (the fs_sync_plan oracle pattern:
+      // scratch paths carry the applicationId, so the oracle can't
+      // list them — but the fixture is DECLARED, and the hash gate
+      // proves the plant → upload → list → digest chain reproduces the
+      // declaration byte-for-byte, zero-byte upload included).
+      val srcDir = plantDir(s, "putsrc", d, putFixture)
+      val dst = scratch(s, "putdst", d)
+      import s.implicits._
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      FsOps.ls(s, srcDir)
+        .filter(!col("is_dir") && col("name").endsWith(".dat"))
+        .select("path").as[String]
+        .foreachPartition { (it: Iterator[String]) =>
+          val c = hconf.value
+          it.foreach { p =>
+            val src = new org.apache.hadoop.fs.Path(p)
+            val out = new org.apache.hadoop.fs.Path(dst, src.getName)
+            org.apache.hadoop.fs.FileUtil.copy(
+              src.getFileSystem(c), src, out.getFileSystem(c), out,
+              false /* deleteSource */, true /* overwrite */, c)
+          }
+        }
+      val glob = new org.apache.hadoop.fs.Path(s"$dst/*.dat")
+      val got = glob.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .globStatus(glob)
+      require(got != null && got.nonEmpty,
+        s"fs_put: upload produced no .dat files in $dst")
+      // Manifest from the LISTING, digests from the binaryFile re-read;
+      // zero-byte files take md5("") — the fs_distcp digest rule.
+      val uploaded = FsOps.ls(s, dst)
+        .filter(!col("is_dir") && col("name").endsWith(".dat"))
+        .select(col("name"), col("length"))
+      val digests = s.read.format("binaryFile").load(s"$dst/*.dat")
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          md5(hex(col("content"))).as("bin_md5"))
+      uploaded.join(digests, Seq("name"), "left")
+        .select(col("name"), col("length"),
+          coalesce(col("bin_md5"), md5(lit(""))).as("content_md5"))
+        .orderBy("name")
+    },
+
     "fs_distcp" -> { (s, d) =>
       // hh get/put at estate scale == distcp: parallelize the FILE LIST
       // (not the bytes) and stream each file's copy through Hadoop
@@ -595,6 +653,18 @@ object FsQueries {
       s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,
         |  size AS length, substring(hex(content), 1, 32) AS head_hex
         |FROM read_blob('$SfDirToken/*.parquet') ORDER BY name""".stripMargin,
+
+    // Known-construction oracle (fs_sync_plan precedent): the declared
+    // fixture's lengths and md5-of-hex digests, stated independently —
+    // hash equality proves the upload byte-lossless end to end.
+    "fs_put" ->
+      """SELECT name, CAST(length AS BIGINT) AS length, content_md5
+        |FROM (VALUES
+        |  ('up_a.dat', 5,  md5('616C706861')),
+        |  ('up_b.dat', 11, md5('627261766F2D627261766F')),
+        |  ('up_c.dat', 9,  md5('64656C74612D34320A')),
+        |  ('up_e.dat', 0,  md5(''))) t(name, length, content_md5)
+        |ORDER BY name""".stripMargin,
 
     // Digest of the SOURCE files; the Spark side digests the COPIES —
     // equality proves the distributed copy byte-lossless end to end.

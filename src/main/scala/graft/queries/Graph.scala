@@ -58,6 +58,241 @@ object Graph {
         .orderBy("ntype", "node_id")
     },
 
+    "graph_pagerank_converged" -> { (s, d) =>
+      // Full damped PageRank (d = 0.85) iterated TO THE FIXPOINT — the
+      // converged quality prior a crawl-curation pipeline actually
+      // ships, where graph_pagerank_step documents one iteration
+      // (VERDICT r9 item 3). Two additions over the step: the driver
+      // loop, and the DANGLING-MASS term the one-step version documents
+      // away — parts are sinks (no out-edges), so their mass is
+      // redistributed uniformly each round (the standard published
+      // treatment) instead of leaking.
+      //
+      // Oracle-able convergence (the graph_k_core idempotence
+      // precedent, adapted to numerics): scores are kept SCALED by n
+      // (q = pr·n, O(1) values) and every round QUANTIZES q at 1e-4 —
+      // the iteration is then a map on quantized vectors, and once a
+      // round leaves the vector exactly unchanged, every further round
+      // is a no-op. Spark stops at that stationary point; the oracle
+      // unrolls a FIXED 100 rounds of the identical arithmetic —
+      // rounds past stationarity change nothing, so the hash gate
+      // compares the exact same vector. 1e-4 on n-scaled values is the
+      // GATE precision (production would run the same loop to 1e-6:
+      // geometric 0.85-rate convergence costs ~ln(1/tol)/0.163 rounds,
+      // so tolerance is a cost knob, not a structural change — the
+      // first cut at 1e-6 measured 41 s of pure per-round fixed
+      // overhead at sf0.1, ~100 rounds). Per-round arithmetic is
+      // order-free: per-edge contribution rounded at 1e-9 then summed
+      // as DECIMAL(38,9); dangling sum exact over the quantized q.
+      //
+      // Scale shape per round: ONE data shuffle (contribution sum by
+      // dst; the corpus-side join auto-broadcasts the O(|V|)-row pr
+      // table under the threshold and degrades to a shuffle join above
+      // it — no forced hint, the graph_triangles rationale). The two
+      // per-round scalars (dangling mass D, change fingerprint) ride
+      // the SAME single-row aggregate the driver reads each round — the
+      // ccLabels labelSum pattern — so a round is exactly one job with
+      // no broadcast-exchange sub-jobs (the first cut paid 2 broadcast
+      // jobs/round; this shape halved the wall). Stationarity detection
+      // is a collision-resistant fingerprint (exact decimal sum of
+      // q·salted-hash — changes iff some q changed, w.h.p.); the loud
+      // EXACT certificate below makes a fingerprint collision a noisy
+      // failure, never a wrong emission. n is read once up front (an
+      // O(1) driver read, not a collect).
+      val edges = lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val wed = edges.join(outdeg, "src").persist() // static, probed every round
+      val nodes = wed.select(lit("s").as("ntype"), col("src").as("node_id")).distinct()
+        .unionByName(
+          wed.select(lit("p").as("ntype"), col("dst").as("node_id")).distinct())
+        .localCheckpoint(eager = false).persist()
+      val n = nodes.count().toDouble
+      // One row per round: exact dangling mass (next round's D) and the
+      // change fingerprint. Both exact decimal sums -> deterministic.
+      def scalars(cur: DataFrame): (Double, java.math.BigDecimal) = {
+        val r = cur.agg(
+          coalesce(sum(when(col("ntype") === lit("p"), col("q"))
+            .cast(DecimalType(38, 4))), lit(0)).cast(DoubleType).as("dmass"),
+          sum((pmod(xxhash64(col("ntype"), col("node_id")), lit(1000000007L))
+            .cast(DecimalType(38, 0)) *
+            (col("q") * 10000).cast(DecimalType(38, 0)))
+            .cast(DecimalType(38, 0))).as("fp")).head()
+        (r.getDouble(0), r.getDecimal(1))
+      }
+      def step(cur: DataFrame, dOverN: Double): DataFrame = {
+        val contrib = cur.filter(col("ntype") === lit("s"))
+          .join(wed, col("node_id") === col("src"))
+          .select(col("dst"), round(col("q") / col("outdeg"), 9).as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c").cast(DecimalType(38, 9))).cast(DoubleType).as("msum"))
+        nodes.join(contrib,
+            col("ntype") === lit("p") && col("node_id") === col("dst"), "left")
+          .select(col("ntype"), col("node_id"),
+            round(lit(0.15) + lit(0.85) *
+              (coalesce(col("msum"), lit(0.0)) + lit(dOverN)), 4)
+              .as("q"))
+          .localCheckpoint(eager = false).persist()
+      }
+      // Quantized q compares EXACTLY (every value is round(·, 4)), so
+      // the certificate is a changed-row count, not an epsilon test.
+      def changed(a: DataFrame, b: DataFrame): Long =
+        a.select(col("ntype"), col("node_id"), col("q").as("qa"))
+          .join(b.select(col("ntype"), col("node_id"), col("q").as("qb")),
+            Seq("ntype", "node_id"))
+          .filter(col("qa") =!= col("qb"))
+          .agg(count(lit(1))).head().getLong(0)
+      var q = nodes.select(col("ntype"), col("node_id"), lit(1.0).as("q"))
+        .localCheckpoint(eager = false).persist()
+      var (dmass, fp) = scalars(q)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < 100) {
+        val next = step(q, dmass / n)
+        val (d2, fp2) = scalars(next) // the round's ONE job
+        converged = fp2 == fp
+        dmass = d2; fp = fp2
+        q.unpersist()
+        q = next
+        rounds += 1
+      }
+      require(converged,
+        s"graph_pagerank_converged: no stationary point in $rounds rounds" +
+          " — emission would be a truncated, non-converged vector")
+      // EXACT certificate: fingerprint equality is probabilistic; one
+      // more round + exact row compare proves a genuine fixed point.
+      val cert = step(q, dmass / n)
+      require(changed(q, cert) == 0L,
+        "graph_pagerank_converged: fingerprint-stationary vector is not an " +
+          "exact single-round fixed point — refusing to emit")
+      cert.unpersist()
+      wed.unpersist()
+      q.select(col("ntype"), col("node_id"), col("q").as("pr_n"))
+        .orderBy("ntype", "node_id")
+    },
+
+    "graph_hits_converged" -> { (s, d) =>
+      // HITS iterated TO THE FIXPOINT — graph_hits_step's one
+      // mutual-recursion pass looped until hubs and authorities are
+      // exactly stationary (completing the to-convergence family
+      // VERDICT r9 opened with pagerank/kmeans: hubs/authorities are
+      // the crawl-seeding signal a single PageRank score can't
+      // express). Same oracle-able-convergence construction as
+      // graph_pagerank_converged: scores live QUANTIZED at 1e-4 (the
+      // pagerank GATE precision — tolerance is a cost knob, not a
+      // structural change: rounds scale with ln(1/tol) at the spectral
+      // rate, and the 1e-6 form of this loop measured 10.8 s warm at
+      // sf0.1 vs ~6 s at 1e-4; production runs the same loop tighter),
+      // each round's update is a pure function of the previous
+      // quantized state, so stationarity is exact equality and rounds
+      // past the stationary point are no-ops — the oracle unrolls a
+      // fixed 60 rounds of identical arithmetic.
+      //
+      // Normalization is the one structural wrinkle HITS adds: the
+      // standard schedule rescales both sides every round (raw scores
+      // otherwise grow geometrically by the principal singular value),
+      // and the divisor must be the CURRENT round's max — a
+      // previous-round-max shortcut was tried first and is genuinely
+      // unstable (the scale obeys s_k ≈ λ·s_{k-1}/max(λ·s_{k-2}·u), a
+      // ratio recursion that oscillates through 1e5 → 1e-5 until the
+      // 1e-6 quantizer flushes the vector to zero — measured r0-r3
+      // maxima 41 → 5.6e5 → 1.3e4 → 7e-5). So a round pays TWO O(1)
+      // driver scalar reads (the MLlib-literal pattern): the a-side
+      // aggregate (its max + the change fingerprint) and the h-side
+      // max. With current-max normalization every quantized score
+      // lives in [0,1] and the converged maxima are exactly 1 — the
+      // textbook max-normalized HITS solution. Stationarity needs only
+      // the A-SIDE fingerprint: qh = g(qa) and qa' = f(qh) are pure
+      // functions of the quantized state, so a stationary a-side drags
+      // the h-side with it (the exact certificate below re-checks both
+      // sides row-for-row anyway). Fingerprint is over the EXACT
+      // decimal raw sums (collision-resistant salted-hash dot, the
+      // pagerank construction). Per-edge sums capture the 4-dp scores
+      // in DECIMAL(38,6) (exact, order-free); raw→double and the
+      // division are identical IEEE in both engines.
+      //
+      // Scale shape per round: two O(edges) key shuffles (authority
+      // sum by dst, hub sum by src), map-side combine bounding every
+      // task's emission by its distinct-key count; the state stays on
+      // the executors (drivers see 3 scalars). localCheckpoint per
+      // round truncates lineage (the ccLabels necessity measurement).
+      val edges = lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct().persist()
+      val fpCol = sum((pmod(xxhash64(col("node_id")), lit(1000000007L))
+        .cast(DecimalType(38, 0)) *
+        (col("raw") * 10000).cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0))).as("fp")
+      // One round: quantized hub scores in → (aRaw, hRaw — the round's
+      // two PERSISTED tables, q derives from them by a literal divide —
+      // plus ma, mh, fp). Callers unpersist the raws.
+      case class Round(aRaw: DataFrame, hRaw: DataFrame, ma: Double,
+          mh: Double, fp: java.math.BigDecimal) {
+        def aSide: DataFrame = aRaw.select(col("node_id"),
+          round(col("raw") / lit(ma), 4).as("q"))
+        def hSide: DataFrame = hRaw.select(col("node_id"),
+          round(col("raw") / lit(mh), 4).as("q"))
+        def unpersist(): Unit = { aRaw.unpersist(); hRaw.unpersist(): Unit }
+      }
+      def step(hubQ: DataFrame): Round = {
+        val aRaw = edges.join(hubQ, "src")
+          .groupBy("dst")
+          .agg(sum(col("qh").cast(DecimalType(38, 6))).cast(DoubleType)
+            .as("raw"))
+          .withColumnRenamed("dst", "node_id")
+          .localCheckpoint(eager = false).persist()
+        val r1 = aRaw.agg(max(col("raw")).as("ma"), fpCol).head()
+        val (ma, fp) = (r1.getDouble(0), r1.getDecimal(1))
+        val aQ = aRaw.select(col("node_id"),
+          round(col("raw") / lit(ma), 4).as("q"))
+        val hRaw = edges
+          .join(aQ.select(col("node_id").as("dst"), col("q").as("qa")), "dst")
+          .groupBy("src")
+          .agg(sum(col("qa").cast(DecimalType(38, 6))).cast(DoubleType)
+            .as("raw"))
+          .withColumnRenamed("src", "node_id")
+          .localCheckpoint(eager = false).persist()
+        val mh = hRaw.agg(max(col("raw"))).head().getDouble(0)
+        Round(aRaw, hRaw, ma, mh, fp)
+      }
+      var hubQ = edges.select(col("src")).distinct()
+        .select(col("src"), lit(1.0).as("qh"))
+      var last: Round = null
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < 60) {
+        val r = step(hubQ)
+        converged = last != null && r.fp == last.fp && r.ma == last.ma &&
+          r.mh == last.mh
+        hubQ = r.hSide.select(col("node_id").as("src"), col("q").as("qh"))
+        if (last != null) last.unpersist()
+        last = r
+        rounds += 1
+      }
+      require(converged,
+        s"graph_hits_converged: no stationary point in $rounds rounds" +
+          " — emission would be a truncated, non-converged vector")
+      // Exact certificate behind the probabilistic fingerprint: one
+      // more round must reproduce both sides row-for-row.
+      val cert = step(hubQ)
+      def changed(a: DataFrame, b: DataFrame): Long =
+        a.select(col("node_id"), col("q").as("qa"))
+          .join(b.select(col("node_id"), col("q").as("qb")), "node_id")
+          .filter(col("qa") =!= col("qb"))
+          .agg(count(lit(1))).head().getLong(0)
+      require(changed(last.aSide, cert.aSide) == 0L &&
+          changed(last.hSide, cert.hSide) == 0L,
+        "graph_hits_converged: fingerprint-stationary vector is not an " +
+          "exact single-round fixed point — refusing to emit")
+      cert.unpersist(); edges.unpersist()
+      last.aSide.select(lit("p").as("ntype"), col("node_id"),
+          col("q").as("score"))
+        .unionByName(last.hSide.select(lit("s").as("ntype"), col("node_id"),
+          col("q").as("score")))
+        .orderBy("ntype", "node_id")
+    },
+
     "graph_triangles" -> { (s, d) =>
       // Exact triangle count over the part co-occurrence graph (parts
       // sharing an order are connected — the fixture's stand-in for a
@@ -684,6 +919,75 @@ object Graph {
         |FROM nodes CROSS JOIN nn
         |LEFT JOIN contrib c ON nodes.ntype = 'p' AND nodes.node_id = c.dst
         |ORDER BY ntype, node_id""".stripMargin,
+
+    // Fixed 100-round unroll of the identical quantized arithmetic:
+    // rounds past the stationary point are no-ops (every q is
+    // round(·, 4), so the map is idempotent once stationary), which is
+    // exactly how the k_core oracle absorbs its data-dependent round
+    // count. 100 = the Spark-side round cap, so any vector the Spark
+    // side can legally emit is inside the unroll.
+    "graph_pagerank_converged" -> {
+      val rounds = (1 to 100).map { i =>
+        s"""d$i AS (SELECT CAST(coalesce(sum(CAST(q AS DECIMAL(38,4))), 0) AS DOUBLE) AS dmass
+           |  FROM pr${i - 1} WHERE ntype = 'p'),
+           |c$i AS (SELECT w.dst,
+           |    CAST(sum(CAST(round(p.q / w.outdeg, 9) AS DECIMAL(38,9))) AS DOUBLE) AS msum
+           |  FROM pr${i - 1} p JOIN w ON p.node_id = w.src
+           |  WHERE p.ntype = 's' GROUP BY w.dst),
+           |pr$i AS MATERIALIZED (SELECT p.ntype, p.node_id,
+           |  round(0.15 + 0.85 * (coalesce(c.msum, 0.0) + d.dmass / nn.n), 4) AS q
+           |  FROM pr${i - 1} p CROSS JOIN d$i d CROSS JOIN nn
+           |  LEFT JOIN c$i c ON p.ntype = 'p' AND p.node_id = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |w AS MATERIALIZED (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+        |nodes AS (
+        |  SELECT DISTINCT 's' AS ntype, src AS node_id FROM e
+        |  UNION ALL
+        |  SELECT DISTINCT 'p' AS ntype, dst AS node_id FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |pr0 AS MATERIALIZED (
+        |  SELECT ntype, node_id, CAST(1.0 AS DOUBLE) AS q FROM nodes),
+        |$rounds
+        |SELECT ntype, node_id, q AS pr_n FROM pr100
+        |ORDER BY ntype, node_id""".stripMargin
+    },
+
+    // 60-round unroll of the HITS schedule with current-round-max
+    // normalization — identical quantized arithmetic (4-dp scores
+    // captured in DECIMAL(38,6) sums, raw→double cast, IEEE division
+    // by the round's own max, round at 1e-4); rounds past the
+    // stationary point are no-ops (the pagerank-unroll argument: the
+    // update is a pure function of the quantized state).
+    "graph_hits_converged" -> {
+      val rounds = (1 to 60).map { i =>
+        s"""ar$i AS MATERIALIZED (
+           |  SELECT e.dst AS node_id,
+           |    CAST(sum(CAST(h.q AS DECIMAL(38,6))) AS DOUBLE) AS raw
+           |  FROM e JOIN h${i - 1} h ON h.node_id = e.src GROUP BY e.dst),
+           |a$i AS MATERIALIZED (
+           |  SELECT node_id, round(raw / (SELECT max(raw) FROM ar$i), 4) AS q
+           |  FROM ar$i),
+           |hr$i AS MATERIALIZED (
+           |  SELECT e.src AS node_id,
+           |    CAST(sum(CAST(a.q AS DECIMAL(38,6))) AS DOUBLE) AS raw
+           |  FROM e JOIN a$i a ON a.node_id = e.dst GROUP BY e.src),
+           |h$i AS MATERIALIZED (
+           |  SELECT node_id, round(raw / (SELECT max(raw) FROM hr$i), 4) AS q
+           |  FROM hr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |h0 AS (SELECT DISTINCT src AS node_id, CAST(1.0 AS DOUBLE) AS q
+        |  FROM e),
+        |$rounds
+        |SELECT ntype, node_id, q AS score FROM (
+        |  SELECT 'p' AS ntype, node_id, q FROM a60
+        |  UNION ALL
+        |  SELECT 's' AS ntype, node_id, q FROM h60)
+        |ORDER BY ntype, node_id""".stripMargin
+    },
 
     // Integer-only replica of the degree-ordered orientation, so the
     // triangle set — not just the count — is engine-independent.

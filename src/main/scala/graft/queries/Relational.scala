@@ -2012,6 +2012,59 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    "merge_cdc_chain" -> { (s, d) =>
+      // Multi-batch incremental maintenance (VERDICT r9 item 6):
+      // merge_cdc_apply proves ONE batch; the real lakehouse loop is
+      // apply → compact → apply → apply, day after day, and this runs
+      // exactly that — three chained CDC batches whose delete/update/
+      // insert sets are derived from the CURRENT state (so batch 2
+      // deletes/updates rows batch 1 inserted or repriced, the chain's
+      // whole point), with a parquet compaction between batch 1 and
+      // batch 2 (snapshot rewritten at the target file count and read
+      // back — fs_compact's maintenance op folded into the chain; a
+      // silently lossy rewrite fails the hash gate). Oracled as the
+      // DIRECT final state: three chained CTEs with no compaction —
+      // proving the materialize/reload cycle is semantics-preserving.
+      // Per-batch shape is merge_cdc_apply's: delete anti-join + update
+      // left-join override share one o_orderkey shuffle, inserts union
+      // in at disjoint keys (offset past the live domain — batch k's
+      // offset clears every key batch k-1 could have created). All
+      // price arithmetic stays in exact decimals until dsum's one
+      // final double cast. The compaction write re-runs every repeat —
+      // the roundtrip-write bench kind, like sink_csv_roundtrip.
+      val snap0 = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      def applyBatch(snap: DataFrame, delMod: Int, updMod: Int, updAdd: Int,
+          insMod: Int, insOff: Long, insStatus: String): DataFrame = {
+        val delKeys = snap.filter(col("o_orderkey") % delMod === 0)
+          .select("o_orderkey")
+        val upd = snap
+          .filter(col("o_orderkey") % updMod === 0 &&
+            col("o_orderkey") % delMod =!= 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + updAdd).as("new_price"))
+        val ins = snap.filter(col("o_orderkey") % insMod === 0)
+          .select((col("o_orderkey") + insOff).as("o_orderkey"),
+            lit(insStatus).as("o_orderstatus"), col("o_totalprice"))
+        snap.join(delKeys, Seq("o_orderkey"), "left_anti")
+          .join(upd, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+          .unionByName(ins)
+      }
+      val b1 = applyBatch(snap0, 13, 10, 1000, 17, 2000000000L, "N")
+      val tmp = scratch(s, "cdc_chain", d)
+      b1.repartition(2).write.mode("overwrite").parquet(tmp)
+      val compacted = s.read.parquet(tmp)
+      val b2 = applyBatch(compacted, 19, 7, 500, 23, 4000000000L, "Q")
+      val b3 = applyBatch(b2, 29, 11, 250, 31, 16000000000L, "R")
+      b3.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+
     "delta_snapshot_diff" -> { (s, d) =>
       // Snapshot diff — classify every key across two table versions as
       // insert / delete / update / unchanged (the reconciliation pass
@@ -2492,6 +2545,49 @@ object Relational {
         |  WHERE o_orderkey % 17 = 0)
         |SELECT o_orderstatus, count(*) AS n, ${oSum("o_totalprice")} AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Direct final state of the three chained batches — the compaction
+    // between batch 1 and 2 is semantics-free, so it has no CTE: gate
+    // equality IS the proof the materialize/reload cycle lost nothing.
+    "merge_cdc_chain" ->
+      s"""WITH snap0 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |u1 AS (
+        |  SELECT o_orderkey, o_totalprice + 1000 AS new_price FROM snap0
+        |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 13 <> 0),
+        |b1 AS (
+        |  SELECT s.o_orderkey, s.o_orderstatus,
+        |    coalesce(u.new_price, s.o_totalprice) AS o_totalprice
+        |  FROM snap0 s LEFT JOIN u1 u USING (o_orderkey)
+        |  WHERE s.o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000, 'N', o_totalprice FROM snap0
+        |  WHERE o_orderkey % 17 = 0),
+        |u2 AS (
+        |  SELECT o_orderkey, o_totalprice + 500 AS new_price FROM b1
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 19 <> 0),
+        |b2 AS (
+        |  SELECT s.o_orderkey, s.o_orderstatus,
+        |    coalesce(u.new_price, s.o_totalprice) AS o_totalprice
+        |  FROM b1 s LEFT JOIN u2 u USING (o_orderkey)
+        |  WHERE s.o_orderkey % 19 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 4000000000, 'Q', o_totalprice FROM b1
+        |  WHERE o_orderkey % 23 = 0),
+        |u3 AS (
+        |  SELECT o_orderkey, o_totalprice + 250 AS new_price FROM b2
+        |  WHERE o_orderkey % 11 = 0 AND o_orderkey % 29 <> 0),
+        |b3 AS (
+        |  SELECT s.o_orderkey, s.o_orderstatus,
+        |    coalesce(u.new_price, s.o_totalprice) AS o_totalprice
+        |  FROM b2 s LEFT JOIN u3 u USING (o_orderkey)
+        |  WHERE s.o_orderkey % 29 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 16000000000, 'R', o_totalprice FROM b2
+        |  WHERE o_orderkey % 31 = 0)
+        |SELECT o_orderstatus, count(*) AS n, ${oSum("o_totalprice")} AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM b3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_snapshot_diff" ->
       """WITH neu AS (

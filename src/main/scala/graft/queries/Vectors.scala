@@ -20,6 +20,15 @@ import graft.functions.GraftFunctions
   * generation is an equi-join on bucket id — the same shape that holds
   * when the table is 10^9 vectors.
   */
+/** sim_kmeans_converged's per-round centroid row: travels as broadcast
+  * DATA, never as plan literals (codegen-cache stability — see the
+  * query's scaladoc). TOP-LEVEL deliberately: nested in the object it
+  * compiles to `Vectors$Kc`, and Janino cannot reference `$`-named
+  * classes in generated source — the encoder's 1-row serializer then
+  * falls back to interpreted mode with a WARN per round.
+  */
+case class Kc(cid: Int, cemb: Seq[Float], cc: Double)
+
 object Vectors {
   type Q = (SparkSession, String) => DataFrame
 
@@ -691,6 +700,99 @@ object Vectors {
         .orderBy("dim")
     },
 
+    "feat_pca_power_converged" -> { (s, d) =>
+      // Power iteration TO THE FIXPOINT — feat_pca_power_step looped
+      // until the normalized iterate is exactly stationary, emitting
+      // the corpus's top principal component (the whitening/ABTT
+      // direction a one-step witness can't actually ship). Completes
+      // the to-convergence family (pagerank/HITS/kmeans → spectral).
+      //
+      // Oracle-able convergence by the sim_kmeans_converged
+      // construction: the step's arithmetic already quantizes (scores
+      // at 1e-6, per-product capture at 1e-9 through exact decimal
+      // sums, the emitted unit vector rounded at 1e-6 and CAST TO
+      // FLOAT32 — the corpus element type — before feeding back), so
+      // the round map is a function on quantized 64-float vectors and
+      // stationarity is exact equality. The driver carries the
+      // 64-value state (an O(dim) transfer, independent of corpus
+      // size — the MLlib KMeans schedule; the corpus never leaves the
+      // executors) and re-embeds it as broadcast DATA, one row of
+      // (v) — NOT plan literals, so the generated code is identical
+      // every round and compiles once (the kmeans codegen-cache
+      // finding). One job per round; the driver-side map compare IS
+      // the exact certificate (the whole state is in hand — no
+      // fingerprint needed). A sign-flip limit cycle (possible when
+      // the start vector is near-orthogonal to the PC) would fail the
+      // 60-round cap loudly rather than emit a mid-oscillation
+      // iterate.
+      //
+      // The fixture needs a PLANT (the dedup_embedding precedent): the
+      // synthetic embeddings are isotropic — their second-moment
+      // spectrum has no gap, and MEASURED at 1e-6 the bare iterate
+      // rotates indefinitely in the near-degenerate top subspace
+      // (per-round max delta plateaus at ~2.5e-3 for 60 rounds). A
+      // corpus with no principal direction has no PC to converge to,
+      // so the witness corpus appends one deterministic copy of
+      // vec_id 0's embedding per 10 corpus rows (ids offset clear of
+      // the live domain) — the planted direction's second-moment term
+      // is ~|v0|²·n/10 ≈ 6× the isotropic eigenvalues, a real gap, and
+      // the loop then converges the way it would on any production
+      // corpus that HAS a top component. Plant, start vector, and
+      // arithmetic are all RNG-free, so the oracle replicates them.
+      //
+      // Scale shape per round = the step's: score pass is map-only
+      // (broadcast v, codegen'd left-fold dot), the Xᵀs reduction
+      // shuffles ≤64 decimal partials per task (bytes O(tasks·dim),
+      // input-size-invariant), norm over 64 rows.
+      GraftFunctions.register(s)
+      import s.implicits._
+      val base = embeddings(s, d)
+      val v0Df = base.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pv"))
+      val emb = base.select(col("vec_id"), col("embedding"))
+        .unionByName(base.filter(col("vec_id") % 10 === 0)
+          .crossJoin(broadcast(v0Df))
+          .select((col("vec_id") + 200000).as("vec_id"),
+            col("pv").as("embedding")))
+        .persist()
+      def step(v: Seq[Float]): DataFrame = {
+        val vDf = Seq(Tuple1(v)).toDF("v")
+        val scored = emb.crossJoin(broadcast(vDf))
+          .select(col("embedding"),
+            round(dot(col("embedding"), col("v")), 6).as("sc"))
+        val w = scored
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("sc"))
+          .groupBy("dim")
+          .agg(sum(round(col("x").cast(DoubleType) * col("sc"), 9)
+            .cast(DecimalType(28, 9))).cast(DoubleType).as("w"))
+        val norm2 = w.agg(sum(round(col("w") * col("w"), 9)
+          .cast(DecimalType(28, 9))).cast(DoubleType).as("n2"))
+        w.crossJoin(broadcast(norm2))
+          .select(col("dim"), round(col("w") / sqrt(col("n2")), 6).as("w_normed"))
+      }
+      var v: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      var prev: Map[Int, Double] = null
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < 60) {
+        val rows = step(v).collect()
+        val cur = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        converged = prev != null && cur == prev
+        prev = cur
+        v = rows.sortBy(_.getInt(0)).map(_.getDouble(1).toFloat).toSeq
+        rounds += 1
+      }
+      require(converged,
+        s"feat_pca_power_converged: iterate not stationary after $rounds " +
+          "rounds — emission would be a mid-descent truncation (or a " +
+          "quantized sign-flip limit cycle), not the principal component")
+      emb.unpersist()
+      // Emission re-runs the stationary round as a plain plan — the
+      // idempotence that makes the fixed-unroll oracle valid.
+      step(v).orderBy("dim")
+    },
+
     "dedup_semantic" -> { (s, d) =>
       // SemDeDup-style semantic dedup: coarse clusters BOUND the O(n²)
       // pair search (candidates are same-cluster only — at 10⁹ docs k
@@ -737,6 +839,119 @@ object Vectors {
       assigned.join(removed, col("vec_id") === col("id_b"), "left_anti")
         .select(col("vec_id"), col("cid"))
         .orderBy("vec_id")
+    },
+
+    "sim_kmeans_converged" -> { (s, d) =>
+      // Lloyd's k-means iterated TO THE FIXPOINT (VERDICT r9 item 4) —
+      // sim_kmeans_step's single iteration looped until the centroid
+      // table is exactly stationary. Oracle-ability is inherited from
+      // the step's arithmetic, which already QUANTIZES: per-member
+      // values snap at 1e-6, means exit through the floor(·*1e6+0.5)
+      // half-up quantizer (a coarser 1e-4 quantizer was MEASURED to
+      // lengthen the trajectory — 31 → 40 rounds at sf0.1: coarse
+      // centroids perturb assignments more than they save tail
+      // rounds — so the step's own 1e-6 stands), and the next round's
+      // assignment reads the
+      // centroids CAST TO FLOAT32 (the corpus' own element type; the
+      // JVM double→float cast is the same IEEE nearest-rounding as both
+      // engines' CAST AS FLOAT) — so the round map is a function on
+      // quantized tables and stationarity is EXACT equality, no
+      // epsilon. Once centroids(t) == centroids(t-1) every later round
+      // reproduces the same table (assignment depends only on the
+      // centroid table), which is the graph_k_core idempotence
+      // argument: Spark stops at the first stationary round, the
+      // oracle unrolls a fixed 40 rounds, and rounds past stationarity
+      // are no-ops. A vanished cluster (possible under Lloyd) simply
+      // drops out of the centroid table in both engines.
+      //
+      // Scale shape per round = the step's: assignment is MAP-ONLY and
+      // recompute is a groupBy with ≤ k×dim = 512 keys, so map-side
+      // combine bounds every task's emission at ANY corpus size. The
+      // loop carries the centroid table through the DRIVER — collected
+      // and re-embedded as a plan LITERAL each round, the Spark MLlib
+      // KMeans schedule — which is an O(k·dim) transfer independent of
+      // input size (NOT a data collect; the corpus never leaves the
+      // executors). That makes a round exactly ONE job with flat
+      // lineage — no broadcast-exchange sub-jobs, no checkpoint, no
+      // per-round compare join: the first cut (broadcast + full-outer
+      // changed() per round) measured 16.5 s at sf0.1; this shape is
+      // ~5×  faster on identical arithmetic. Lloyd descends a finite
+      // potential so a cycle is impossible in exact arithmetic;
+      // quantization could in theory introduce one, which the 40-round
+      // cap catches loudly — measured convergence is well inside it.
+      GraftFunctions.register(s)
+      val emb = embeddings(s, d).persist() // re-scanned every round
+      // The k candidate distances unroll to k plain codegen'd struct
+      // columns + least() (struct comparison = the same (dist2, cid)
+      // lexicographic tie-break as the step's array_min): the HOF
+      // transform() form evaluates INTERPRETED — measured ~0.3 s/round
+      // of pure expression evaluation at sf0.1. Two codegen traps, both
+      // measured: (1) HOFs never whole-stage-compile; (2) per-round
+      // SCALAR literals (the centroid self-dots) inline into the
+      // generated source, so every round's plan compiled a FRESH class
+      // (~0.45 s/round of planning+javac against 0.05 s of execution).
+      // The centroids therefore travel as broadcast DATA — a 1-row
+      // LocalRelation holding (cid, cemb, cc) structs — which keeps
+      // the generated source identical across rounds (one compile per
+      // k, then cache hits). The self-dot folds in the JVM with
+      // graft_dot's exact accumulation (double-widen, index order), so
+      // every emitted value is bit-identical to the HOF form and the
+      // oracle's list_reduce.
+      def selfDot(v: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        acc
+      }
+      def assignRecompute(cents: Seq[(Int, Seq[Float])]): DataFrame = {
+        import s.implicits._
+        val csDf = Seq(Tuple1(cents.sortBy(_._1).map { case (cid, ce) =>
+          Kc(cid, ce, selfDot(ce)) })).toDF("cs")
+        val cand = (1 to cents.size).map { i =>
+          val c = element_at(col("cs"), i)
+          struct(
+            round(col("ee") - lit(2.0) * call_function("graft_dot",
+              col("embedding"), c.getField("cemb")) + c.getField("cc"), 6)
+              .as("dist2"),
+            c.getField("cid").as("cid"))
+        }
+        emb.crossJoin(broadcast(csDf))
+          .withColumn("ee",
+            call_function("graft_dot", col("embedding"), col("embedding")))
+          .withColumn("best", least(cand: _*))
+          .select(col("best.cid").as("cid"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cid", "dim")
+          .agg(count(lit(1)).as("n_members"),
+            (floor(sum(dec(round(col("v").cast("double"), 6))).cast("double")
+              / count(lit(1)) * 1000000 + 0.5).cast("double") / 1000000.0)
+              .as("centroid"))
+      }
+      var cents: Seq[(Int, Seq[Float])] = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      // (cid, dim) -> centroid maps compare exactly: every value is
+      // floor-half-up quantized at 1e-6.
+      var prev: Map[(Int, Int), Double] = null
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < 40) {
+        val rows = assignRecompute(cents).collect()
+        val cur = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+        converged = prev != null && cur == prev
+        prev = cur
+        cents = rows.groupBy(_.getInt(0)).toSeq.map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(3).toFloat).toSeq)
+        }
+        rounds += 1
+      }
+      require(converged,
+        s"sim_kmeans_converged: centroids not stationary after $rounds rounds" +
+          " — emission would be a mid-descent truncation, not the fixpoint")
+      emb.unpersist()
+      // Emission re-runs the stationary round as a plain plan — the
+      // idempotence that makes the fixed-unroll oracle valid.
+      assignRecompute(cents).orderBy("cid", "dim")
     },
 
     "sim_kmeans_step" -> { (s, d) =>
@@ -933,6 +1148,51 @@ object Vectors {
         |SELECT vec_id, cid FROM asg
         |WHERE vec_id NOT IN (SELECT id_b FROM removed)
         |ORDER BY vec_id""".stripMargin
+    },
+
+    // 40-round unroll of the step arithmetic; rounds past the first
+    // stationary centroid table are exact no-ops (see the Spark-side
+    // scaladoc), so the data-dependent convergence round is absorbed
+    // the same way the k_core oracle absorbs its peel depth. The
+    // self-dot (ee) and centroid-dot (cc) are hoisted into one-time
+    // columns — the identical fold values the per-pair expression
+    // would recompute, so the arithmetic is unchanged.
+    "sim_kmeans_converged" -> {
+      def dot(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
+      val rounds = (1 to 40).map { i =>
+        s"""a$i AS (
+           |  SELECT e.vec_id, e.embedding, c.cid, round(
+           |    e.ee - 2 * ${dot("e.embedding", "c.cemb")} + c.cc, 6) AS dist2
+           |  FROM en e CROSS JOIN c${i - 1} c),
+           |best$i AS (
+           |  SELECT vec_id, embedding, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+           |  FROM a$i),
+           |ex$i AS (
+           |  SELECT cid, CAST(i AS INTEGER) AS dim,
+           |    round(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE), 6) AS v
+           |  FROM best$i, (SELECT unnest(range(64)) AS i) dims WHERE rn = 1),
+           |m$i AS MATERIALIZED (
+           |  SELECT cid, dim, count(*) AS n_members,
+           |    floor(CAST(sum(CAST(v AS $oD)) AS DOUBLE) / count(*) * 1000000 + 0.5)
+           |      / 1000000.0 AS centroid
+           |  FROM ex$i GROUP BY cid, dim),
+           |c$i AS MATERIALIZED (
+           |  SELECT cid, cemb, ${dot("cemb", "cemb")} AS cc
+           |  FROM (SELECT cid,
+           |    list_transform(list(centroid ORDER BY dim), x -> CAST(x AS FLOAT)) AS cemb
+           |    FROM m$i GROUP BY cid) t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH en AS MATERIALIZED (
+        |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS ee
+        |  FROM embeddings),
+        |c0 AS MATERIALIZED (
+        |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cemb,
+        |    ${dot("embedding", "embedding")} AS cc
+        |  FROM embeddings WHERE vec_id < 8),
+        |$rounds
+        |SELECT cid, dim, n_members, centroid FROM m40
+        |ORDER BY cid, dim""".stripMargin
     },
 
     "sim_kmeans_step" -> {
@@ -1251,6 +1511,44 @@ object Vectors {
         |  FROM w)
         |SELECT dim, round(w, 6) AS w, round(w / sqrt(n2), 6) AS w_normed
         |FROM w CROSS JOIN n2 ORDER BY dim""".stripMargin
+    },
+
+    // 60-round unroll of the identical quantized power step (scores
+    // 1e-6, products 1e-9 through DECIMAL(28,9), unit vector rounded
+    // at 1e-6 then CAST TO FLOAT per element before the next round —
+    // the float32 feedback the Spark loop applies); rounds past the
+    // stationary vector are exact no-ops.
+    "feat_pca_power_converged" -> {
+      def dotAB(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
+      val rounds = (1 to 60).map { i =>
+        s"""sc$i AS (
+           |  SELECT e.embedding, round(${dotAB("e.embedding", "v.v")}, 6) AS sc
+           |  FROM base e CROSS JOIN v${i - 1} v),
+           |w$i AS MATERIALIZED (
+           |  SELECT CAST(i AS INTEGER) AS dim,
+           |    CAST(sum(CAST(round(
+           |      CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * sc, 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS w
+           |  FROM sc$i, (SELECT unnest(range(64)) AS i) dims
+           |  GROUP BY 1),
+           |n$i AS (
+           |  SELECT CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS n2
+           |  FROM w$i),
+           |v$i AS MATERIALIZED (
+           |  SELECT list_transform(list(round(w / sqrt(n.n2), 6) ORDER BY dim),
+           |    x -> CAST(x AS FLOAT)) AS v
+           |  FROM w$i CROSS JOIN n$i n GROUP BY n.n2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT e.vec_id + 200000, p.pv FROM embeddings e
+        |  CROSS JOIN (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
+        |  WHERE e.vec_id % 10 = 0),
+        |v0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        |$rounds
+        |SELECT dim, round(w / sqrt(n.n2), 6) AS w_normed
+        |FROM w60 CROSS JOIN n60 n ORDER BY dim""".stripMargin
     },
 
     // Full replication of the deterministic LSH pipeline: plane family

@@ -390,19 +390,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (lo, hi, …) global-range row. text_bm25_score attaches its 1-row
     // (N, Σlen) corpus globals the same way (the text_tfidf
     // corpus-count argument; its df side joins as a broadcast
-    // equi-join, never nested-loop).
+    // equi-join, never nested-loop). Round-10 addition:
+    // sim_kmeans_converged attaches its 1-row centroid-array struct
+    // (k×dim = O(1) by construction, independent of corpus size) as
+    // broadcast DATA each round — the sim_kmeans_step argument; the
+    // emitted stationary round is the same single-row attach.
+    // feat_pca_power_converged carries the step's two 1-row attaches
+    // (iterate vector as broadcast DATA, norm scalar) plus the 1-row
+    // v0 plant attach — all O(1) rows by construction.
     val allowed = Set("join_cross", "agg_ks_test", "agg_mannwhitney_u",
       "agg_roc_auc", "agg_calibration_bins", "feat_psi_drift",
       "text_perplexity_filter", "fs_tier_plan", "text_bm25_score",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
-      "sim_kmeans_step", "graph_pagerank_step", "text_unigram_logprob",
+      "sim_kmeans_step", "sim_kmeans_converged", "graph_pagerank_step",
+      "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
       "sim_ann_stacked", "sim_ann_production", "sim_pq_adc", "sim_ivf_pq",
       "sim_matryoshka_audit", "graph_hits_step", "graph_modularity",
       "join_point_in_interval", "ts_mk_trend", "bpe_merge_apply",
-      "feat_pca_power_step", "text_kneser_ney", "agg_hll_intersect")
+      "feat_pca_power_step", "feat_pca_power_converged", "text_kneser_ney",
+      "agg_hll_intersect")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allowed(name) => None
       case (name, q) =>
