@@ -774,6 +774,67 @@ object TextPipeline {
       out.toSeq.toDF("rank", "merge", "n").orderBy("rank")
     },
 
+    "bpe_encode" -> { (s, d) =>
+      // ENCODE under a trained vocabulary — the other end of the
+      // tokenizer story (bpe_train_loop LEARNS the merge list; this
+      // tokenizes the corpus with it): train 6 merges on the collapsed
+      // (distinct word, count) table, then apply them to the FULL word
+      // table (single-letter words included — training drops them as a
+      // pair-free optimization, but they are real tokens at encode
+      // time) as 6 chained replace()s in rank order — ONE map pass, no
+      // iteration: given the merge list, encoding is embarrassingly
+      // parallel, which is exactly why the artifact matters at 100 TB.
+      // Emits the top-20 corpus tokens by weighted occurrence with
+      // placeholders decoded back to their text expansions. Same scale
+      // shape as the loop (vocabulary-bounded rounds) plus a
+      // vocab-sized histogram groupBy.
+      import s.implicits._
+      val all = documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .persist()
+      var words = all.filter(length(col("w")) >= 2).persist()
+      val exp = scala.collection.mutable.Map[String, String]()
+      val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+      var prevWords: DataFrame = null
+      for (k <- 1 to 6) {
+        val top = words.select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"), col("c"))
+          .groupBy("pair").agg(sum(col("c")).as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(1)
+          .head()
+        if (prevWords != null) prevWords.unpersist()
+        prevWords = words
+        val pair = top.getString(0)
+        val ph = (k + 1).toChar.toString
+        exp(ph) = pair.map(ch => exp.getOrElse(ch.toString, ch.toString)).mkString
+        merges += ((pair, ph))
+        words = words
+          .select(call_function("replace", col("w"), lit(pair), lit(ph)).as("w"),
+            col("c"))
+          .filter(length(col("w")) >= 2)
+          .persist()
+      }
+      words.unpersist(); if (prevWords != null) prevWords.unpersist()
+      val encoded = merges.foldLeft(col("w")) { case (c, (pair, ph)) =>
+        call_function("replace", c, lit(pair), lit(ph))
+      }
+      val expDf = exp.toSeq.toDF("sym", "tok")
+      val res = all.select(encoded.as("w"), col("c"))
+        .select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as("sym"), col("c"))
+        .groupBy("sym").agg(sum(col("c")).as("n"))
+        .join(broadcast(expDf), Seq("sym"), "left")
+        .select(coalesce(col("tok"), col("sym")).as("token"), col("n"))
+        .orderBy(desc("n"), asc("token")).limit(20)
+      // `all` stays cached for the emission's lazy re-read (the
+      // harness clearCache()s between queries).
+      res
+    },
+
     "bpe_merge_apply" -> { (s, d) =>
       // The OTHER half of the BPE training loop: take the rank-1 pair
       // (bpe_pair_counts' winner), apply the merge to every word, and
@@ -2684,6 +2745,54 @@ object TextPipeline {
         |SELECT rank, merge, n FROM (
         |  $ds) u
         |ORDER BY rank""".stripMargin
+    },
+
+    // 6-round train unroll (bpe_train_loop's CTEs at the shorter gate
+    // round count) + the encode pass: the 6 winners applied to the
+    // FULL word table as chained replace()s in rank order, per-char
+    // token histogram, placeholder decode via the expansion table.
+    "bpe_encode" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""p$k AS (
+           |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, c
+           |  FROM w${k - 1}, unnest(range(1, length(w))) AS tt(i)),
+           |t$k AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p$k
+           |  GROUP BY pair ORDER BY sum(c) DESC, pair ASC LIMIT 1),
+           |d$k AS MATERIALIZED (
+           |  SELECT coalesce(el.e, substring(t.pair, 1, 1)) ||
+           |    coalesce(er.e, substring(t.pair, 2, 1)) AS merge
+           |  FROM t$k t
+           |  LEFT JOIN e${k - 1} el ON el.sym = substring(t.pair, 1, 1)
+           |  LEFT JOIN e${k - 1} er ON er.sym = substring(t.pair, 2, 1)),
+           |e$k AS (
+           |  SELECT sym, e FROM e${k - 1}
+           |  UNION ALL SELECT chr(${k + 1}) AS sym, merge AS e FROM d$k),
+           |w$k AS MATERIALIZED (
+           |  SELECT w, c FROM (
+           |    SELECT replace(x.w, t.pair, chr(${k + 1})) AS w, x.c
+           |    FROM w${k - 1} x CROSS JOIN t$k t) m
+           |  WHERE length(w) >= 2)""".stripMargin
+      }.mkString(",\n")
+      val enc = (1 to 6).foldLeft("w") { (acc, k) =>
+        s"replace($acc, (SELECT pair FROM t$k), chr(${k + 1}))"
+      }
+      s"""WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |wfull AS MATERIALIZED (
+        |  SELECT w, count(*) AS c FROM words WHERE length(w) >= 1 GROUP BY w),
+        |w0 AS MATERIALIZED (SELECT w, c FROM wfull WHERE length(w) >= 2),
+        |e0 AS (SELECT '' AS sym, '' AS e WHERE 1 = 0),
+        |$rounds,
+        |enc AS (SELECT $enc AS w, c FROM wfull),
+        |toks AS (
+        |  SELECT substring(w, CAST(i AS INTEGER) + 1, 1) AS sym, c
+        |  FROM enc, unnest(range(length(w))) AS tt(i)),
+        |hist AS (SELECT sym, CAST(sum(c) AS BIGINT) AS n FROM toks GROUP BY sym)
+        |SELECT coalesce(e.e, h.sym) AS token, n
+        |FROM hist h LEFT JOIN e6 e ON e.sym = h.sym
+        |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
     },
 
     // Full replication of one BPE train iteration: rank-1 winner (same
