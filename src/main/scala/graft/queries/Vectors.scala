@@ -954,6 +954,51 @@ object Vectors {
       assignRecompute(cents).orderBy("cid", "dim")
     },
 
+    "sim_pq_train" -> { (s, d) =>
+      // The Lloyd sweep sim_pq_adc documents itself as being "one
+      // sweep away from production": PQ codebook TRAINING. All m=8
+      // subspaces train SIMULTANEOUSLY in one corpus pass — the corpus
+      // explodes to (vec_id, subspace, 8-d slice) rows, each slice is
+      // assigned to its nearest same-subspace codeword (seed codebook =
+      // pq_adc's vec_id 0..15 slices, broadcast as one 128-struct row),
+      // and per-(subspace, codeword, dim) means re-derive the codebook.
+      // Scale shape: assignment is MAP-ONLY (broadcast codebook, three
+      // codegen'd dots per candidate, dist² rounded 1e-6 before the
+      // argmin so the assignment is engine-independent); recompute
+      // groupBy has m×k×sub = 1024 keys, so map-side combine bounds
+      // every task's emission at ANY corpus size. The sim_kmeans_step
+      // quantizer (1e-6 member snap, exact decimal sum, floor-half-up
+      // mean) carries over verbatim, so iterating this sweep to the
+      // fixpoint is exactly sim_kmeans_converged's machinery — the one
+      // sweep is the witnessed primitive.
+      GraftFunctions.register(s)
+      val M = 8; val K = 16; val SUB = 8
+      val emb = embeddings(s, d)
+      val cb = emb.filter(col("vec_id") < K)
+        .select(explode(array((0 until M).map(j => struct(
+          lit(j).as("j"), col("vec_id").cast("int").as("cid"),
+          slice(col("embedding"), j * SUB + 1, SUB).as("cemb"))): _*)).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("cb"))
+      emb.select(col("vec_id"), explode(array((0 until M).map(j => struct(
+          lit(j).as("j"),
+          slice(col("embedding"), j * SUB + 1, SUB).as("semb"))): _*)).as("x"))
+        .select(col("vec_id"), col("x.j").as("j"), col("x.semb").as("semb"))
+        .crossJoin(broadcast(cb))
+        .withColumn("cid", expr(
+          """array_min(transform(filter(cb, c -> c.j = j), c -> named_struct(
+            |  'dist2', round(graft_dot(semb, semb)
+            |             - 2 * graft_dot(semb, c.cemb)
+            |             + graft_dot(c.cemb, c.cemb), 6),
+            |  'cid', c.cid))).cid""".stripMargin))
+        .select(col("j"), col("cid"), posexplode(col("semb")).as(Seq("dim", "v")))
+        .groupBy("j", "cid", "dim")
+        .agg(count(lit(1)).as("n_members"),
+          (floor(sum(dec(round(col("v").cast("double"), 6))).cast("double")
+            / count(lit(1)) * 1000000 + 0.5).cast("double") / 1000000.0)
+            .as("centroid"))
+        .orderBy("j", "cid", "dim")
+    },
+
     "sim_kmeans_step" -> { (s, d) =>
       // One Lloyd iteration over the embedding corpus (semantic-cluster
       // curation / SemDeDup-style pipelines run a handful of these):
@@ -1193,6 +1238,40 @@ object Vectors {
         |$rounds
         |SELECT cid, dim, n_members, centroid FROM m40
         |ORDER BY cid, dim""".stripMargin
+    },
+
+    // Per-subspace replica of the kmeans_step oracle: subvector slices
+    // via list_slice, same 3-dot dist² rounded before the row_number
+    // argmin, same floor-half-up exact-decimal mean.
+    "sim_pq_train" -> {
+      def dot(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
+      s"""WITH js AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS j),
+        |sub AS (
+        |  SELECT e.vec_id, js.j,
+        |    list_slice(e.embedding, js.j * 8 + 1, js.j * 8 + 8) AS semb
+        |  FROM embeddings e CROSS JOIN js),
+        |cb AS MATERIALIZED (
+        |  SELECT js.j, CAST(e.vec_id AS INTEGER) AS cid,
+        |    list_slice(e.embedding, js.j * 8 + 1, js.j * 8 + 8) AS cemb
+        |  FROM embeddings e CROSS JOIN js WHERE e.vec_id < 16),
+        |a AS (
+        |  SELECT s.vec_id, s.j, s.semb, c.cid, round(
+        |    ${dot("s.semb", "s.semb")}
+        |    - 2 * ${dot("s.semb", "c.cemb")}
+        |    + ${dot("c.cemb", "c.cemb")}, 6) AS dist2
+        |  FROM sub s JOIN cb c ON c.j = s.j),
+        |best AS (
+        |  SELECT vec_id, j, semb, cid,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+        |  FROM a),
+        |ex AS (
+        |  SELECT j, cid, CAST(i AS INTEGER) AS dim,
+        |    round(CAST(semb[CAST(i AS INTEGER) + 1] AS DOUBLE), 6) AS v
+        |  FROM best, (SELECT unnest(range(8)) AS i) dims WHERE rn = 1)
+        |SELECT j, cid, dim, count(*) AS n_members,
+        |  floor(CAST(sum(CAST(v AS $oD)) AS DOUBLE) / count(*) * 1000000 + 0.5)
+        |    / 1000000.0 AS centroid
+        |FROM ex GROUP BY j, cid, dim ORDER BY j, cid, dim""".stripMargin
     },
 
     "sim_kmeans_step" -> {

@@ -397,7 +397,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // emitted stationary round is the same single-row attach.
     // feat_pca_power_converged carries the step's two 1-row attaches
     // (iterate vector as broadcast DATA, norm scalar) plus the 1-row
-    // v0 plant attach — all O(1) rows by construction.
+    // v0 plant attach — all O(1) rows by construction. sim_pq_train
+    // attaches the same 1-row 128-struct codebook as sim_pq_adc.
     val allowed = Set("join_cross", "agg_ks_test", "agg_mannwhitney_u",
       "agg_roc_auc", "agg_calibration_bins", "feat_psi_drift",
       "text_perplexity_filter", "fs_tier_plan", "text_bm25_score",
@@ -407,7 +408,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
-      "sim_ann_stacked", "sim_ann_production", "sim_pq_adc", "sim_ivf_pq",
+      "sim_ann_stacked", "sim_ann_production", "sim_pq_adc", "sim_pq_train",
+      "sim_ivf_pq",
       "sim_matryoshka_audit", "graph_hits_step", "graph_modularity",
       "join_point_in_interval", "ts_mk_trend", "bpe_merge_apply",
       "feat_pca_power_step", "feat_pca_power_converged", "text_kneser_ney",
