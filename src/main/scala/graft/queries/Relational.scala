@@ -21,6 +21,31 @@ object Relational {
     * agg → sort. Money sums via exact DECIMAL (order-free); avgs as
     * rounded doubles over exact decimal sums (SURVEY.md §7.1).
     */
+  /** One CDC batch against a snapshot — merge_cdc_chain's per-batch
+    * apply, package-visible so the StreamingSpec foreachBatch twin
+    * drives the IDENTICAL logic through a streaming upsert sink.
+    * Delete anti-join + update left-join override share one
+    * o_orderkey shuffle; inserts union in at disjoint offset keys.
+    */
+  private[graft] def cdcApply(snap: DataFrame, delMod: Int, updMod: Int,
+      updAdd: Int, insMod: Int, insOff: Long, insStatus: String): DataFrame = {
+    val delKeys = snap.filter(col("o_orderkey") % delMod === 0)
+      .select("o_orderkey")
+    val upd = snap
+      .filter(col("o_orderkey") % updMod === 0 &&
+        col("o_orderkey") % delMod =!= 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + updAdd).as("new_price"))
+    val ins = snap.filter(col("o_orderkey") % insMod === 0)
+      .select((col("o_orderkey") + insOff).as("o_orderkey"),
+        lit(insStatus).as("o_orderstatus"), col("o_totalprice"))
+    snap.join(delKeys, Seq("o_orderkey"), "left_anti")
+      .join(upd, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+      .unionByName(ins)
+  }
+
   def q1(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_shipdate") <= lit("2000-06-30 00:00:00").cast(TimestampType))
@@ -2034,30 +2059,12 @@ object Relational {
       // the roundtrip-write bench kind, like sink_csv_roundtrip.
       val snap0 = orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      def applyBatch(snap: DataFrame, delMod: Int, updMod: Int, updAdd: Int,
-          insMod: Int, insOff: Long, insStatus: String): DataFrame = {
-        val delKeys = snap.filter(col("o_orderkey") % delMod === 0)
-          .select("o_orderkey")
-        val upd = snap
-          .filter(col("o_orderkey") % updMod === 0 &&
-            col("o_orderkey") % delMod =!= 0)
-          .select(col("o_orderkey"),
-            (col("o_totalprice") + updAdd).as("new_price"))
-        val ins = snap.filter(col("o_orderkey") % insMod === 0)
-          .select((col("o_orderkey") + insOff).as("o_orderkey"),
-            lit(insStatus).as("o_orderstatus"), col("o_totalprice"))
-        snap.join(delKeys, Seq("o_orderkey"), "left_anti")
-          .join(upd, Seq("o_orderkey"), "left")
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
-          .unionByName(ins)
-      }
-      val b1 = applyBatch(snap0, 13, 10, 1000, 17, 2000000000L, "N")
+      val b1 = cdcApply(snap0, 13, 10, 1000, 17, 2000000000L, "N")
       val tmp = scratch(s, "cdc_chain", d)
       b1.repartition(2).write.mode("overwrite").parquet(tmp)
       val compacted = s.read.parquet(tmp)
-      val b2 = applyBatch(compacted, 19, 7, 500, 23, 4000000000L, "Q")
-      val b3 = applyBatch(b2, 29, 11, 250, 31, 16000000000L, "R")
+      val b2 = cdcApply(compacted, 19, 7, 500, 23, 4000000000L, "Q")
+      val b3 = cdcApply(b2, 29, 11, 250, 31, 16000000000L, "R")
       b3.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
           min(col("o_orderkey")).as("min_key"),

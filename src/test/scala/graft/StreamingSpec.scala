@@ -416,6 +416,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("foreachBatch CDC maintenance: streamed 3-batch apply == batch chain") {
+    // The streaming side of merge_cdc_chain: CDC batch descriptors
+    // arrive as a file stream (one control file per batch, mtime- and
+    // path-ordered so maxFilesPerTrigger=1 delivers them in sequence),
+    // and a foreachBatch upsert sink applies EACH batch to an external
+    // parquet snapshot via the IDENTICAL Relational.cdcApply the batch
+    // operator uses — the standard Structured-Streaming MERGE pattern
+    // (no native streaming upsert sink exists; foreachBatch + an
+    // atomic snapshot swap is the production idiom). The final
+    // snapshot rollup must equal the batch operator's 3-chain result
+    // row-for-row: streamed incremental maintenance ≡ direct recompute.
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_cdc_stream")
+    val ctl = dir.resolve("ctl"); Files.createDirectories(ctl)
+    val params = Seq(
+      (1, 13, 10, 1000, 17, 2000000000L, "N"),
+      (2, 19, 7, 500, 23, 4000000000L, "Q"),
+      (3, 29, 11, 250, 31, 16000000000L, "R"))
+    params.foreach { case (b, dm, um, ua, im, off, st) =>
+      val f = ctl.resolve(s"batch$b.json")
+      Files.write(f,
+        s"""{"delMod":$dm,"updMod":$um,"updAdd":$ua,"insMod":$im,"insOff":$off,"insStatus":"$st"}""".getBytes("UTF-8"))
+      assert(f.toFile.setLastModified(1700000000000L + b * 60000L))
+    }
+    val snapDir = dir.resolve("snap").toString
+    graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(snapDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "delMod INT, updMod INT, updAdd INT, insMod INT, insOff BIGINT, insStatus STRING")
+    val fs = new Path(snapDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(ctl.toString)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          val snap = spark.read.parquet(snapDir)
+          val next = queries.Relational.cdcApply(snap,
+            r.getAs[Int]("delMod"), r.getAs[Int]("updMod"),
+            r.getAs[Int]("updAdd"), r.getAs[Int]("insMod"),
+            r.getAs[Long]("insOff"), r.getAs[String]("insStatus"))
+          // Write-aside + atomic swap: the snapshot being read can't be
+          // overwritten in place.
+          val tmp = s"$snapDir.next"
+          next.write.mode("overwrite").parquet(tmp)
+          fs.delete(new Path(snapDir), true)
+          assert(fs.rename(new Path(tmp), new Path(snapDir)))
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(snapDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus").collect().toSeq
+    val want = SparkEntry.queries("merge_cdc_chain")(spark, sf)
+      .collect().toSeq
+    assert(got === want)
+  }
+
   test("parquet file sink is exactly-once across stop/restart") {
     // The production sink semantic: the checkpoint (source offsets +
     // sink commit log) must make restarts idempotent — a restart with
