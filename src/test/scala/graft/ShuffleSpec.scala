@@ -98,6 +98,30 @@ class ShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"agg_bootstrap_ci shuffle bytes grew with input: $small -> $big on a 10x tier step")
   }
 
+  test("sim_pq_train moves input-size-invariant shuffle bytes (1024-key recompute claim)") {
+    // Round-10: assignment is map-only (broadcast codebook) and the
+    // recompute groupBy is bounded at m×k×sub = 1024 keys — on a 10×
+    // input step the shuffle must stay flat, like sim_pq_adc's.
+    val small = shuffleBytes("sim_pq_train", sfSmall)
+    val big = shuffleBytes("sim_pq_train", sfBig)
+    assert(big <= math.max(small, 1L) * 3 + (64 << 10),
+      s"sim_pq_train shuffle bytes grew with input: $small -> $big on a 10x tier step")
+  }
+
+  test("bpe_train_loop shuffle bytes are vocabulary-bounded, not corpus-bounded") {
+    // Round-10: the corpus collapses ONCE to (distinct word, count) and
+    // every merge round's pair count aggregates over that vocab — so
+    // across a 10× corpus step the loop's total shuffle bytes may grow
+    // only with the VOCABULARY (Heaps-law sub-linear, ≈√n at worst),
+    // never with the corpus. 4× is the loose bound for a 10× step —
+    // well under linear while leaving Heaps growth room.
+    val small = shuffleBytes("bpe_train_loop", sfSmall)
+    val big = shuffleBytes("bpe_train_loop", sfBig)
+    assert(small > 0, "expected a real shuffle at the small tier")
+    assert(big <= small * 4 + (64 << 10),
+      s"bpe_train_loop shuffle bytes tracked the corpus: $small -> $big on a 10x tier step")
+  }
+
   test("contrast: shuffle_global's shuffle bytes DO track the corpus (witness is live)") {
     // The deterministic global shuffle moves the full document text
     // through a salted-key exchange BY DESIGN — content must dominate
