@@ -657,6 +657,60 @@ object Graph {
         .select(col("n_communities"), col("m_edges"), col("q"))
     },
 
+    "graph_louvain_step" -> { (s, d) =>
+      // One synchronous Louvain phase-1 sweep — the REFINE step that
+      // completes the community trio (graph_label_prop detects,
+      // graph_modularity scores, this moves): every node evaluates
+      // moving to each neighboring community and takes the
+      // modularity-gain argmax, the standard insertion-gain comparator
+      // ΔQ(i→c) = kin(i,c)/m − k_i·Σtot(c∖i)/(2m²), staying allowed
+      // (its Σtot excludes i — the remove-then-insert bookkeeping).
+      // Starting partition is id % 64, the same coarse hash communities
+      // label_prop steps from, so the three queries read as one
+      // pipeline over the same %3 co-occurrence graph. Deterministic:
+      // kin/ktot/k_i/m are exact longs, the gain is one identical IEEE
+      // expression rounded at 1e-9 BEFORE the argmax, ties → lower
+      // community id. Shape: two O(edges) rollups (kin by (node,
+      // neighbor community), degrees), a ≤64-row community-mass table,
+      // m as a 1-row broadcast (the graph_modularity attach), argmax
+      // on a per-node window — nothing denser than the edge list.
+      val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist() // consumed by adj (twice via union), deg, and m
+      val adj = und.select(col("u").as("i"), col("v").as("j"))
+        .unionByName(und.select(col("v").as("i"), col("u").as("j")))
+      val deg = adj.groupBy("i").agg(count(lit(1)).as("ki"))
+      val kin = adj.select(col("i"), pmod(col("j"), lit(64)).as("c"))
+        .groupBy("i", "c").agg(count(lit(1)).as("kin"))
+      // Staying is always a candidate, even with zero same-community
+      // neighbors (kin = 0).
+      val stay = deg.select(col("i"), pmod(col("i"), lit(64)).as("c"),
+        lit(0L).as("kin"))
+      val cand = kin.unionByName(stay)
+        .groupBy("i", "c").agg(max(col("kin")).as("kin"))
+      val ktot = deg.select(pmod(col("i"), lit(64)).as("c"), col("ki"))
+        .groupBy("c").agg(sum(col("ki")).as("ktot"))
+      val mRow = und.agg(count(lit(1)).as("m"))
+      val scored = cand.join(ktot, "c").join(deg, "i")
+        .crossJoin(broadcast(mRow))
+        .withColumn("c0", pmod(col("i"), lit(64)))
+        .withColumn("sigma", col("ktot") -
+          when(col("c") === col("c0"), col("ki")).otherwise(lit(0L)))
+        .withColumn("gain", round(
+          col("kin").cast(DoubleType) / col("m") -
+            col("ki").cast(DoubleType) * col("sigma").cast(DoubleType) /
+              (lit(2.0) * col("m") * col("m")), 9))
+      val w = Window.partitionBy("i").orderBy(col("gain").desc, col("c"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("i").as("node_id"), col("c0").as("cid_old"),
+          col("c").as("cid_new"), (col("c") =!= col("c0")).as("moved"),
+          col("gain"))
+        .orderBy("node_id")
+    },
+
     "graph_label_prop" -> { (s, d) =>
       // One synchronous label-propagation step (community detection's
       // workhorse): every node adopts the plurality label among its
@@ -1210,6 +1264,43 @@ object Graph {
         |  (SELECT m FROM m) AS m_edges,
         |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS q
         |FROM terms""".stripMargin,
+
+    // Same insertion-gain comparator, exact-long inputs, 1e-9 snap
+    // before the row_number argmax with the identical (gain DESC, c)
+    // tie order.
+    "graph_louvain_step" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 3 = 0),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |adj AS (SELECT u AS i, v AS j FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT i, count(*) AS ki FROM adj GROUP BY i),
+        |kin AS (SELECT i, j % 64 AS c, count(*) AS kin FROM adj GROUP BY i, j % 64),
+        |stay AS (SELECT i, i % 64 AS c, CAST(0 AS BIGINT) AS kin FROM deg),
+        |cand AS (
+        |  SELECT i, c, max(kin) AS kin FROM (
+        |    SELECT * FROM kin UNION ALL SELECT * FROM stay) t
+        |  GROUP BY i, c),
+        |ktot AS (
+        |  SELECT i % 64 AS c, CAST(sum(ki) AS BIGINT) AS ktot
+        |  FROM deg GROUP BY i % 64),
+        |m AS (SELECT count(*) AS m FROM und),
+        |scored AS (
+        |  SELECT cand.i, cand.c, cand.i % 64 AS c0,
+        |    round(CAST(cand.kin AS DOUBLE) / m.m
+        |      - CAST(deg.ki AS DOUBLE) * CAST(ktot.ktot
+        |          - CASE WHEN cand.c = cand.i % 64 THEN deg.ki ELSE 0 END
+        |          AS DOUBLE)
+        |        / (2.0 * m.m * m.m), 9) AS gain
+        |  FROM cand JOIN ktot USING (c) JOIN deg USING (i) CROSS JOIN m),
+        |best AS (
+        |  SELECT i, c0, c, gain, row_number() OVER (
+        |    PARTITION BY i ORDER BY gain DESC, c) AS rn
+        |  FROM scored)
+        |SELECT i AS node_id, c0 AS cid_old, c AS cid_new,
+        |  (c <> c0) AS moved, gain
+        |FROM best WHERE rn = 1 ORDER BY node_id""".stripMargin,
 
     "graph_hits_step" ->
       """WITH e AS (
