@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 import graft.Tables._
 
 /** Batch-equivalent forms of the streaming operators (SURVEY.md §2j).
@@ -1054,6 +1054,58 @@ object StreamingBatch {
         round(col("st").getItem(0) + lit(3.0) * col("st").getItem(1), 6).as("fc_3h"))
     },
 
+    "ts_holt_winters" -> { (s, d) =>
+      // Holt–Winters additive TRIPLE exponential smoothing — the
+      // classical seasonal forecaster one rung above ts_holt_linear:
+      // level + trend + a 24-slot hour-of-day seasonal state, updated
+      // per observation (l' = α(y−s_h) + (1−α)(l+b); b' = β(l'−l) +
+      // (1−β)b; s_h' = γ(y−l') + (1−γ)s_h; other slots carry).
+      // Inherently sequential like holt_linear, so it folds via
+      // aggregate() with a 26-element DOUBLE-ARRAY state ([l, b,
+      // s0..s23]); each new element is an expression of the OLD
+      // accumulator only (l' inlined where b'/s' need it — Spark's
+      // aggregate lambda and DuckDB's list_reduce LIST accumulator
+      // both evaluate every element against the old state, the
+      // ts_holt_linear finding). No intermediate rounding: counts are
+      // exact ints → exact doubles and the fold order is pinned by
+      // sort_array over unique hours, so every intermediate is the
+      // same IEEE value in both engines; emission snaps at 1e-6.
+      // Scale: input is the calendar-bounded hourly array (ts_acf's
+      // boundedness argument) — one map-side rollup, then O(1).
+      // Emits the 24 seasonal slots with the final level/trend and
+      // the l+b+s_h one-step forecast each slot would get.
+      val hc = eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val series = hc
+        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
+        .select(expr("transform(sn, p -> named_struct(" +
+            "'hod', cast(p.h % 24 as int), 'y', cast(p.n as double)))")
+          .as("sv"), size(col("sn")).as("n_hours"))
+      val zeros = Seq.fill(24)("0.0d").mkString(", ")
+      val lNew = "0.3d * (p.y - acc[p.hod + 2]) + 0.7d * (acc[0] + acc[1])"
+      val folded = series.select(col("n_hours"), expr(
+        s"""aggregate(
+           |  slice(sv, 2, size(sv) - 1),
+           |  array(sv[0].y, 0.0d, $zeros),
+           |  (acc, p) -> transform(sequence(0, 25), i ->
+           |    CASE WHEN i = 0 THEN $lNew
+           |         WHEN i = 1 THEN 0.1d * (($lNew) - acc[0]) + 0.9d * acc[1]
+           |         WHEN i = p.hod + 2
+           |           THEN 0.2d * (p.y - ($lNew)) + 0.8d * acc[p.hod + 2]
+           |         ELSE acc[i] END))""".stripMargin).as("st"))
+      folded
+        .select(col("n_hours"), col("st"),
+          posexplode(expr("slice(st, 3, 24)")).as(Seq("hod", "sx")))
+        .select(col("hod").cast(IntegerType).as("hod"), col("n_hours"),
+          round(col("st").getItem(0), 6).as("level"),
+          round(col("st").getItem(1), 6).as("trend"),
+          round(col("sx"), 6).as("seasonal"),
+          round(col("st").getItem(0) + col("st").getItem(1) + col("sx"), 6)
+            .as("fc_if_next"))
+        .orderBy("hod")
+    },
+
     "ts_stl_decompose" -> { (s, d) =>
       // Additive seasonal-trend decomposition of the global hourly
       // event-count series — the classical-decomposition core of STL
@@ -1519,6 +1571,42 @@ object StreamingBatch {
         |  round(st[1] + 2.0 * st[2], 6) AS fc_2h,
         |  round(st[1] + 3.0 * st[2], 6) AS fc_3h
         |FROM folded""".stripMargin,
+
+    // Same 26-slot list fold: elements are [hod, y] 2-lists (the
+    // list_prepend init trick needs element type == accumulator type),
+    // every new slot an expression of the OLD acc (LIST-accumulator
+    // semantics, the holt_linear finding), identical IEEE shapes,
+    // 1e-6 snap at emission only.
+    "ts_holt_winters" -> {
+      val zeros = Seq.fill(24)("CAST(0.0 AS DOUBLE)").mkString(", ")
+      val lNew = "0.3 * (p[2] - acc[CAST(p[1] AS BIGINT) + 3])" +
+        " + 0.7 * (acc[1] + acc[2])"
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |ser AS (
+        |  SELECT list([CAST(h % 24 AS DOUBLE), CAST(n AS DOUBLE)] ORDER BY h) AS sv,
+        |    CAST(count(*) AS INTEGER) AS n_hours
+        |  FROM hc),
+        |folded AS (
+        |  SELECT n_hours, list_reduce(
+        |    list_prepend(list_concat([sv[1][2], CAST(0.0 AS DOUBLE)],
+        |      [$zeros]), sv[2:]),
+        |    (acc, p) -> list_transform(range(26), i ->
+        |      CASE WHEN i = 0 THEN $lNew
+        |           WHEN i = 1 THEN 0.1 * (($lNew) - acc[1]) + 0.9 * acc[2]
+        |           WHEN i = CAST(p[1] AS BIGINT) + 2
+        |             THEN 0.2 * (p[2] - ($lNew))
+        |               + 0.8 * acc[CAST(p[1] AS BIGINT) + 3]
+        |           ELSE acc[i + 1] END)) AS st
+        |  FROM ser)
+        |SELECT CAST(i AS INTEGER) AS hod, n_hours,
+        |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+        |  round(st[CAST(i AS INTEGER) + 3], 6) AS seasonal,
+        |  round(st[1] + st[2] + st[CAST(i AS INTEGER) + 3], 6) AS fc_if_next
+        |FROM folded, (SELECT unnest(range(24)) AS i) hods
+        |ORDER BY hod""".stripMargin
+    },
 
     // Full replication of the classical decomposition: range-framed
     // 25-hour trend window (full frames only), ×25 integer detrended
