@@ -76,7 +76,7 @@ object Bench {
         // Drop per-query persist()ed blocks so caches (LSH bands etc.)
         // don't accumulate memory pressure across the 90+ query run —
         // and so each repeat times the query cold, not its own cache.
-        spark.catalog.clearCache()
+        CacheDrain.drain(spark)
         if (ok) Some(secs) else None
       }
       var times = (1 to repeat).flatMap(_ => rep())

@@ -25,5 +25,5 @@ object Floors {
         }
         case _ => Map.empty
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

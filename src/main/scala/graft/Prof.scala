@@ -32,7 +32,7 @@ object Prof {
       // Mirror Bench: persist()ed blocks must not leak between reps or
       // queries, or rep 2+ reports cache-served times (codegen/JIT stay
       // warm — that's the intended rep-2 signal).
-      spark.catalog.clearCache()
+      CacheDrain.drain(spark)
       if (r == reps && sys.env.contains("SPARK_GRAFT_PROF_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")
     }

@@ -35,7 +35,7 @@ object Verify {
       // Queries persist() intermediates (LSH bands etc.) and can't
       // unpersist what they lazily return; drop them here so cached
       // blocks don't accumulate across the 90+ query run.
-      spark.catalog.clearCache()
+      CacheDrain.drain(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

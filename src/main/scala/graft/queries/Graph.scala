@@ -168,6 +168,11 @@ object Graph {
           "exact single-round fixed point — refusing to emit")
       cert.unpersist()
       wed.unpersist()
+      // q is localCheckpointed (lineage truncated at its loop-time
+      // materialization), so the emission no longer references nodes —
+      // releasable here; q itself backs the returned plan and is the
+      // caller's to drain (CacheDrain).
+      nodes.unpersist()
       q.select(col("ntype"), col("node_id"), col("q").as("pr_n"))
         .orderBy("ntype", "node_id")
     },

@@ -770,7 +770,7 @@ object TextPipeline {
           .filter(length(col("w")) >= 2)
           .persist()
       }
-      words.unpersist()
+      words.unpersist(); if (prevWords != null) prevWords.unpersist()
       out.toSeq.toDF("rank", "merge", "n").orderBy("rank")
     },
 
