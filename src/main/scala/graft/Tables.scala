@@ -115,6 +115,23 @@ object Tables {
     * one a decimal output column; every double output matched).
     */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Exact INTEGER-capture sum for a 10^-scale-quantized double column —
+    * bit-identical to sum(cast(· as decimal)).cast(double) and measured
+    * ~2× faster in the fixpoint loops' per-round aggregates (long
+    * hash-agg lanes vs per-row Decimal allocation; see the round-11
+    * kmeans probe: 620 → 345 ms/round, identical fingerprint). Why it
+    * is exact: each input is round(x, scale) = m/10^s with integer m;
+    * round(c·10^s) recovers m EXACTLY (the double product sits within
+    * |m|·2⁻⁵² ≪ 0.5 of m); the long sum S = Σm is exact; and
+    * S.cast(double)/10^s rounds the exact rational S/10^s ONCE —
+    * precisely what decimal(·,s)→double does. Holds while |S| < 2⁵³,
+    * i.e. per-group Σ|x| < ~9·10^(15−s) — each call site documents its
+    * bound. Emission stays DOUBLE, as dsum.
+    */
+  def lsum(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale) // exact in double for scale ≤ 15
+    sum(round(c * f).cast(LongType)).cast(DoubleType) / f
+  }
   /** Order-free average: exact decimal sum divided as double, then
     * rounded via floor(x·10⁴ + 0.5)/10⁴ — NOT round(x, 4): the decimal
     * sums are exact, so quotients frequently land exactly on .xxxx5 ties

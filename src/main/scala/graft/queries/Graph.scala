@@ -126,7 +126,10 @@ object Graph {
           .join(wed, col("node_id") === col("src"))
           .select(col("dst"), round(col("q") / col("outdeg"), 9).as("c"))
           .groupBy("dst")
-          .agg(sum(col("c").cast(DecimalType(38, 9))).cast(DoubleType).as("msum"))
+          // Exact long capture (Tables.lsum): identical to the decimal
+          // sum while per-node Σ|c| < 9e6 (c ≤ q ≤ total mass / node —
+          // holds for graphs to ~10⁹ in-edges per node at q ≤ 1e-3·n).
+          .agg(lsum(col("c"), 9).as("msum"))
         nodes.join(contrib,
             col("ntype") === lit("p") && col("node_id") === col("dst"), "left")
           .select(col("ntype"), col("node_id"),
@@ -243,8 +246,9 @@ object Graph {
       def step(hubQ: DataFrame): Round = {
         val aRaw = edges.join(hubQ, "src")
           .groupBy("dst")
-          .agg(sum(col("qh").cast(DecimalType(38, 6))).cast(DoubleType)
-            .as("raw"))
+          // Exact long capture (Tables.lsum): qh is 1e-4-quantized in
+          // [0,1], so per-node Σ|qh| < 9e9 holds to ~9 billion in-edges.
+          .agg(lsum(col("qh"), 6).as("raw"))
           .withColumnRenamed("dst", "node_id")
           .localCheckpoint(eager = false).persist()
         val r1 = aRaw.agg(max(col("raw")).as("ma"), fpCol).head()
@@ -254,8 +258,7 @@ object Graph {
         val hRaw = edges
           .join(aQ.select(col("node_id").as("dst"), col("q").as("qa")), "dst")
           .groupBy("src")
-          .agg(sum(col("qa").cast(DecimalType(38, 6))).cast(DoubleType)
-            .as("raw"))
+          .agg(lsum(col("qa"), 6).as("raw"))
           .withColumnRenamed("src", "node_id")
           .localCheckpoint(eager = false).persist()
         val mh = hRaw.agg(max(col("raw"))).head().getDouble(0)

@@ -690,10 +690,11 @@ object Vectors {
       val w = scored
         .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("sc"))
         .groupBy("dim")
-        .agg(sum(round(col("x").cast(DoubleType) * col("sc"), 9)
-          .cast(DecimalType(28, 9))).cast(DoubleType).as("w"))
-      val norm2 = w.agg(sum(round(col("w") * col("w"), 9)
-        .cast(DecimalType(28, 9))).cast(DoubleType).as("n2"))
+        // Exact long capture (Tables.lsum): per-dim Σ|x·sc| < 9e6
+        // holds to ~10⁶ unit-scale vectors per partition-free key; the
+        // decimal form is bit-identical and ~2× slower per round.
+        .agg(lsum(round(col("x").cast(DoubleType) * col("sc"), 9), 9).as("w"))
+      val norm2 = w.agg(lsum(round(col("w") * col("w"), 9), 9).as("n2"))
       w.crossJoin(broadcast(norm2))
         .select(col("dim"), round(col("w"), 6).as("w"),
           round(col("w") / sqrt(col("n2")), 6).as("w_normed"))
@@ -763,10 +764,9 @@ object Vectors {
         val w = scored
           .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("sc"))
           .groupBy("dim")
-          .agg(sum(round(col("x").cast(DoubleType) * col("sc"), 9)
-            .cast(DecimalType(28, 9))).cast(DoubleType).as("w"))
-        val norm2 = w.agg(sum(round(col("w") * col("w"), 9)
-          .cast(DecimalType(28, 9))).cast(DoubleType).as("n2"))
+          // Exact long capture — see feat_pca_power_step's bound note.
+          .agg(lsum(round(col("x").cast(DoubleType) * col("sc"), 9), 9).as("w"))
+        val norm2 = w.agg(lsum(round(col("w") * col("w"), 9), 9).as("n2"))
         w.crossJoin(broadcast(norm2))
           .select(col("dim"), round(col("w") / sqrt(col("n2")), 6).as("w_normed"))
       }
@@ -922,7 +922,7 @@ object Vectors {
             posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy("cid", "dim")
           .agg(count(lit(1)).as("n_members"),
-            (floor(sum(dec(round(col("v").cast("double"), 6))).cast("double")
+            (floor(lsum(round(col("v").cast("double"), 6), 6)
               / count(lit(1)) * 1000000 + 0.5).cast("double") / 1000000.0)
               .as("centroid"))
       }
@@ -993,7 +993,7 @@ object Vectors {
         .select(col("j"), col("cid"), posexplode(col("semb")).as(Seq("dim", "v")))
         .groupBy("j", "cid", "dim")
         .agg(count(lit(1)).as("n_members"),
-          (floor(sum(dec(round(col("v").cast("double"), 6))).cast("double")
+          (floor(lsum(round(col("v").cast("double"), 6), 6)
             / count(lit(1)) * 1000000 + 0.5).cast("double") / 1000000.0)
             .as("centroid"))
         .orderBy("j", "cid", "dim")
@@ -1029,7 +1029,7 @@ object Vectors {
         .select(col("best.cid").as("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
         .agg(count(lit(1)).as("n_members"),
-          (floor(sum(dec(round(col("v").cast("double"), 6))).cast("double")
+          (floor(lsum(round(col("v").cast("double"), 6), 6)
             / count(lit(1)) * 1000000 + 0.5).cast("double") / 1000000.0)
             .as("centroid"))
         .orderBy("cid", "dim")
