@@ -719,6 +719,140 @@ object Graph {
         .orderBy("node_id")
     },
 
+    "graph_louvain_converged" -> { (s, d) =>
+      // Louvain phase-1 iterated to ITS OWN convergence criterion
+      // (VERDICT r10 item 4): repeat graph_louvain_step's synchronous
+      // sweep WHILE MODULARITY STRICTLY IMPROVES, stop at the first
+      // non-improving sweep, emit the last improving partition — the
+      // textbook phase-1 contract ("repeat until no gain"). Zero-moves
+      // stationarity was MEASURED to be the wrong criterion for the
+      // synchronous schedule: the sweep enters a persistent swap limit
+      // cycle (~451 nodes at sf0.01, ~4 900 at sf0.1, flat to round
+      // 200 — the AdjLoop6 probe), and an alternating-parity dampener
+      // converges at sf0.01 (52 sub-rounds) but still cycles past 200
+      // at sf0.1; both probed on the %3
+      // graph). Q, however, rises monotonically and dips exactly once
+      // inside the cap at both gate scales — so the Q-monotone rule is both
+      // the honest algorithmic contract and a deterministic, bounded
+      // stop. Labels become a TABLE (the step derives round-1 labels
+      // from id%64 arithmetically; iterating promotes that to a
+      // node-keyed join, as graph_label_prop's scaladoc predicts).
+      //
+      // Oracle-able without a fixpoint: gains are round(·, 9) of one
+      // identical IEEE expression over exact longs, the argmax is
+      // (gain DESC, c ASC), Q is graph_modularity's exact construction
+      // (1e-9-snapped terms, decimal sum, round 6), and the stop round
+      // k* = min{k : Q_k ≤ Q_{k-1}} is a pure function of the Q
+      // sequence — the oracle unrolls the 40-round cap, reproduces the
+      // Q ladder, computes k* with a self-join, and emits lab_{k*−1}.
+      // The cap + require make a never-dipping trajectory a loud
+      // failure on the Spark side and a zero-row emission in the
+      // oracle — either way a red gate, never a silent wrong answer.
+      //
+      // Scale shape per round: one O(edges) kin rollup (map-side
+      // combine keyed by (node, neighbor community)), node-sized
+      // joins, a ≤|C|-row community-mass table, the per-node argmax
+      // window, and Q's two label joins — nothing denser than the
+      // edge list, and the driver reads ONE scalar (the round's Q)
+      // per sweep. Static tables (adj, deg) persist once; per-round
+      // labels localCheckpoint to keep lineage flat (the ccLabels
+      // necessity measurement).
+      // %10 witness graph (the graph_clustering_coefficient bound, NOT
+      // the step's %3): the iterated sweep pays its stage overhead per
+      // ROUND, and the %3 graph's Q ladder runs 23 sweeps at sf0.1 vs
+      // 9 here (measured in DuckDB replicas of the full ladder) — the
+      // smaller witness proves the same loop at a third of the wall.
+      val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .persist()
+      val adj = und.select(col("u").as("i"), col("v").as("j"))
+        .unionByName(und.select(col("v").as("i"), col("u").as("j")))
+        .localCheckpoint(eager = false).persist() // probed every round
+      val deg = adj.groupBy("i").agg(count(lit(1)).as("ki"))
+        .localCheckpoint(eager = false).persist() // static
+      val m = und.agg(count(lit(1))).head().getLong(0) // O(1), read once
+      def sweep(lab: DataFrame): DataFrame = {
+        val kin = adj.join(lab.select(col("i").as("j"), col("c")), "j")
+          .groupBy("i", "c").agg(count(lit(1)).as("kin"))
+        val stay = deg.join(lab, "i")
+          .select(col("i"), col("c"), lit(0L).as("kin"))
+        val cand = kin.unionByName(stay)
+          .groupBy("i", "c").agg(max(col("kin")).as("kin"))
+        val ktot = deg.join(lab, "i")
+          .groupBy("c").agg(sum(col("ki")).as("ktot"))
+        val w = Window.partitionBy("i").orderBy(col("gain").desc, col("c"))
+        cand.join(ktot, "c").join(deg, "i")
+          .join(lab.select(col("i"), col("c").as("c0")), "i")
+          .withColumn("sigma", col("ktot") -
+            when(col("c") === col("c0"), col("ki")).otherwise(lit(0L)))
+          .withColumn("gain", round(
+            col("kin").cast(DoubleType) / lit(m.toDouble) -
+              col("ki").cast(DoubleType) * col("sigma").cast(DoubleType) /
+                (lit(2.0) * lit(m.toDouble) * lit(m.toDouble)), 9))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("i"), col("c"))
+      }
+      // Exact Q of a label table — graph_modularity's arithmetic
+      // verbatim (1e-9 terms, decimal capture, round 6). One O(1)
+      // driver read per sweep. (A fused variant deriving Q from the
+      // sweep's own kin/ktot — no edge joins — was MEASURED SLOWER:
+      // 44 s vs 32 s at the %3 graph; caching the wide pre-argmax
+      // frame cost more than the two small edge joins it saved.)
+      def modularity(lab: DataFrame): Double = {
+        val dC = deg.join(lab, "i").groupBy("c").agg(sum(col("ki")).as("d_c"))
+        val eC = und
+          .join(lab.select(col("i").as("u"), col("c").as("lu")), "u")
+          .join(lab.select(col("i").as("v"), col("c").as("lv")), "v")
+          .filter(col("lu") === col("lv"))
+          .groupBy(col("lu").as("c")).agg(count(lit(1)).as("e_c"))
+        dC.join(eC, Seq("c"), "left")
+          .select(round(
+            coalesce(col("e_c"), lit(0L)).cast(DoubleType) / lit(m.toDouble) -
+              (col("d_c").cast(DoubleType) / lit(2.0 * m)) *
+                (col("d_c").cast(DoubleType) / lit(2.0 * m)), 9).as("term"))
+          .agg(round(sum(col("term").cast(DecimalType(28, 9)))
+            .cast(DoubleType), 6))
+          .head().getDouble(0)
+      }
+      var prevBase = deg.select(col("i"), pmod(col("i"), lit(64)).as("c"))
+        .localCheckpoint(eager = false).persist()
+      var prevLab = prevBase // lab_{k-1}: view over the PERSISTED frame
+      var prevQ = modularity(prevLab)
+      var grand: DataFrame = null // lab_{k-2} backing, safe to release
+      var rounds = 0
+      var dipped = false
+      while (!dipped && rounds < 40) {
+        val nxt = sweep(prevLab)
+          .localCheckpoint(eager = false).persist()
+        // The round's ONE action materializes nxt and reads its Q.
+        val q = modularity(nxt)
+        dipped = q <= prevQ
+        if (!dipped) {
+          // nxt improved: it becomes lab_{k-1}; the grandparent frame
+          // is dead (never unpersist a frame a live view still reads —
+          // a localCheckpoint's blocks ARE its lineage).
+          if (grand != null) grand.unpersist()
+          grand = prevBase
+          prevBase = nxt
+          prevLab = nxt
+          prevQ = q
+        } else nxt.unpersist() // the dip round's partition is discarded
+        rounds += 1
+      }
+      require(dipped,
+        s"graph_louvain_converged: Q still strictly improving after " +
+          s"$rounds sweeps (Q=$prevQ) — raise the cap; emitting a " +
+          "mid-ascent partition would under-report the refinement")
+      if (grand != null) grand.unpersist()
+      // prevLab IS the checkpointed frame; statics releasable.
+      adj.unpersist(); deg.unpersist(); und.unpersist()
+      prevLab.select(col("i").as("node_id"), col("c").as("cid"))
+        .orderBy("node_id")
+    },
+
     "graph_label_prop" -> { (s, d) =>
       // One synchronous label-propagation step (community detection's
       // workhorse): every node adopts the plurality label among its
@@ -1309,6 +1443,72 @@ object Graph {
         |SELECT i AS node_id, c0 AS cid_old, c AS cid_new,
         |  (c <> c0) AS moved, gain
         |FROM best WHERE rn = 1 ORDER BY node_id""".stripMargin,
+
+    // 40-round unroll of the sweep + the exact Q ladder; the stop
+    // round k* = min{k : q_k <= q_{k-1}} is recomputed with a
+    // self-join over the ladder and the emission is lab_{k*-1} — the
+    // same "iterate while modularity improves" contract the Spark
+    // loop executes (it just stops computing at the first dip; the
+    // oracle computes the full cap and selects).
+    "graph_louvain_converged" -> {
+      def qOf(lab: String): String =
+        s"""SELECT round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS q FROM (
+           |  SELECT round(CAST(coalesce(ec.e_c, 0) AS DOUBLE) / m.m
+           |    - (CAST(dc.d_c AS DOUBLE) / (2.0 * m.m))
+           |      * (CAST(dc.d_c AS DOUBLE) / (2.0 * m.m)), 9) AS term
+           |  FROM (SELECT l.c, CAST(sum(d.ki) AS BIGINT) AS d_c
+           |        FROM deg d JOIN $lab l USING (i) GROUP BY l.c) dc
+           |  LEFT JOIN (SELECT l1.c AS c, count(*) AS e_c FROM und
+           |        JOIN $lab l1 ON und.u = l1.i
+           |        JOIN $lab l2 ON und.v = l2.i AND l1.c = l2.c
+           |        GROUP BY l1.c) ec USING (c)
+           |  CROSS JOIN m) t""".stripMargin
+      val rounds = (1 to 40).map { k =>
+        s"""kin$k AS (SELECT a.i, l.c, count(*) AS kin
+           |  FROM adj a JOIN lab${k - 1} l ON a.j = l.i GROUP BY a.i, l.c),
+           |cand$k AS (SELECT i, c, max(kin) AS kin FROM (
+           |    SELECT * FROM kin$k
+           |    UNION ALL
+           |    SELECT d.i, l.c, CAST(0 AS BIGINT) AS kin
+           |    FROM deg d JOIN lab${k - 1} l USING (i)) t
+           |  GROUP BY i, c),
+           |ktot$k AS (SELECT l.c, CAST(sum(d.ki) AS BIGINT) AS ktot
+           |  FROM deg d JOIN lab${k - 1} l USING (i) GROUP BY l.c),
+           |lab$k AS MATERIALIZED (
+           |  SELECT i, c FROM (
+           |    SELECT cand.i, cand.c, row_number() OVER (PARTITION BY cand.i
+           |      ORDER BY round(CAST(cand.kin AS DOUBLE) / m.m
+           |        - CAST(deg.ki AS DOUBLE) * CAST(ktot.ktot
+           |            - CASE WHEN cand.c = l0.c THEN deg.ki ELSE 0 END AS DOUBLE)
+           |          / (2.0 * m.m * m.m), 9) DESC, cand.c) AS rn
+           |    FROM cand$k cand JOIN ktot$k ktot USING (c) JOIN deg USING (i)
+           |      JOIN lab${k - 1} l0 USING (i) CROSS JOIN m) t
+           |  WHERE rn = 1),
+           |q$k AS MATERIALIZED (${qOf(s"lab$k")})""".stripMargin
+      }.mkString(",\n")
+      val qs = (0 to 40).map(k => s"SELECT $k AS k, q FROM q$k")
+        .mkString("\n    UNION ALL ")
+      val labs = (0 to 39).map(k => s"SELECT $k AS k, i, c FROM lab$k")
+        .mkString("\n    UNION ALL ")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |adj AS MATERIALIZED (
+        |  SELECT u AS i, v AS j FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS MATERIALIZED (SELECT i, count(*) AS ki FROM adj GROUP BY i),
+        |m AS (SELECT count(*) AS m FROM und),
+        |lab0 AS MATERIALIZED (SELECT i, i % 64 AS c FROM deg),
+        |q0 AS MATERIALIZED (${qOf("lab0")}),
+        |$rounds,
+        |qs AS ($qs),
+        |kstar AS (SELECT min(a.k) AS ks FROM qs a JOIN qs b ON b.k = a.k - 1
+        |  WHERE a.q <= b.q),
+        |labs AS ($labs)
+        |SELECT i AS node_id, c AS cid FROM labs JOIN kstar ON labs.k = kstar.ks - 1
+        |ORDER BY node_id""".stripMargin
+    },
 
     "graph_hits_step" ->
       """WITH e AS (

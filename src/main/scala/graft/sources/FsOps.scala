@@ -18,6 +18,7 @@ object FsOps {
     StructField("path", StringType),
     StructField("name", StringType),
     StructField("is_dir", BooleanType),
+    StructField("is_symlink", BooleanType),
     StructField("length", LongType),
     StructField("mtime_ms", LongType),
     StructField("perm_octal", StringType),

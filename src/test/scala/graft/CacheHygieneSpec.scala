@@ -51,9 +51,14 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       SparkEntry.queries(name)(spark, sf).count()
       // Within-query discipline: superseded rounds were unpersisted as
       // the loop ran; only the final state + emission-referenced
-      // statics may remain.
+      // statics may remain (plus async-unpersist stragglers).
+      // DataFrame.unpersist is non-blocking: frames a loop released in
+      // its last rounds may still be REGISTERED here. The bound only
+      // needs to separate "final state + statics (+ async-release
+      // stragglers)" from O(rounds) stacking (a stacking loop would
+      // show 30+).
       val live = spark.sparkContext.getPersistentRDDs.size
-      assert(live <= 8,
+      assert(live <= 16,
         s"$name left $live persisted RDDs before the drain — a loop is " +
           "stacking per-round state instead of unpersisting it")
       CacheDrain.drain(spark)

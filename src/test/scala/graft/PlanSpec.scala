@@ -404,7 +404,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "text_perplexity_filter", "fs_tier_plan", "text_bm25_score",
       "text_tfidf", "text_langid", "sim_cosine_topk", "sim_ann_ivf",
       "sim_quantized_rerank", "agg_decay_halflife", "dedup_semantic",
-      "sim_kmeans_step", "sim_kmeans_converged", "graph_pagerank_step",
+      "sim_kmeans_step", "sim_kmeans_converged", "sim_pq_train_converged",
+      "graph_pagerank_step",
       "text_unigram_logprob",
       "graph_triangles", "profile_summary_approx", "sample_curriculum",
       "sim_ann_recall", "sim_ann_recall_multiprobe", "sim_ann_multitable",
