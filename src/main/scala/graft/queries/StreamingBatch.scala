@@ -1074,36 +1074,9 @@ object StreamingBatch {
       // boundedness argument) — one map-side rollup, then O(1).
       // Emits the 24 seasonal slots with the final level/trend and
       // the l+b+s_h one-step forecast each slot would get.
-      val hc = eventsTs(s, d)
+      hwTail(eventsTs(s, d)
         .groupBy(expr(s"us DIV $hourUs").as("h"))
-        .agg(count(lit(1)).as("n"))
-      val series = hc
-        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
-        .select(expr("transform(sn, p -> named_struct(" +
-            "'hod', cast(p.h % 24 as int), 'y', cast(p.n as double)))")
-          .as("sv"), size(col("sn")).as("n_hours"))
-      val zeros = Seq.fill(24)("0.0d").mkString(", ")
-      val lNew = "0.3d * (p.y - acc[p.hod + 2]) + 0.7d * (acc[0] + acc[1])"
-      val folded = series.select(col("n_hours"), expr(
-        s"""aggregate(
-           |  slice(sv, 2, size(sv) - 1),
-           |  array(sv[0].y, 0.0d, $zeros),
-           |  (acc, p) -> transform(sequence(0, 25), i ->
-           |    CASE WHEN i = 0 THEN $lNew
-           |         WHEN i = 1 THEN 0.1d * (($lNew) - acc[0]) + 0.9d * acc[1]
-           |         WHEN i = p.hod + 2
-           |           THEN 0.2d * (p.y - ($lNew)) + 0.8d * acc[p.hod + 2]
-           |         ELSE acc[i] END))""".stripMargin).as("st"))
-      folded
-        .select(col("n_hours"), col("st"),
-          posexplode(expr("slice(st, 3, 24)")).as(Seq("hod", "sx")))
-        .select(col("hod").cast(IntegerType).as("hod"), col("n_hours"),
-          round(col("st").getItem(0), 6).as("level"),
-          round(col("st").getItem(1), 6).as("trend"),
-          round(col("sx"), 6).as("seasonal"),
-          round(col("st").getItem(0) + col("st").getItem(1) + col("sx"), 6)
-            .as("fc_if_next"))
-        .orderBy("hod")
+        .agg(count(lit(1)).as("n")))
     },
 
     "ts_stl_decompose" -> { (s, d) =>
@@ -1226,6 +1199,43 @@ object StreamingBatch {
     * the rollup is the only part of the operator that touches raw
     * events.
     */
+  /** The Holt–Winters fold of ts_holt_winters over an (h, n) hourly
+    * count table — factored out (the snfTail/cusumTail pattern) so the
+    * streaming twin (StreamingSpec) can feed it the incrementally-
+    * maintained tumbling-window rollup and prove streaming ≡ batch
+    * through the shared definition: the rollup is the only part of
+    * the operator that touches raw events.
+    */
+  private[graft] def hwTail(hc: DataFrame): DataFrame = {
+    val series = hc
+      .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
+      .select(expr("transform(sn, p -> named_struct(" +
+          "'hod', cast(p.h % 24 as int), 'y', cast(p.n as double)))")
+        .as("sv"), size(col("sn")).as("n_hours"))
+    val zeros = Seq.fill(24)("0.0d").mkString(", ")
+    val lNew = "0.3d * (p.y - acc[p.hod + 2]) + 0.7d * (acc[0] + acc[1])"
+    val folded = series.select(col("n_hours"), expr(
+      s"""aggregate(
+         |  slice(sv, 2, size(sv) - 1),
+         |  array(sv[0].y, 0.0d, $zeros),
+         |  (acc, p) -> transform(sequence(0, 25), i ->
+         |    CASE WHEN i = 0 THEN $lNew
+         |         WHEN i = 1 THEN 0.1d * (($lNew) - acc[0]) + 0.9d * acc[1]
+         |         WHEN i = p.hod + 2
+         |           THEN 0.2d * (p.y - ($lNew)) + 0.8d * acc[p.hod + 2]
+         |         ELSE acc[i] END))""".stripMargin).as("st"))
+    folded
+      .select(col("n_hours"), col("st"),
+        posexplode(expr("slice(st, 3, 24)")).as(Seq("hod", "sx")))
+      .select(col("hod").cast(IntegerType).as("hod"), col("n_hours"),
+        round(col("st").getItem(0), 6).as("level"),
+        round(col("st").getItem(1), 6).as("trend"),
+        round(col("sx"), 6).as("seasonal"),
+        round(col("st").getItem(0) + col("st").getItem(1) + col("sx"), 6)
+          .as("fc_if_next"))
+      .orderBy("hod")
+  }
+
   private[graft] def snfTail(hc: DataFrame): DataFrame = {
     val fc = hc.select((col("h") + 168).as("h"), col("n").as("n_pred"))
     def r6(c: org.apache.spark.sql.Column) =

@@ -219,6 +219,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("Holt-Winters fold over the streamed hourly rollup == batch operator") {
+    // Third rider on the streamed hourlyCounts state (seasonal-naive,
+    // cusum, now the 26-slot triple-smoothing fold): the fold itself
+    // is the shared hwTail definition over the calendar-bounded hourly
+    // table, so equality proves the whole operator streaming ≡ batch.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val hc = runToMemory(StreamingOps.hourlyCounts(stream), "t_hw_hc", "complete")
+    val got = graft.queries.StreamingBatch.hwTail(hc).collect().toSeq
+    val want = SparkEntry.queries("ts_holt_winters")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState running totals == batch per-user totals") {
     val stream = StreamingOps.readEvents(spark, srcDir.toString)
     val mem = runToMemory(StreamingOps.runningTotals(stream).toDF(), "t_state", "update")
