@@ -853,6 +853,41 @@ object Graph {
         .orderBy("node_id")
     },
 
+    "graph_louvain_coarsen" -> { (s, d) =>
+      // Louvain PHASE 2 — community contraction, the step the outer
+      // Louvain loop alternates with phase 1 (sweep → contract →
+      // sweep the supernode graph): every community becomes one
+      // supernode, inter-community edge counts become weighted
+      // super-edges, and intra-community edges fold into a self-loop
+      // of weight 2·e_c (the standard convention that preserves every
+      // node's degree mass, so modularity on the coarse graph equals
+      // modularity on the fine partition). Input partition is
+      // graph_louvain_step's one-sweep argmax — the coarsen consumes
+      // the sweep's emission verbatim, so the two operators read as
+      // phase1 → phase2. Scale shape: two O(edges) label joins (the
+      // graph_modularity e_c construction) + a ≤|C|²-bounded pair
+      // rollup; the label table persists once for its two endpoint
+      // joins.
+      val lab = queries("graph_louvain_step")(s, d)
+        .select(col("node_id").as("i"), col("cid_new").as("c"))
+        .persist() // both endpoint joins probe it
+      val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      und
+        .join(lab.select(col("i").as("u"), col("c").as("cu")), "u")
+        .join(lab.select(col("i").as("v"), col("c").as("cv")), "v")
+        .select(least(col("cu"), col("cv")).as("c_a"),
+          greatest(col("cu"), col("cv")).as("c_b"))
+        .groupBy("c_a", "c_b").agg(count(lit(1)).as("n_edges"))
+        .withColumn("weight",
+          when(col("c_a") === col("c_b"), col("n_edges") * 2)
+            .otherwise(col("n_edges")))
+        .orderBy("c_a", "c_b")
+    },
+
     "graph_label_prop" -> { (s, d) =>
       // One synchronous label-propagation step (community detection's
       // workhorse): every node adopts the plurality label among its
@@ -1509,6 +1544,49 @@ object Graph {
         |SELECT i AS node_id, c AS cid FROM labs JOIN kstar ON labs.k = kstar.ks - 1
         |ORDER BY node_id""".stripMargin
     },
+
+    // The louvain_step oracle's label CTEs + the contraction rollup
+    // (least/greatest unordered pair, 2x self-loop weight).
+    "graph_louvain_coarsen" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 3 = 0),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |adj AS (SELECT u AS i, v AS j FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT i, count(*) AS ki FROM adj GROUP BY i),
+        |kin AS (SELECT i, j % 64 AS c, count(*) AS kin FROM adj GROUP BY i, j % 64),
+        |stay AS (SELECT i, i % 64 AS c, CAST(0 AS BIGINT) AS kin FROM deg),
+        |cand AS (
+        |  SELECT i, c, max(kin) AS kin FROM (
+        |    SELECT * FROM kin UNION ALL SELECT * FROM stay) t
+        |  GROUP BY i, c),
+        |ktot AS (
+        |  SELECT i % 64 AS c, CAST(sum(ki) AS BIGINT) AS ktot
+        |  FROM deg GROUP BY i % 64),
+        |m AS (SELECT count(*) AS m FROM und),
+        |scored AS (
+        |  SELECT cand.i, cand.c,
+        |    round(CAST(cand.kin AS DOUBLE) / m.m
+        |      - CAST(deg.ki AS DOUBLE) * CAST(ktot.ktot
+        |          - CASE WHEN cand.c = cand.i % 64 THEN deg.ki ELSE 0 END
+        |          AS DOUBLE)
+        |        / (2.0 * m.m * m.m), 9) AS gain
+        |  FROM cand JOIN ktot USING (c) JOIN deg USING (i) CROSS JOIN m),
+        |best AS (
+        |  SELECT i, c, row_number() OVER (
+        |    PARTITION BY i ORDER BY gain DESC, c) AS rn
+        |  FROM scored),
+        |lab AS (SELECT i, c FROM best WHERE rn = 1),
+        |pairs AS (
+        |  SELECT least(l1.c, l2.c) AS c_a, greatest(l1.c, l2.c) AS c_b,
+        |    count(*) AS n_edges
+        |  FROM und JOIN lab l1 ON und.u = l1.i JOIN lab l2 ON und.v = l2.i
+        |  GROUP BY 1, 2)
+        |SELECT c_a, c_b, n_edges,
+        |  CAST(CASE WHEN c_a = c_b THEN 2 * n_edges ELSE n_edges END
+        |    AS BIGINT) AS weight
+        |FROM pairs ORDER BY c_a, c_b""".stripMargin,
 
     "graph_hits_step" ->
       """WITH e AS (

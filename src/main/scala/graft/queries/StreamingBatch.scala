@@ -1079,6 +1079,34 @@ object StreamingBatch {
         .agg(count(lit(1)).as("n")))
     },
 
+    "ts_holt_winters_forecast" -> { (s, d) =>
+      // The 24-hour-horizon FORECAST off the fitted Holt–Winters state
+      // — what the capacity planner actually consumes (ts_holt_winters
+      // emits the fitted components; this emits tomorrow):
+      // ŷ(T+h) = l + h·b + s_{(hod(T)+h) mod 24}, h = 1..24, the
+      // standard additive-HW prediction equation. Shares hwFolded (the
+      // 26-slot fold and therefore the streaming-twin equivalence)
+      // with ts_holt_winters; the horizon expansion is a 24-row
+      // explode over the 1-row state — O(1) past the hourly rollup.
+      // Arithmetic: h and the slot index are exact ints, h·b one IEEE
+      // product — both engines state the identical expression; snap
+      // at 1e-6 on emission.
+      hwFolded(eventsTs(s, d)
+        .groupBy(expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n")))
+        .select(col("last_h"), col("st"),
+          explode(expr("sequence(1, 24)")).as("h_ahead"))
+        .withColumn("target_hod",
+          ((col("last_h") + col("h_ahead")) % 24).cast(IntegerType))
+        .select(col("h_ahead").cast(IntegerType).as("h_ahead"),
+          col("target_hod"),
+          round(col("st").getItem(0) +
+            col("h_ahead") * col("st").getItem(1) +
+            element_at(col("st"), col("target_hod") + lit(3)), 6)
+            .as("forecast"))
+        .orderBy("h_ahead")
+    },
+
     "ts_stl_decompose" -> { (s, d) =>
       // Additive seasonal-trend decomposition of the global hourly
       // event-count series — the classical-decomposition core of STL
@@ -1206,15 +1234,16 @@ object StreamingBatch {
     * through the shared definition: the rollup is the only part of
     * the operator that touches raw events.
     */
-  private[graft] def hwTail(hc: DataFrame): DataFrame = {
+  private[graft] def hwFolded(hc: DataFrame): DataFrame = {
     val series = hc
-      .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
+      .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"),
+        max(col("h")).as("last_h"))
       .select(expr("transform(sn, p -> named_struct(" +
           "'hod', cast(p.h % 24 as int), 'y', cast(p.n as double)))")
-        .as("sv"), size(col("sn")).as("n_hours"))
+        .as("sv"), size(col("sn")).as("n_hours"), col("last_h"))
     val zeros = Seq.fill(24)("0.0d").mkString(", ")
     val lNew = "0.3d * (p.y - acc[p.hod + 2]) + 0.7d * (acc[0] + acc[1])"
-    val folded = series.select(col("n_hours"), expr(
+    series.select(col("n_hours"), col("last_h"), expr(
       s"""aggregate(
          |  slice(sv, 2, size(sv) - 1),
          |  array(sv[0].y, 0.0d, $zeros),
@@ -1224,6 +1253,10 @@ object StreamingBatch {
          |         WHEN i = p.hod + 2
          |           THEN 0.2d * (p.y - ($lNew)) + 0.8d * acc[p.hod + 2]
          |         ELSE acc[i] END))""".stripMargin).as("st"))
+  }
+
+  private[graft] def hwTail(hc: DataFrame): DataFrame = {
+    val folded = hwFolded(hc)
     folded
       .select(col("n_hours"), col("st"),
         posexplode(expr("slice(st, 3, 24)")).as(Seq("hod", "sx")))
@@ -1616,6 +1649,40 @@ object StreamingBatch {
         |  round(st[1] + st[2] + st[CAST(i AS INTEGER) + 3], 6) AS fc_if_next
         |FROM folded, (SELECT unnest(range(24)) AS i) hods
         |ORDER BY hod""".stripMargin
+    },
+
+    // hwFolded's fold replicated (the ts_holt_winters list_reduce)
+    // plus the horizon expansion: identical prediction expression over
+    // the same folded state, h = 1..24.
+    "ts_holt_winters_forecast" -> {
+      val zeros = Seq.fill(24)("CAST(0.0 AS DOUBLE)").mkString(", ")
+      val lNew = "0.3 * (p[2] - acc[CAST(p[1] AS BIGINT) + 3])" +
+        " + 0.7 * (acc[1] + acc[2])"
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |ser AS (
+        |  SELECT list([CAST(h % 24 AS DOUBLE), CAST(n AS DOUBLE)] ORDER BY h) AS sv,
+        |    max(h) AS last_h
+        |  FROM hc),
+        |folded AS (
+        |  SELECT last_h, list_reduce(
+        |    list_prepend(list_concat([sv[1][2], CAST(0.0 AS DOUBLE)],
+        |      [$zeros]), sv[2:]),
+        |    (acc, p) -> list_transform(range(26), i ->
+        |      CASE WHEN i = 0 THEN $lNew
+        |           WHEN i = 1 THEN 0.1 * (($lNew) - acc[1]) + 0.9 * acc[2]
+        |           WHEN i = CAST(p[1] AS BIGINT) + 2
+        |             THEN 0.2 * (p[2] - ($lNew))
+        |               + 0.8 * acc[CAST(p[1] AS BIGINT) + 3]
+        |           ELSE acc[i + 1] END)) AS st
+        |  FROM ser)
+        |SELECT CAST(h AS INTEGER) AS h_ahead,
+        |  CAST((last_h + h) % 24 AS INTEGER) AS target_hod,
+        |  round(st[1] + h * st[2]
+        |    + st[CAST((last_h + h) % 24 AS BIGINT) + 3], 6) AS forecast
+        |FROM folded, (SELECT unnest(range(1, 25)) AS h) hs
+        |ORDER BY h_ahead""".stripMargin
     },
 
     // Full replication of the classical decomposition: range-framed
