@@ -232,6 +232,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("Holt-Winters 24h forecast over the streamed hourly rollup == batch operator") {
+    // The horizon emission shares hwFolded with the fitted-state twin,
+    // so this pins the last_h plumbing too (the forecast is the one
+    // consumer of the fold that needs the series' final hour).
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val hc = runToMemory(StreamingOps.hourlyCounts(stream), "t_hwf_hc", "complete")
+    val got = graft.queries.StreamingBatch.hwFolded(hc)
+      .select(col("last_h"), col("st"),
+        explode(expr("sequence(1, 24)")).as("h_ahead"))
+      .withColumn("target_hod",
+        ((col("last_h") + col("h_ahead")) % 24).cast("int"))
+      .select(col("h_ahead").cast("int").as("h_ahead"), col("target_hod"),
+        round(col("st").getItem(0) + col("h_ahead") * col("st").getItem(1) +
+          element_at(col("st"), col("target_hod") + lit(3)), 6).as("forecast"))
+      .orderBy("h_ahead").collect().toSeq
+    val want = SparkEntry.queries("ts_holt_winters_forecast")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState running totals == batch per-user totals") {
     val stream = StreamingOps.readEvents(spark, srcDir.toString)
     val mem = runToMemory(StreamingOps.runningTotals(stream).toDF(), "t_state", "update")
