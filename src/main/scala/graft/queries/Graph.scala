@@ -868,9 +868,12 @@ object Graph {
       // graph_modularity e_c construction) + a ≤|C|²-bounded pair
       // rollup; the label table persists once for its two endpoint
       // joins.
+      // EAGER checkpoint (the level2 finding): both endpoint joins
+      // consume lab inside one action — a lazy persist loses the
+      // first-compute race and the step's whole subtree runs twice.
       val lab = queries("graph_louvain_step")(s, d)
         .select(col("node_id").as("i"), col("cid_new").as("c"))
-        .persist() // both endpoint joins probe it
+        .localCheckpoint(eager = true)
       val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val und = op.as("x").join(op.as("y"),
@@ -886,6 +889,66 @@ object Graph {
           when(col("c_a") === col("c_b"), col("n_edges") * 2)
             .otherwise(col("n_edges")))
         .orderBy("c_a", "c_b")
+    },
+
+    "graph_louvain_level2" -> { (s, d) =>
+      // The WEIGHTED phase-1 sweep over the coarsened supernode graph —
+      // the step multi-level Louvain alternates with contraction
+      // (phase1 → coarsen → THIS → coarsen → …), completing the
+      // multi-level story: graph_louvain_step sweeps the fine graph,
+      // graph_louvain_coarsen contracts it, this sweeps the contraction
+      // with the weighted insertion gain ΔQ(i→{j}) = w_ij/m −
+      // k_i·k_j/(2m²). Level-2 restart is the standard singleton
+      // partition (every supernode its own community), so kin(i, c_j) =
+      // w_ij, Σtot({j}) = k_j (weighted degree INCLUDING the self-loop
+      // — the 2·e_c convention preserves degree mass, which is exactly
+      // why coarse-graph modularity arithmetic carries over unchanged),
+      // and staying scores 0 (empty community after self-removal).
+      // Everything is exact longs into one 1e-9-snapped IEEE gain, ties
+      // → lower cid, the fine sweep's comparator. Scale shape: the
+      // coarse graph of a 10⁹-node corpus still has millions of
+      // supernodes, so the sweep keeps the fine step's edge-rollup
+      // shape — symmetrized weighted adjacency, degree rollup, argmax
+      // window; m attaches as a 1-row broadcast (an exact long: half
+      // the degree-mass sum).
+      // EAGER checkpoint, not a lazy persist: four plan branches
+      // consume ce inside one action, and a lazy cache loses the
+      // first-compute race — all four branches re-ran the whole
+      // coarsen subtree (measured 12.5 s warm; this shape ~5 s).
+      // 2 080 rows materialize once here, the fixpoint-loop precedent.
+      val ce = queries("graph_louvain_coarsen")(s, d)
+        .localCheckpoint(eager = true)
+      val adjw = ce.filter(col("c_a") =!= col("c_b"))
+        .select(col("c_a").as("i"), col("c_b").as("j"), col("weight").as("w"))
+        .unionByName(ce.filter(col("c_a") =!= col("c_b"))
+          .select(col("c_b").as("i"), col("c_a").as("j"),
+            col("weight").as("w")))
+      val selfw = ce.filter(col("c_a") === col("c_b"))
+        .select(col("c_a").as("i"), col("weight").as("sw"))
+      val deg = adjw.groupBy("i").agg(sum(col("w")).as("nw"))
+        .join(selfw, Seq("i"), "full")
+        .select(col("i"),
+          (coalesce(col("nw"), lit(0L)) + coalesce(col("sw"), lit(0L)))
+            .as("ki"))
+      val mRow = deg.agg((sum(col("ki")) / 2).cast(LongType).as("m"))
+      val cand = adjw.select(col("i"), col("j").as("c"), col("w").as("kin"))
+        .unionByName(deg.select(col("i"), col("i").as("c"),
+          lit(0L).as("kin")))
+      val w = Window.partitionBy("i").orderBy(col("gain").desc, col("c"))
+      cand
+        .join(deg.select(col("i").as("c"), col("ki").as("ktot")), "c")
+        .join(deg, "i")
+        .crossJoin(broadcast(mRow))
+        .withColumn("sigma",
+          when(col("c") === col("i"), lit(0L)).otherwise(col("ktot")))
+        .withColumn("gain", round(
+          col("kin").cast(DoubleType) / col("m") -
+            col("ki").cast(DoubleType) * col("sigma").cast(DoubleType) /
+              (lit(2.0) * col("m") * col("m")), 9))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("i").as("node_id"), col("c").as("cid_new"),
+          (col("c") =!= col("i")).as("moved"), col("gain"))
+        .orderBy("node_id")
     },
 
     "graph_label_prop" -> { (s, d) =>
@@ -1587,6 +1650,77 @@ object Graph {
         |  CAST(CASE WHEN c_a = c_b THEN 2 * n_edges ELSE n_edges END
         |    AS BIGINT) AS weight
         |FROM pairs ORDER BY c_a, c_b""".stripMargin,
+
+    // The coarsen oracle's CTEs + the weighted singleton-partition
+    // sweep (kin = w_ij, Σtot({j}) = weighted degree incl. self-loop).
+    "graph_louvain_level2" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 3 = 0),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |adj AS (SELECT u AS i, v AS j FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT i, count(*) AS ki FROM adj GROUP BY i),
+        |kin AS (SELECT i, j % 64 AS c, count(*) AS kin FROM adj GROUP BY i, j % 64),
+        |stay AS (SELECT i, i % 64 AS c, CAST(0 AS BIGINT) AS kin FROM deg),
+        |cand AS (
+        |  SELECT i, c, max(kin) AS kin FROM (
+        |    SELECT * FROM kin UNION ALL SELECT * FROM stay) t
+        |  GROUP BY i, c),
+        |ktot AS (
+        |  SELECT i % 64 AS c, CAST(sum(ki) AS BIGINT) AS ktot
+        |  FROM deg GROUP BY i % 64),
+        |m AS (SELECT count(*) AS m FROM und),
+        |scored AS (
+        |  SELECT cand.i, cand.c,
+        |    round(CAST(cand.kin AS DOUBLE) / m.m
+        |      - CAST(deg.ki AS DOUBLE) * CAST(ktot.ktot
+        |          - CASE WHEN cand.c = cand.i % 64 THEN deg.ki ELSE 0 END
+        |          AS DOUBLE)
+        |        / (2.0 * m.m * m.m), 9) AS gain
+        |  FROM cand JOIN ktot USING (c) JOIN deg USING (i) CROSS JOIN m),
+        |best AS (
+        |  SELECT i, c, row_number() OVER (
+        |    PARTITION BY i ORDER BY gain DESC, c) AS rn
+        |  FROM scored),
+        |lab AS (SELECT i, c FROM best WHERE rn = 1),
+        |pairs AS (
+        |  SELECT least(l1.c, l2.c) AS c_a, greatest(l1.c, l2.c) AS c_b,
+        |    count(*) AS n_edges
+        |  FROM und JOIN lab l1 ON und.u = l1.i JOIN lab l2 ON und.v = l2.i
+        |  GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT c_a, c_b, CAST(CASE WHEN c_a = c_b THEN 2 * n_edges
+        |    ELSE n_edges END AS BIGINT) AS weight
+        |  FROM pairs),
+        |adjw AS (
+        |  SELECT c_a AS i, c_b AS j, weight AS w FROM cw WHERE c_a <> c_b
+        |  UNION ALL
+        |  SELECT c_b, c_a, weight FROM cw WHERE c_a <> c_b),
+        |selfw AS (SELECT c_a AS i, weight AS sw FROM cw WHERE c_a = c_b),
+        |degw AS (
+        |  SELECT coalesce(a.i, s.i) AS i,
+        |    CAST(coalesce(a.nw, 0) + coalesce(s.sw, 0) AS BIGINT) AS ki
+        |  FROM (SELECT i, sum(w) AS nw FROM adjw GROUP BY i) a
+        |  FULL JOIN selfw s ON a.i = s.i),
+        |mm AS (SELECT CAST(sum(ki) / 2 AS BIGINT) AS m FROM degw),
+        |candw AS (
+        |  SELECT i, j AS c, w AS kin FROM adjw
+        |  UNION ALL SELECT i, i, CAST(0 AS BIGINT) FROM degw),
+        |scoredw AS (
+        |  SELECT candw.i, candw.c,
+        |    round(CAST(candw.kin AS DOUBLE) / mm.m
+        |      - CAST(d.ki AS DOUBLE) * CAST(CASE WHEN candw.c = candw.i
+        |          THEN 0 ELSE kt.ki END AS DOUBLE)
+        |        / (2.0 * mm.m * mm.m), 9) AS gain
+        |  FROM candw JOIN degw kt ON candw.c = kt.i
+        |    JOIN degw d ON candw.i = d.i CROSS JOIN mm),
+        |bestw AS (
+        |  SELECT i, c, gain, row_number() OVER (
+        |    PARTITION BY i ORDER BY gain DESC, c) AS rn
+        |  FROM scoredw)
+        |SELECT i AS node_id, c AS cid_new, (c <> i) AS moved, gain
+        |FROM bestw WHERE rn = 1 ORDER BY node_id""".stripMargin,
 
     "graph_hits_step" ->
       """WITH e AS (

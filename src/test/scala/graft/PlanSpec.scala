@@ -412,7 +412,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_ann_stacked", "sim_ann_production", "sim_pq_adc", "sim_pq_train",
       "sim_ivf_pq",
       "sim_matryoshka_audit", "graph_hits_step", "graph_modularity",
-      "graph_louvain_step", "graph_louvain_coarsen",
+      "graph_louvain_step", "graph_louvain_coarsen", "graph_louvain_level2",
       "join_point_in_interval", "ts_mk_trend", "bpe_merge_apply",
       "feat_pca_power_step", "feat_pca_power_converged", "text_kneser_ney",
       "agg_hll_intersect")
