@@ -23,6 +23,18 @@ import graft.Tables._
 object Graph {
   type Q = (SparkSession, String) => DataFrame
 
+  /** graph_louvain_step's partition as an (i, c) label table —
+    * shared by the coarsen, the invariant check, and anything else
+    * consuming the phase-1 result. EAGER checkpoint (the level2
+    * finding): multiple sibling joins consume it inside one action,
+    * and a lazy persist loses the first-compute race — the step's
+    * whole subtree re-ran per consumer (measured 2× wall).
+    */
+  private def louvainStepLabels(s: SparkSession, d: String): DataFrame =
+    queries("graph_louvain_step")(s, d)
+      .select(col("node_id").as("i"), col("cid_new").as("c"))
+      .localCheckpoint(eager = true)
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank_step" -> { (s, d) =>
       // One damped power-iteration step (d=0.85) from the uniform start
@@ -868,12 +880,7 @@ object Graph {
       // graph_modularity e_c construction) + a ≤|C|²-bounded pair
       // rollup; the label table persists once for its two endpoint
       // joins.
-      // EAGER checkpoint (the level2 finding): both endpoint joins
-      // consume lab inside one action — a lazy persist loses the
-      // first-compute race and the step's whole subtree runs twice.
-      val lab = queries("graph_louvain_step")(s, d)
-        .select(col("node_id").as("i"), col("cid_new").as("c"))
-        .localCheckpoint(eager = true)
+      val lab = louvainStepLabels(s, d)
       val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val und = op.as("x").join(op.as("y"),
@@ -949,6 +956,85 @@ object Graph {
         .select(col("i").as("node_id"), col("c").as("cid_new"),
           (col("c") =!= col("i")).as("moved"), col("gain"))
         .orderBy("node_id")
+    },
+
+    "graph_coarsen_invariant" -> { (s, d) =>
+      // The coarsening CORRECTNESS WITNESS: modularity computed along
+      // two INDEPENDENT paths — Q_fine over the fine graph (und ⋈
+      // labels, the graph_modularity construction) and Q_coarse over
+      // the CONTRACTED graph's own tables (singleton partition:
+      // Q = Σ_i [sw_i/2m − (k_i/2m)²] with sw = the 2·e_c self-loops,
+      // k = weighted degree, m = half the degree-mass sum) — must be
+      // EXACTLY equal: the 2·e_c convention preserves degree mass, so
+      // per-community terms are the same rationals (e_c/m vs 2e_c/2m —
+      // IEEE division is correctly rounded, so equal quotients round
+      // identically), the 1e-9 snap and decimal sum commute, and the
+      // equality is exact double equality, not an epsilon. A
+      // bookkeeping slip anywhere in the contraction (missed cut edge,
+      // single-counted self-loop, dropped community) breaks the flag —
+      // this is the property graph_louvain_coarsen's scaladoc argues;
+      // here it is measured and hash-gated. Scale shape: the fine path
+      // is two O(edges) label joins; the coarse path is ≤|C|²-row
+      // arithmetic; both m's are O(1) driver reads.
+      val lab = louvainStepLabels(s, d)
+      val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .localCheckpoint(eager = true) // fine path + contraction consume it
+      val m = und.agg(count(lit(1))).head().getLong(0) // O(1), read once
+      // Fine path: graph_modularity's exact construction over lab.
+      val dC = und.select(explode(array(col("u"), col("v"))).as("i"))
+        .groupBy("i").agg(count(lit(1)).as("ki"))
+        .join(lab, "i").groupBy("c").agg(sum(col("ki")).as("d_c"))
+      val eC = und
+        .join(lab.select(col("i").as("u"), col("c").as("lu")), "u")
+        .join(lab.select(col("i").as("v"), col("c").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("c")).agg(count(lit(1)).as("e_c"))
+      val qFine = dC.join(eC, Seq("c"), "left")
+        .select(round(
+          coalesce(col("e_c"), lit(0L)).cast(DoubleType) / lit(m.toDouble) -
+            (col("d_c").cast(DoubleType) / lit(2.0 * m)) *
+              (col("d_c").cast(DoubleType) / lit(2.0 * m)), 9).as("term"))
+        .agg(round(sum(col("term").cast(DecimalType(28, 9)))
+          .cast(DoubleType), 6).as("q_fine"))
+      // Coarse path: contract independently, then singleton-partition
+      // weighted modularity over the CONTRACTED tables only.
+      val cw = und
+        .join(lab.select(col("i").as("u"), col("c").as("cu")), "u")
+        .join(lab.select(col("i").as("v"), col("c").as("cv")), "v")
+        .select(least(col("cu"), col("cv")).as("c_a"),
+          greatest(col("cu"), col("cv")).as("c_b"))
+        .groupBy("c_a", "c_b").agg(count(lit(1)).as("n_edges"))
+        .select(col("c_a"), col("c_b"),
+          when(col("c_a") === col("c_b"), col("n_edges") * 2)
+            .otherwise(col("n_edges")).as("weight"))
+        .localCheckpoint(eager = true) // adjacency + self-loops + degrees
+      val adjw = cw.filter(col("c_a") =!= col("c_b"))
+        .select(col("c_a").as("i"), col("weight").as("w"))
+        .unionByName(cw.filter(col("c_a") =!= col("c_b"))
+          .select(col("c_b").as("i"), col("weight").as("w")))
+      val degw = adjw.groupBy("i").agg(sum(col("w")).as("nw"))
+        .join(cw.filter(col("c_a") === col("c_b"))
+          .select(col("c_a").as("i"), col("weight").as("sw")), Seq("i"), "full")
+        .select(col("i"),
+          (coalesce(col("nw"), lit(0L)) + coalesce(col("sw"), lit(0L)))
+            .as("ki"),
+          coalesce(col("sw"), lit(0L)).as("sw"))
+      val m2 = degw.agg((sum(col("ki")) / 2).cast(LongType)).head().getLong(0)
+      val qCoarse = degw
+        .select(round(
+          col("sw").cast(DoubleType) / lit(2.0 * m2) -
+            (col("ki").cast(DoubleType) / lit(2.0 * m2)) *
+              (col("ki").cast(DoubleType) / lit(2.0 * m2)), 9).as("term"))
+        .agg(round(sum(col("term").cast(DecimalType(28, 9)))
+          .cast(DoubleType), 6).as("q_coarse"))
+      qFine.crossJoin(broadcast(qCoarse))
+        .select(col("q_fine"), col("q_coarse"),
+          (col("q_fine") === col("q_coarse")).as("invariant_holds"),
+          lit(m).as("m_fine"), lit(m2).as("m_coarse"))
     },
 
     "graph_label_prop" -> { (s, d) =>
@@ -1721,6 +1807,82 @@ object Graph {
         |  FROM scoredw)
         |SELECT i AS node_id, c AS cid_new, (c <> i) AS moved, gain
         |FROM bestw WHERE rn = 1 ORDER BY node_id""".stripMargin,
+
+    // Both modularity paths replicated: fine (edge joins over the step
+    // labels) and coarse (singleton-partition weighted form over the
+    // contracted tables), compared exactly.
+    "graph_coarsen_invariant" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 3 = 0),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |adj AS (SELECT u AS i, v AS j FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT i, count(*) AS ki FROM adj GROUP BY i),
+        |kin AS (SELECT i, j % 64 AS c, count(*) AS kin FROM adj GROUP BY i, j % 64),
+        |stay AS (SELECT i, i % 64 AS c, CAST(0 AS BIGINT) AS kin FROM deg),
+        |cand AS (
+        |  SELECT i, c, max(kin) AS kin FROM (
+        |    SELECT * FROM kin UNION ALL SELECT * FROM stay) t
+        |  GROUP BY i, c),
+        |ktot AS (
+        |  SELECT i % 64 AS c, CAST(sum(ki) AS BIGINT) AS ktot
+        |  FROM deg GROUP BY i % 64),
+        |m AS (SELECT count(*) AS m FROM und),
+        |scored AS (
+        |  SELECT cand.i, cand.c,
+        |    round(CAST(cand.kin AS DOUBLE) / m.m
+        |      - CAST(deg.ki AS DOUBLE) * CAST(ktot.ktot
+        |          - CASE WHEN cand.c = cand.i % 64 THEN deg.ki ELSE 0 END
+        |          AS DOUBLE)
+        |        / (2.0 * m.m * m.m), 9) AS gain
+        |  FROM cand JOIN ktot USING (c) JOIN deg USING (i) CROSS JOIN m),
+        |best AS (
+        |  SELECT i, c, row_number() OVER (
+        |    PARTITION BY i ORDER BY gain DESC, c) AS rn
+        |  FROM scored),
+        |lab AS MATERIALIZED (SELECT i, c FROM best WHERE rn = 1),
+        |dc AS (SELECT l.c, CAST(sum(d.ki) AS BIGINT) AS d_c
+        |  FROM deg d JOIN lab l USING (i) GROUP BY l.c),
+        |ec AS (SELECT l1.c AS c, count(*) AS e_c FROM und
+        |  JOIN lab l1 ON und.u = l1.i JOIN lab l2 ON und.v = l2.i
+        |  AND l1.c = l2.c GROUP BY l1.c),
+        |qf AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS q_fine FROM (
+        |  SELECT round(CAST(coalesce(ec.e_c, 0) AS DOUBLE) / m.m
+        |    - (CAST(dc.d_c AS DOUBLE) / (2.0 * m.m))
+        |      * (CAST(dc.d_c AS DOUBLE) / (2.0 * m.m)), 9) AS term
+        |  FROM dc LEFT JOIN ec USING (c) CROSS JOIN m) t),
+        |pairs AS (
+        |  SELECT least(l1.c, l2.c) AS c_a, greatest(l1.c, l2.c) AS c_b,
+        |    count(*) AS n_edges
+        |  FROM und JOIN lab l1 ON und.u = l1.i JOIN lab l2 ON und.v = l2.i
+        |  GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT c_a, c_b, CAST(CASE WHEN c_a = c_b THEN 2 * n_edges
+        |    ELSE n_edges END AS BIGINT) AS weight
+        |  FROM pairs),
+        |adjw AS (
+        |  SELECT c_a AS i, weight AS w FROM cw WHERE c_a <> c_b
+        |  UNION ALL SELECT c_b, weight FROM cw WHERE c_a <> c_b),
+        |degw AS (
+        |  SELECT coalesce(a.i, s.i) AS i,
+        |    CAST(coalesce(a.nw, 0) + coalesce(s.sw, 0) AS BIGINT) AS ki,
+        |    CAST(coalesce(s.sw, 0) AS BIGINT) AS sw
+        |  FROM (SELECT i, sum(w) AS nw FROM adjw GROUP BY i) a
+        |  FULL JOIN (SELECT c_a AS i, weight AS sw FROM cw
+        |    WHERE c_a = c_b) s ON a.i = s.i),
+        |mm AS (SELECT CAST(sum(ki) / 2 AS BIGINT) AS m FROM degw),
+        |qc AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS q_coarse FROM (
+        |  SELECT round(CAST(sw AS DOUBLE) / (2.0 * mm.m)
+        |    - (CAST(ki AS DOUBLE) / (2.0 * mm.m))
+        |      * (CAST(ki AS DOUBLE) / (2.0 * mm.m)), 9) AS term
+        |  FROM degw CROSS JOIN mm) t)
+        |SELECT qf.q_fine, qc.q_coarse,
+        |  (qf.q_fine = qc.q_coarse) AS invariant_holds,
+        |  m.m AS m_fine, mm.m AS m_coarse
+        |FROM qf CROSS JOIN qc CROSS JOIN m CROSS JOIN mm""".stripMargin,
 
     "graph_hits_step" ->
       """WITH e AS (

@@ -413,6 +413,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_ivf_pq",
       "sim_matryoshka_audit", "graph_hits_step", "graph_modularity",
       "graph_louvain_step", "graph_louvain_coarsen", "graph_louvain_level2",
+      "graph_coarsen_invariant",
       "join_point_in_interval", "ts_mk_trend", "bpe_merge_apply",
       "feat_pca_power_step", "feat_pca_power_converged", "text_kneser_ney",
       "agg_hll_intersect")
