@@ -251,6 +251,43 @@ object TextPipeline {
     labels
   }
 
+  /** Train the first `k` BPE merges on a collapsed (w, c) word table —
+    * bpe_encode's loop, factored so the tokenizer-EVAL operators
+    * (text_tokenizer_fertility) train the identical vocabulary. Each
+    * learned merge gets a fresh control-char placeholder; returns the
+    * rank-ordered (pair, placeholder) list and the placeholder→text
+    * expansion map. One O(1) driver row per round; per-round work is
+    * vocabulary-bounded (the bpe_train_loop Zipf argument).
+    */
+  private def bpeTrainMerges(all: DataFrame, k: Int)
+      : (Seq[(String, String)], Map[String, String]) = {
+    var words = all.filter(length(col("w")) >= 2).persist()
+    val exp = scala.collection.mutable.Map[String, String]()
+    val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+    var prevWords: DataFrame = null
+    for (r <- 1 to k) {
+      val top = words.select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"), col("c"))
+        .groupBy("pair").agg(sum(col("c")).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1)
+        .head()
+      if (prevWords != null) prevWords.unpersist()
+      prevWords = words
+      val pair = top.getString(0)
+      val ph = (r + 1).toChar.toString
+      exp(ph) = pair.map(ch => exp.getOrElse(ch.toString, ch.toString)).mkString
+      merges += ((pair, ph))
+      words = words
+        .select(call_function("replace", col("w"), lit(pair), lit(ph)).as("w"),
+          col("c"))
+        .filter(length(col("w")) >= 2)
+        .persist()
+    }
+    words.unpersist(); if (prevWords != null) prevWords.unpersist()
+    (merges.toSeq, exp.toMap)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (s, d) =>
       // The corpus has no exact dups (FIXTURES.md) → self-union first so
@@ -794,30 +831,7 @@ object TextPipeline {
         .filter(length(col("w")) >= 1)
         .groupBy("w").agg(count(lit(1)).as("c"))
         .persist()
-      var words = all.filter(length(col("w")) >= 2).persist()
-      val exp = scala.collection.mutable.Map[String, String]()
-      val merges = scala.collection.mutable.ListBuffer[(String, String)]()
-      var prevWords: DataFrame = null
-      for (k <- 1 to 6) {
-        val top = words.select(explode(expr(
-            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-            .as("pair"), col("c"))
-          .groupBy("pair").agg(sum(col("c")).as("n"))
-          .orderBy(desc("n"), asc("pair")).limit(1)
-          .head()
-        if (prevWords != null) prevWords.unpersist()
-        prevWords = words
-        val pair = top.getString(0)
-        val ph = (k + 1).toChar.toString
-        exp(ph) = pair.map(ch => exp.getOrElse(ch.toString, ch.toString)).mkString
-        merges += ((pair, ph))
-        words = words
-          .select(call_function("replace", col("w"), lit(pair), lit(ph)).as("w"),
-            col("c"))
-          .filter(length(col("w")) >= 2)
-          .persist()
-      }
-      words.unpersist(); if (prevWords != null) prevWords.unpersist()
+      val (merges, exp) = bpeTrainMerges(all, 6)
       val encoded = merges.foldLeft(col("w")) { case (c, (pair, ph)) =>
         call_function("replace", c, lit(pair), lit(ph))
       }
@@ -833,6 +847,50 @@ object TextPipeline {
       // `all` stays cached for the emission's lazy re-read (the
       // harness clearCache()s between queries).
       res
+    },
+
+    "text_tokenizer_fertility" -> { (s, d) =>
+      // Tokenizer EVALUATION — the third act of the BPE story (train →
+      // encode → EVALUATE): fertility (tokens per word) and chars per
+      // token, PER LANGUAGE, for the corpus-trained 6-merge vocabulary.
+      // Fertility by language is the standard multilingual-tokenizer
+      // health metric (a vocab trained on a skewed mix over-segments
+      // the minority languages — exactly what this table surfaces).
+      // Training is bpeTrainMerges verbatim (the bpe_encode vocabulary,
+      // GLOBAL — one tokenizer, per-lang measurement); measurement is
+      // one map pass over the per-(lang, word) collapse: each word's
+      // token count is the encoded string's length (every surviving
+      // symbol is one token), weighted by occurrence count. Scale
+      // shape: vocabulary-bounded training + a ≤langs-key rollup —
+      // map-side combine bounds every task at any corpus size.
+      import s.implicits._
+      val all = documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .persist()
+      val (merges, _) = bpeTrainMerges(all, 6)
+      all.unpersist()
+      val encoded = merges.foldLeft(col("w")) { case (c, (pair, ph)) =>
+        call_function("replace", c, lit(pair), lit(ph))
+      }
+      documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .select(col("lang"), col("c"),
+          length(col("w")).as("chars"), length(encoded).as("toks"))
+        .groupBy("lang").agg(
+          sum(col("c")).as("n_words"),
+          sum(col("toks") * col("c")).as("n_tokens"),
+          sum(col("chars") * col("c")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast(DoubleType) / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast(DoubleType) / col("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang")
     },
 
     "bpe_merge_apply" -> { (s, d) =>
@@ -2793,6 +2851,48 @@ object TextPipeline {
         |SELECT coalesce(e.e, h.sym) AS token, n
         |FROM hist h LEFT JOIN e6 e ON e.sym = h.sym
         |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+    },
+
+    // The bpe_encode oracle's 6 training rounds + the per-language
+    // fertility rollup over the encoded per-(lang, word) collapse.
+    "text_tokenizer_fertility" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""p$k AS (
+           |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, c
+           |  FROM w${k - 1}, unnest(range(1, length(w))) AS tt(i)),
+           |t$k AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p$k
+           |  GROUP BY pair ORDER BY sum(c) DESC, pair ASC LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT w, c FROM (
+           |    SELECT replace(x.w, t.pair, chr(${k + 1})) AS w, x.c
+           |    FROM w${k - 1} x CROSS JOIN t$k t) m
+           |  WHERE length(w) >= 2)""".stripMargin
+      }.mkString(",\n")
+      val enc = (1 to 6).foldLeft("w") { (acc, k) =>
+        s"replace($acc, (SELECT pair FROM t$k), chr(${k + 1}))"
+      }
+      s"""WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |wfull AS MATERIALIZED (
+        |  SELECT w, count(*) AS c FROM words WHERE length(w) >= 1 GROUP BY w),
+        |w0 AS MATERIALIZED (SELECT w, c FROM wfull WHERE length(w) >= 2),
+        |$rounds,
+        |byl AS (
+        |  SELECT lang, w, count(*) AS c FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) >= 1 GROUP BY lang, w),
+        |encl AS (
+        |  SELECT lang, c, length(w) AS chars, length($enc) AS toks
+        |  FROM byl)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(sum(toks * c) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(toks * c) AS DOUBLE) / sum(c), 6) AS fertility,
+        |  round(CAST(sum(chars * c) AS DOUBLE) / sum(toks * c), 6)
+        |    AS chars_per_token
+        |FROM encl GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // Full replication of one BPE train iteration: rank-1 winner (same
