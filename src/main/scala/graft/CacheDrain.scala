@@ -22,9 +22,22 @@ import org.apache.spark.sql.SparkSession
   */
 object CacheDrain {
   /** Release every cached Dataset AND every RDD-level persisted block
-    * (localCheckpoint residue). Non-blocking: eviction proceeds async;
-    * correctness never depends on it (all caches here are scratch —
-    * lineage or checkpoint files can rebuild anything still referenced).
+    * (localCheckpoint residue). Non-blocking: eviction proceeds async.
+    *
+    * CONTRACT — session-exclusive drain point: localCheckpoint TRUNCATES
+    * lineage and writes no files, so its persisted blocks are the ONLY
+    * copy of that data — dropping them is unrecoverable, not a cache
+    * miss. drain() therefore requires that no still-referenced lazy
+    * plan (a held query result, or a concurrent query sharing this
+    * SparkSession) will be re-executed after the call: the caller must
+    * have fully materialized everything it intends to read. Bench/
+    * Verify/Prof satisfy this by draining only BETWEEN queries, after
+    * the count()/write that consumed the emission; the round-11
+    * Bench-concurrent-with-Verify stress stays safe because the two
+    * drivers run in SEPARATE JVMs with separate SparkContexts — two
+    * queries sharing ONE session across a drain() would not be.
+    * (plain .persist() state, by contrast, is rebuildable from lineage;
+    * only the checkpoint layer carries this sharp edge.)
     */
   def drain(spark: SparkSession): Unit = {
     spark.catalog.clearCache()

@@ -127,10 +127,30 @@ object Tables {
     * precisely what decimal(·,s)→double does. Holds while |S| < 2⁵³,
     * i.e. per-group Σ|x| < ~9·10^(15−s) — each call site documents its
     * bound. Emission stays DOUBLE, as dsum.
+    *
+    * The bound is documented per callsite but otherwise UNCHECKED (a
+    * non-ANSI sum(Long) wraps silently) — every current callsite is a
+    * fixpoint-loop round aggregate whose per-group cardinality is
+    * structurally bounded (≤|V| quantized O(1) scores, ≤512-key
+    * codebook slices), not corpus-proportional. SPARK_GRAFT_LSUM_CHECK=1
+    * arms a debug guard: the aggregate also computes the conservative
+    * envelope max|m|·n and raise_error()s when it reaches 2⁵³, turning
+    * a would-be silent wrap into a loud failure (conservative: it can
+    * trip when the true |Σm| is still safe — a debug gate, not a
+    * production branch; verified non-tripping over the full Verify
+    * drive at sf0.01, round 12). A callsite whose group size grows with
+    * the corpus should use dsum (~29 integer digits of headroom).
     */
+  private val lsumCheck = sys.env.contains("SPARK_GRAFT_LSUM_CHECK")
   def lsum(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale) // exact in double for scale ≤ 15
-    sum(round(c * f).cast(LongType)).cast(DoubleType) / f
+    val m = round(c * f)
+    val base = sum(m.cast(LongType)).cast(DoubleType) / f
+    if (!lsumCheck) base
+    else when(max(abs(m)) * count(lit(1)) >= lit(9.007199254740992e15),
+      raise_error(concat(
+        lit(s"lsum(scale=$scale) overflow-envelope trip: max|m|*n = "),
+        (max(abs(m)) * count(lit(1))).cast(StringType)))).otherwise(base)
   }
   /** Order-free average: exact decimal sum divided as double, then
     * rounded via floor(x·10⁴ + 0.5)/10⁴ — NOT round(x, 4): the decimal
@@ -142,6 +162,26 @@ object Tables {
   def davg(c: Column): Column =
     floor(sum(dec(c)).cast(DoubleType) / count(lit(1)) * 10000 + 0.5)
       .cast(DoubleType) / 10000.0
+  /** Memo key for a once-per-dataset trained artifact (the PQ-codebook /
+    * Louvain-label pattern): absolute path PLUS a cheap content
+    * fingerprint of the backing parquet (file names, lengths, mtimes) —
+    * so a dataset REGENERATED in-place under the same path (refreshed
+    * fixtures, re-seeded testdata) misses the memo and retrains instead
+    * of silently re-seeding from a stale artifact (r11 ADVICE). Listing
+    * a directory of part-files is O(files) driver-side metadata, paid
+    * once per memo probe.
+    */
+  def artifactKey(d: String, table: String): String = {
+    val root = new java.io.File(d, table + ".parquet")
+    val files: Array[java.io.File] =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      else Array(root)
+    val fp = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    s"${root.getAbsolutePath}#${fp.hashCode}"
+  }
+
   /** Oracle-side fragments mirroring dec/dsum/davg verbatim. */
   val oD = "DECIMAL(28,6)"
   def oSum(e: String): String = s"CAST(sum(CAST($e AS $oD)) AS DOUBLE)"

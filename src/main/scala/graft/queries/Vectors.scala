@@ -190,7 +190,9 @@ object Vectors {
   private def trainPq(s: SparkSession, d: String): PqTrained = {
     val M = 8; val K = 16; val SUB = 8
     import s.implicits._
-    val memoKey = new java.io.File(d).getAbsolutePath
+    // Path + parquet content fingerprint: an in-place regeneration of
+    // embeddings.parquet misses the memo and retrains (r11 ADVICE).
+    val memoKey = artifactKey(d, "embeddings")
     val slices = embeddings(s, d)
       .select(col("vec_id"), explode(array((0 until M).map(j => struct(
         lit(j).as("j"),

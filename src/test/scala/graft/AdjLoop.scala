@@ -7,7 +7,13 @@ import org.apache.spark.sql.types._
 import graft.functions.GraftFunctions
 import graft.queries.Kc
 
-/** Dev probe (round 11): where does a fixpoint round's ~350 ms go?
+/** NOTE: the Adj* probe mains live in TEST scope (r11 ADVICE) — they
+  * are measurement harnesses with hardcoded testdata paths whose
+  * conclusions are recorded in BASELINE.md/SCALING.md; test scope keeps
+  * them compiling (no rot) without shipping them in the production
+  * artifact. Run via `sbt "Test/runMain graft.AdjLoop"`.
+  *
+  * Dev probe (round 11): where does a fixpoint round's ~350 ms go?
   * Replicates sim_kmeans_converged's round with the cost split into
   * plan-build / analysis+optimization / execution, and counts
   * jobs/tasks per round. Throwaway.

@@ -23,8 +23,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * A second assert pins the WITHIN-query discipline: loop operators
   * unpersist every superseded round, so even BEFORE the drain the live
-  * block-set stays small (≤ 8 RDDs — final state + the static tables
-  * the emission still references), not O(rounds).
+  * block-set stays small, not O(rounds). The asserted bound is 16 RDDs:
+  * the structural budget is ~8 (final state + the static tables the
+  * emission still references), doubled because unpersist(blocking =
+  * false) lets a few just-released stragglers linger in
+  * getPersistentRDDs for a beat — the gate bounds the pool, it does
+  * not time the async eviction.
   */
 class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
