@@ -615,13 +615,19 @@ object Vectors {
       // That fraction is NOT a corpus-density artifact: H≤3 probes
       // 93/256 = 36% of each table's bucket space, and 4 tables union
       // toward ~60% — the honest limit of 8-bit buckets. At 10⁹
-      // vectors the same equi-join shape runs 16-24-plane tables
-      // (bucket space 65k-16M, probe fraction per table collapses to
-      // ~1e-2) with L≈8-16; the gate corpus (~500 vectors, ~2/bucket)
-      // is too sparse to measure those — wider tables here would put
-      // ~0 vectors per probed bucket and measure noise, so the cell
-      // pins the RECALL≥0.8 methodology (config scan + recall+cost
-      // emission), storage L× index rows, compute n_cand re-ranks.
+      // vectors the same equi-join shape runs 16-24-plane tables with
+      // L≈8-16 — MEASURED at the x16 tier (round 12, AdjAnn16 /
+      // SCALING.md): 16-plane H≤3 probe fraction per table 697/65536
+      // = 1.06% (the argued ~1e-2, exactly), candidate fraction 0.665
+      // → 0.090 at the same L=4 — a 7.4× price drop from bucket-space
+      // dilution alone (with the tier's clustered-duplicate caveat
+      // recorded there; 16-plane probe lists must be mask-table
+      // joins, not literal arrays — the 64 KB codegen limit). The
+      // gate corpus (~500 vectors, ~2/bucket) stays on 8-plane
+      // tables — wider buckets here would hold ~0 vectors and measure
+      // noise — so the cell pins the RECALL≥0.8 methodology (config
+      // scan + recall+cost emission), storage L× index rows, compute
+      // n_cand re-ranks.
       annAudit(s, d, nTables = 4, maxDist = 3)
     },
 
