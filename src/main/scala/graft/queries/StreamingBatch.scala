@@ -563,6 +563,40 @@ object StreamingBatch {
         .orderBy("event_id")
     },
 
+    "feat_standard_scale" -> { (s, d) =>
+      // Z-score standardization per category (round 12) — THE default
+      // scaler (feat_minmax_scale and feat_robust_scale cover the
+      // [0,1] and outlier-hardened variants; this is the mean/σ form
+      // models assume). Same distributed shape as the other scalers:
+      // per-type moments reduce MAP-SIDE into a #types-row table that
+      // broadcasts back; the scale itself is map-side, the big table
+      // never shuffles. Determinism by the agg_moments recipe: value
+      // is 2-dp, so Σv and Σv² are EXACT decimal sums and mean/σ
+      // recompose on bit-identical doubles in both engines; the z
+      // quotient exits through the floor(·1e6+0.5) half-up quantizer
+      // (the davg tie rule). A degenerate constant-valued or
+      // single-row type emits z = 0.0 (σ = 0 / NaN guard) instead of
+      // dividing by zero.
+      val d2: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => c.cast(DecimalType(19, 2))
+      val stats = eventsTs(s, d).groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(d2(col("value"))).cast(DoubleType).as("s1"),
+          sum(d2(col("value")) * col("value").cast(DecimalType(8, 2)))
+            .cast(DoubleType).as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mu"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)).as("sd"))
+      eventsTs(s, d).filter(col("user_id") % 20 === 0)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          when(col("sd") === 0 || isnan(col("sd")), lit(0.0))
+            .otherwise(floor((col("value") - col("mu")) / col("sd")
+              * 1000000 + 0.5).cast(DoubleType) / 1000000.0)
+            .as("z"))
+        .orderBy("event_id")
+    },
+
     "agg_mutual_information" -> { (s, d) =>
       // Mutual information between event type and hour-of-day — the
       // feature-selection / drift primitive ("does WHEN predict WHAT").
@@ -1010,6 +1044,62 @@ object StreamingBatch {
       agg.select(col("p").as("period_h"), col("n_hours"),
           round((cP * cP + sP * sP) / (nh * nh), 6).as("power"))
         .orderBy("period_h")
+    },
+
+    "ts_ar1_forecast" -> { (s, d) =>
+      // AR(1) forecast over the per-type hourly count series (round
+      // 12) — the autoregressive family member the ts_ shelf lacked
+      // (holt/holt_winters are exponential-smoothing state; this FITS
+      // the lag-1 dependence y_t = a + b·y_{t−1} by exact OLS and
+      // forecasts h = 1..3 steps from the closed form ŷ_{T+h} =
+      // a·(1−bʰ)/(1−b) + bʰ·y_T). Distributed shape: ONE map-side-
+      // combined (type, hour) rollup is the only data-sized work; the
+      // lag pairs join the calendar-bounded hourly table to itself on
+      // h+1 (consecutive PRESENT hours — the ts_cross_corr missing-
+      // hour convention); the fit reduces to 5 exact integer sums per
+      // type (counts are BIGINTs — order-free), and slope/intercept
+      // snap at 1e-6 BEFORE the forecast recursion so bʰ and the
+      // emission compute on identical doubles in both engines. A
+      // |b| = 1 series (impossible under a 1e-6 snap unless exactly
+      // unit-root) falls back to the drift form y_T + a·h.
+      val hc = eventsTs(s, d)
+        .groupBy(col("event_type"), expr(s"us DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = hc.as("a").join(hc.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.h") === col("a.h") + 1)
+        .select(col("a.event_type").as("event_type"),
+          col("a.n").as("x"), col("b.n").as("y"))
+      val fit = pairs.groupBy("event_type").agg(
+          count(lit(1)).as("np"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("slope", round(
+          (col("np") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("np") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType), 6))
+        .withColumn("intercept", round(
+          (col("sy").cast(DoubleType) - col("slope") *
+            col("sx").cast(DoubleType)) / col("np"), 6))
+      val wLast = Window.partitionBy("event_type").orderBy(col("h").desc)
+      val last = hc.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n").as("y_last"))
+      fit.join(last, "event_type")
+        .select(col("event_type"), col("np").as("n_pairs"), col("slope"),
+          col("intercept"), col("y_last"),
+          explode(sequence(lit(1), lit(3))).as("h"))
+        .withColumn("forecast", round(
+          when(abs(col("slope")) === 1.0,
+            col("y_last") + col("intercept") * col("h"))
+            .otherwise(col("intercept") *
+              (lit(1.0) - pow(col("slope"), col("h"))) /
+              (lit(1.0) - col("slope")) +
+              pow(col("slope"), col("h")) * col("y_last")), 6))
+        .select(col("event_type"), col("n_pairs"), col("slope"),
+          col("intercept"), col("h"), col("forecast"))
+        .orderBy("event_type", "h")
     },
 
     "ts_holt_linear" -> { (s, d) =>
@@ -1712,6 +1802,63 @@ object StreamingBatch {
         |  round(seasonal_idx, 6) AS seasonal,
         |  round(n - sum_win / 25.0 - seasonal_idx, 6) AS resid
         |FROM f JOIN centered USING (hod) ORDER BY h""".stripMargin,
+
+    "feat_standard_scale" ->
+      """WITH stats AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(19,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(19,2))
+        |      * CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |sd AS (
+        |  SELECT event_type, s1 / n AS mu,
+        |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+        |  FROM stats)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN sd = 0 OR isnan(sd) THEN 0.0
+        |       ELSE floor((value - mu) / sd * 1000000 + 0.5) / 1000000.0
+        |  END AS z
+        |FROM events e JOIN sd USING (event_type)
+        |WHERE user_id % 20 = 0 ORDER BY event_id""".stripMargin,
+
+    "ts_ar1_forecast" ->
+      s"""WITH hc AS (
+        |  SELECT event_type, epoch_us(ts) // $hourUs AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.n AS x, b.n AS y
+        |  FROM hc a JOIN hc b
+        |    ON b.event_type = a.event_type AND b.h = a.h + 1),
+        |fit AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pairs GROUP BY event_type),
+        |sl AS (
+        |  SELECT event_type, np,
+        |    round(CAST(np * sxy - sx * sy AS DOUBLE)
+        |      / CAST(np * sxx - sx * sx AS DOUBLE), 6) AS slope, sx, sy
+        |  FROM fit),
+        |ab AS (
+        |  SELECT event_type, np, slope,
+        |    round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / np, 6)
+        |      AS intercept
+        |  FROM sl),
+        |lastv AS (
+        |  SELECT event_type, n AS y_last FROM (
+        |    SELECT event_type, n, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY h DESC) AS rn FROM hc) t
+        |  WHERE rn = 1)
+        |SELECT ab.event_type, np AS n_pairs, slope, intercept, hh.h,
+        |  round(CASE WHEN abs(slope) = 1.0
+        |    THEN y_last + intercept * hh.h
+        |    ELSE intercept * (1.0 - power(slope, hh.h))
+        |      / (1.0 - slope) + power(slope, hh.h) * y_last END, 6)
+        |    AS forecast
+        |FROM ab JOIN lastv USING (event_type)
+        |CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) hh
+        |ORDER BY event_type, hh.h""".stripMargin,
 
     "feat_minmax_scale" ->
       """WITH stats AS (
