@@ -1186,8 +1186,17 @@ object Vectors {
       // doubles. Downstream, sim_pq_adc/sim_ivf_pq re-seed from THIS
       // trained codebook via trainedPqCodebook (shared tail), so the
       // ADC price sheet is measured on a production codebook.
+      //
+      // ARTIFACT MEMO (round 12): the family that STARTED the pattern
+      // now uses the generalized form for its own emission too — the
+      // ≤1024-row trained-codebook table re-emits from held rows on
+      // repeats (the codebook memo itself already skipped the Lloyd
+      // loop; this also skips the stationary sweep's corpus scan,
+      // which is the ADC consumers' work, not the trainer's).
       GraftFunctions.register(s)
-      trainPq(s, d).frame.orderBy("j", "cid", "dim")
+      graft.ArtifactMemo.cached(s, artifactKey(d, "embeddings") + "#pqsweep") {
+        trainPq(s, d).frame.orderBy("j", "cid", "dim")
+      }
     },
 
     "sim_kmeans_step" -> { (s, d) =>
