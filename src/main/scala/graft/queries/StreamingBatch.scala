@@ -1062,44 +1062,11 @@ object StreamingBatch {
       // emission compute on identical doubles in both engines. A
       // |b| = 1 series (impossible under a 1e-6 snap unless exactly
       // unit-root) falls back to the drift form y_T + a·h.
-      val hc = eventsTs(s, d)
+      // Tail shared with the streaming twin (StreamingSpec): the
+      // streamed per-type hourly rollup feeds the identical ar1Tail.
+      ar1Tail(eventsTs(s, d)
         .groupBy(col("event_type"), expr(s"us DIV $hourUs").as("h"))
-        .agg(count(lit(1)).as("n"))
-      val pairs = hc.as("a").join(hc.as("b"),
-          col("a.event_type") === col("b.event_type") &&
-            col("b.h") === col("a.h") + 1)
-        .select(col("a.event_type").as("event_type"),
-          col("a.n").as("x"), col("b.n").as("y"))
-      val fit = pairs.groupBy("event_type").agg(
-          count(lit(1)).as("np"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("y")).as("sxy"))
-        .withColumn("slope", round(
-          (col("np") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-            (col("np") * col("sxx") - col("sx") * col("sx"))
-              .cast(DoubleType), 6))
-        .withColumn("intercept", round(
-          (col("sy").cast(DoubleType) - col("slope") *
-            col("sx").cast(DoubleType)) / col("np"), 6))
-      val wLast = Window.partitionBy("event_type").orderBy(col("h").desc)
-      val last = hc.withColumn("rn", row_number().over(wLast))
-        .filter(col("rn") === 1)
-        .select(col("event_type"), col("n").as("y_last"))
-      fit.join(last, "event_type")
-        .select(col("event_type"), col("np").as("n_pairs"), col("slope"),
-          col("intercept"), col("y_last"),
-          explode(sequence(lit(1), lit(3))).as("h"))
-        .withColumn("forecast", round(
-          when(abs(col("slope")) === 1.0,
-            col("y_last") + col("intercept") * col("h"))
-            .otherwise(col("intercept") *
-              (lit(1.0) - pow(col("slope"), col("h"))) /
-              (lit(1.0) - col("slope")) +
-              pow(col("slope"), col("h")) * col("y_last")), 6))
-        .select(col("event_type"), col("n_pairs"), col("slope"),
-          col("intercept"), col("h"), col("forecast"))
-        .orderBy("event_type", "h")
+        .agg(count(lit(1)).as("n")))
     },
 
     "ts_holt_linear" -> { (s, d) =>
@@ -1263,6 +1230,56 @@ object StreamingBatch {
     * streaming ≡ batch. All comparisons inside are exact BIGINTs
     * (D_k = nh·S_k); the four divisions happen once, at emission.
     */
+  /** The AR(1) fit + closed-form forecast tail of ts_ar1_forecast,
+    * over a (event_type, h, n) per-type hourly count table — factored
+    * out so the streaming twin (StreamingSpec, fed by
+    * StreamingOps.typeHourlyCounts) provably shares the batch
+    * arithmetic: exact integer sums over consecutive-present-hour lag
+    * pairs, slope/intercept snapped at 1e-6 BEFORE the bʰ recursion,
+    * |b| = 1 drift fallback.
+    */
+  private[graft] def ar1Tail(hc: DataFrame): DataFrame = {
+    // Renamed-projection self-join, not alias resolution: over a
+    // streaming memory-sink VIEW both `a.<col>` candidates resolve to
+    // the same attribute set and the alias form is ambiguous.
+    val lhs = hc.select(col("event_type"), col("h"), col("n").as("x"))
+    val rhs = hc.select(col("event_type").as("et_r"),
+      (col("h") - 1).as("h_l"), col("n").as("y"))
+    val pairs = lhs.join(rhs,
+        col("event_type") === col("et_r") && col("h") === col("h_l"))
+      .select(col("event_type"), col("x"), col("y"))
+    val fit = pairs.groupBy("event_type").agg(
+        count(lit(1)).as("np"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("slope", round(
+        (col("np") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("np") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType), 6))
+      .withColumn("intercept", round(
+        (col("sy").cast(DoubleType) - col("slope") *
+          col("sx").cast(DoubleType)) / col("np"), 6))
+    val wLast = Window.partitionBy("event_type").orderBy(col("h").desc)
+    val last = hc.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("event_type").as("et_last"), col("n").as("y_last"))
+    fit.join(last, col("event_type") === col("et_last")).drop("et_last")
+      .select(col("event_type"), col("np").as("n_pairs"), col("slope"),
+        col("intercept"), col("y_last"),
+        explode(sequence(lit(1), lit(3))).as("h"))
+      .withColumn("forecast", round(
+        when(abs(col("slope")) === 1.0,
+          col("y_last") + col("intercept") * col("h"))
+          .otherwise(col("intercept") *
+            (lit(1.0) - pow(col("slope"), col("h"))) /
+            (lit(1.0) - col("slope")) +
+            pow(col("slope"), col("h")) * col("y_last")), 6))
+      .select(col("event_type"), col("n_pairs"), col("slope"),
+        col("intercept"), col("h"), col("forecast"))
+      .orderBy("event_type", "h")
+  }
+
   private[graft] def cusumTail(hc: DataFrame): DataFrame = {
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * 1000000 + 0.5).cast(DoubleType) / 1000000.0

@@ -90,6 +90,21 @@ object StreamingOps {
     * complete-mode state is O(1); the χ² statistic tail
     * (StreamingBatch.chiSquareTail) rides this table.
     */
+  /** Per-type ABSOLUTE-hour counts — ts_ar1_forecast's streamed input
+    * (typeHourCounts below is hour-of-day; the AR fit needs the
+    * calendar axis). Same epoch-hour convention as hourlyCounts, so
+    * the ar1Tail consumes either source unchanged.
+    */
+  def typeHourlyCounts(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(col("event_type"), window(col("ts_t"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (unix_timestamp(col("win.start")) / 3600).cast(LongType).as("h"),
+        col("n"))
+
   def typeHourCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"), hour(col("ts_t")).cast(LongType).as("hr"))
       .agg(count(lit(1)).as("n_xy"))

@@ -252,6 +252,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("AR(1) fit+forecast over the streamed per-type hourly rollup == batch operator") {
+    // The autoregressive rider on the streamed hourly state (round
+    // 12): typeHourlyCounts keeps the calendar axis per type, and the
+    // exact-integer ar1Tail is the shared batch definition — equality
+    // proves ts_ar1_forecast streaming ≡ batch end-to-end, including
+    // the 1e-6 slope/intercept snap feeding the bʰ recursion.
+    val stream = StreamingOps.readEvents(spark, srcDir.toString)
+    val hc = runToMemory(StreamingOps.typeHourlyCounts(stream),
+      "t_ar1_hc", "complete")
+    val got = graft.queries.StreamingBatch.ar1Tail(hc).collect().toSeq
+    val want = SparkEntry.queries("ts_ar1_forecast")(spark, sf).collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState running totals == batch per-user totals") {
     val stream = StreamingOps.readEvents(spark, srcDir.toString)
     val mem = runToMemory(StreamingOps.runningTotals(stream).toDF(), "t_state", "update")
