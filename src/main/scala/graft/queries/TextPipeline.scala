@@ -916,6 +916,42 @@ object TextPipeline {
         .orderBy("lang")
     },
 
+    "bpe_tokenize_corpus" -> { (s, d) =>
+      // The production OUTPUT of the tokenizer story (round 12):
+      // actually TOKENIZE the corpus under the trained vocabulary —
+      // train (bpe_train_loop), share the vocabulary (the 6-merge
+      // artifact memo), evaluate (text_tokenizer_fertility), and now
+      // EMIT per-document token counts, the table a training-data
+      // pipeline materializes at 100 TB before sequence packing
+      // (pack_sequences' input in a real run). Embarrassingly
+      // parallel by construction: the merge list broadcasts as 6
+      // chained codegen'd replace()s; the only data-sized work is one
+      // per-(doc, word) collapse with map-side combine, then a
+      // doc-keyed rollup of encoded lengths (every surviving symbol is
+      // one token — the fertility rule; [a-z]+ separator convention of
+      // the whole BPE family).
+      val all = documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val (merges, _) = bpeTrainMergesMemo(s, d, all, 6)
+      val encoded = merges.foldLeft(col("w")) { case (c, (pair, ph)) =>
+        call_function("replace", c, lit(pair), lit(ph))
+      }
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("c"),
+          length(col("w")).as("chars"), length(encoded).as("toks"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_words"),
+          sum(col("toks") * col("c")).as("n_tokens"),
+          sum(col("chars") * col("c")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "bpe_merge_apply" -> { (s, d) =>
       // The OTHER half of the BPE training loop: take the rank-1 pair
       // (bpe_pair_counts' winner), apply the merge to every word, and
@@ -2916,6 +2952,48 @@ object TextPipeline {
         |  round(CAST(sum(chars * c) AS DOUBLE) / sum(toks * c), 6)
         |    AS chars_per_token
         |FROM encl GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // The bpe_encode oracle's 6 training rounds + the per-document
+    // rollup over the encoded per-(doc, word) collapse — the
+    // text_tokenizer_fertility oracle re-keyed by doc.
+    "bpe_tokenize_corpus" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""p$k AS (
+           |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, c
+           |  FROM w${k - 1}, unnest(range(1, length(w))) AS tt(i)),
+           |t$k AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p$k
+           |  GROUP BY pair ORDER BY sum(c) DESC, pair ASC LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT w, c FROM (
+           |    SELECT replace(x.w, t.pair, chr(${k + 1})) AS w, x.c
+           |    FROM w${k - 1} x CROSS JOIN t$k t) m
+           |  WHERE length(w) >= 2)""".stripMargin
+      }.mkString(",\n")
+      val enc = (1 to 6).foldLeft("w") { (acc, k) =>
+        s"replace($acc, (SELECT pair FROM t$k), chr(${k + 1}))"
+      }
+      s"""WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |wfull AS MATERIALIZED (
+        |  SELECT w, count(*) AS c FROM words WHERE length(w) >= 1 GROUP BY w),
+        |w0 AS MATERIALIZED (SELECT w, c FROM wfull WHERE length(w) >= 2),
+        |$rounds,
+        |byd AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) >= 1 GROUP BY doc_id, w),
+        |encd AS (
+        |  SELECT doc_id, c, length(w) AS chars, length($enc) AS toks
+        |  FROM byd)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(sum(toks * c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(chars * c) AS BIGINT) AS n_chars
+        |FROM encd GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // Full replication of one BPE train iteration: rank-1 winner (same
