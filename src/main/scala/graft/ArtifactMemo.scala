@@ -31,16 +31,47 @@ object ArtifactMemo {
   private val memos =
     scala.collection.concurrent.TrieMap.empty[String, (StructType, Array[Row])]
 
+  /** Driver-held form — ONLY for artifacts whose size is structurally
+    * bounded by the algorithm (≤k×dim centroids, vocab-sized merges,
+    * the ≤|C|²-bounded contraction), never by the corpus. The require
+    * makes a corpus-proportional misuse loud (r12 review finding: a
+    * node-sized emission belongs in cachedTable below).
+    */
   def cached(s: SparkSession, key: String)(train: => DataFrame): DataFrame = {
     val (schema, rows) = memos.getOrElseUpdate(key, {
       val df = train
       val collected = df.collect()
-      require(collected.length <= 200000,
-        s"ArtifactMemo($key): ${collected.length} rows — this memo is " +
-          "for structurally-bounded trained artifacts, not " +
-          "corpus-proportional emissions")
+      require(collected.length <= 10000,
+        s"ArtifactMemo($key): ${collected.length} rows — the driver-held " +
+          "memo is for structurally-bounded trained artifacts; " +
+          "corpus-proportional (node-sized) emissions must use " +
+          "cachedTable, which persists a parquet artifact instead")
       (df.schema, collected)
     })
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Parquet-backed form for NODE-SIZED artifacts (converged score
+    * vectors, label tables — one row per graph node, corpus-
+    * proportional): the first invocation trains and WRITES the
+    * emission as an app-unique scratch parquet table; every
+    * consumption re-READS it — the literal production pattern (the
+    * artifact table ships with the corpus; consumers scan it). Driver
+    * memory never holds the rows, so this form scales to any node
+    * count; the read-back is a columnar scan parallelized like any
+    * other source. Paths are keyed by an MD5 of the full memo key, so
+    * distinct datasets/artifacts can't collide in one app's scratch.
+    */
+  private val tableMemos =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def cachedTable(s: SparkSession, key: String)
+      (train: => DataFrame): DataFrame = {
+    val path = tableMemos.getOrElseUpdate(key, {
+      val p = Tables.scratch(s, "art" + Tables.md5hex(key).take(16), key)
+      train.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
   }
 }

@@ -179,8 +179,16 @@ object Tables {
       else Array(root)
     val fp = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|")
-    s"${root.getAbsolutePath}#${fp.hashCode}"
+    // 128-bit digest, not String.hashCode: a 32-bit fingerprint is
+    // birthday-prone across many regeneration cycles, and a collision
+    // here silently re-seeds every consumer from a stale artifact —
+    // the exact failure the key exists to prevent (r12 review).
+    s"${root.getAbsolutePath}#${md5hex(fp)}"
   }
+
+  private[graft] def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Oracle-side fragments mirroring dec/dsum/davg verbatim. */
   val oD = "DECIMAL(28,6)"

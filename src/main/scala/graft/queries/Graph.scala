@@ -46,7 +46,7 @@ object Graph {
     * joins otherwise lose the first-compute race and re-run the step
     * subtree per consumer (measured 2× wall).
     */
-  private case class LouvainArt(labels: Seq[(Long, Long)],
+  private case class LouvainArt(labelsPath: String,
       coarse: Seq[(Long, Long, Long, Long)])
   private val louvainMemo =
     scala.collection.concurrent.TrieMap.empty[String, LouvainArt]
@@ -72,22 +72,25 @@ object Graph {
         .withColumn("weight",
           when(col("c_a") === col("c_b"), col("n_edges") * 2)
             .otherwise(col("n_edges")))
-      val labs = lab.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // Labels are NODE-SIZED (corpus-proportional) → persisted parquet
+      // artifact, never driver memory (r12 review; the cachedTable
+      // rationale). The ≤C(64,2)+64-row contraction stays driver-held.
+      val labPath = graft.Tables.scratch(s,
+        "artlouv" + graft.Tables.md5hex(artifactKey(d, "lineitem")).take(12), d)
+      lab.write.mode("overwrite").parquet(labPath)
       val cws = cw.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSeq
       lab.unpersist()
-      LouvainArt(labs, cws)
+      LouvainArt(labPath, cws)
     })
 
-  /** graph_louvain_step's partition as an (i, c) label table, re-seeded
-    * from the once-per-dataset artifact (a broadcast-sized local
-    * relation — consumers join it map-side).
+  /** graph_louvain_step's partition as an (i, c) label table, re-read
+    * from the once-per-dataset parquet artifact (node-sized; consumers
+    * join it — broadcast-sized at gate scale, a plain scan at any).
     */
-  private def louvainStepLabels(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    louvainArt(s, d).labels.toDF("i", "c")
-  }
+  private def louvainStepLabels(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(louvainArt(s, d).labelsPath)
 
   /** The %3 contraction (c_a, c_b, n_edges, weight), re-seeded from the
     * artifact — graph_louvain_level2's input.
@@ -107,7 +110,7 @@ object Graph {
     * artifact table in production). `sweeps` records the improving-sweep
     * count for the SCALING story.
     */
-  private case class Louvain10Art(labels: Seq[(Long, Long)], q: Double,
+  private case class Louvain10Art(labelsPath: String, q: Double,
       sweeps: Int)
   private val louvain10Memo =
     scala.collection.concurrent.TrieMap.empty[String, Louvain10Art]
@@ -202,11 +205,13 @@ object Graph {
       //
       // ARTIFACT MEMO (round 12): the converged vector is the shipped
       // crawl-quality prior (this scaladoc's own framing) — trained
-      // once per dataset, re-emitted from the held node-sized rows on
-      // repeat invocations (graft.ArtifactMemo; floor RESET per the
-      // BASELINE.md rule; the training path stays timed as rep1 and in
-      // SCALING).
-      graft.ArtifactMemo.cached(s, artifactKey(d, "lineitem") + "#pagerank") {
+      // once per dataset into a PERSISTED parquet artifact table and
+      // re-READ on every consumption (cachedTable, not the driver-held
+      // form: the emission is node-sized, i.e. corpus-proportional —
+      // r12 review finding; floor RESET per the BASELINE.md rule; the
+      // training path stays timed as rep1 and in SCALING).
+      graft.ArtifactMemo.cachedTable(s,
+          artifactKey(d, "lineitem") + "#pagerank") {
       val edges = lineitem(s, d)
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
@@ -285,8 +290,7 @@ object Graph {
       // caller's to drain (CacheDrain).
       nodes.unpersist()
       q.select(col("ntype"), col("node_id"), col("q").as("pr_n"))
-        .orderBy("ntype", "node_id")
-      }
+      }.orderBy("ntype", "node_id")
     },
 
     "graph_hits_converged" -> { (s, d) =>
@@ -336,10 +340,11 @@ object Graph {
       // round truncates lineage (the ccLabels necessity measurement).
       //
       // ARTIFACT MEMO (round 12): the converged hub/authority vector
-      // is the shipped crawl-seeding prior — trained once per dataset,
-      // re-emitted from the held node-sized rows on repeats
-      // (graft.ArtifactMemo; floor RESET; train path timed as rep1).
-      graft.ArtifactMemo.cached(s, artifactKey(d, "lineitem") + "#hits") {
+      // is the shipped crawl-seeding prior — trained once per dataset
+      // into a persisted parquet artifact table and re-read on every
+      // consumption (cachedTable: node-sized emission — r12 review;
+      // floor RESET; train path timed as rep1).
+      graft.ArtifactMemo.cachedTable(s, artifactKey(d, "lineitem") + "#hits") {
       val edges = lineitem(s, d)
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct().persist()
@@ -413,8 +418,7 @@ object Graph {
           col("q").as("score"))
         .unionByName(last.hSide.select(lit("s").as("ntype"), col("node_id"),
           col("q").as("score")))
-        .orderBy("ntype", "node_id")
-      }
+      }.orderBy("ntype", "node_id")
     },
 
     "graph_triangles" -> { (s, d) =>
@@ -885,10 +889,10 @@ object Graph {
       // one-time training cost sits outside the floor's timed repeats
       // exactly as the PQ codebook's does (BASELINE.md r11 floor-reset
       // rule); the floor is RESET to the re-seeded emission.
-      import s.implicits._
       val memoKey = artifactKey(d, "lineitem") + "#p10"
       if (louvain10Memo.contains(memoKey))
-        louvain10Memo(memoKey).labels.toDF("node_id", "cid")
+        s.read.parquet(louvain10Memo(memoKey).labelsPath)
+          .select(col("i").as("node_id"), col("c").as("cid"))
           .orderBy("node_id")
       else {
       val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
@@ -976,16 +980,20 @@ object Graph {
           s"$rounds sweeps (Q=$prevQ) — raise the cap; emitting a " +
           "mid-ascent partition would under-report the refinement")
       if (grand != null) grand.unpersist()
-      // Fixpoint reached: harvest the artifact (one bounded driver
-      // read of the node-sized witness partition), release everything,
-      // emit from the held rows.
-      val labs = prevLab.select(col("i"), col("c")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // Fixpoint reached: persist the artifact as a parquet label
+      // table (node-sized = corpus-proportional, so never driver
+      // memory — r12 review), release everything, emit the read-back.
+      val labPath = graft.Tables.scratch(s,
+        "artlouv10" + graft.Tables.md5hex(memoKey).take(12), d)
+      prevLab.select(col("i"), col("c")).write.mode("overwrite")
+        .parquet(labPath)
       louvain10Memo.put(memoKey,
-        Louvain10Art(labs, prevQ, rounds - 1)) // last round was the dip
+        Louvain10Art(labPath, prevQ, rounds - 1)) // last round was the dip
       prevBase.unpersist()
       adj.unpersist(); deg.unpersist(); und.unpersist()
-      labs.toDF("node_id", "cid").orderBy("node_id")
+      s.read.parquet(labPath)
+        .select(col("i").as("node_id"), col("c").as("cid"))
+        .orderBy("node_id")
       }
     },
 
@@ -1002,8 +1010,12 @@ object Graph {
       // the sweep's emission verbatim, so the two operators read as
       // phase1 → phase2. Scale shape: two O(edges) label joins (the
       // graph_modularity e_c construction) + a ≤|C|²-bounded pair
-      // rollup; the label table persists once for its two endpoint
-      // joins.
+      // rollup. DELIBERATELY LIVE even though louvainArt holds this
+      // exact emission: the family needs one benched witness of the
+      // contraction's edge-linear cost (the g-tier SCALING rows key on
+      // it), and re-emitting the artifact here would leave the
+      // contraction's plan shape unexercised — labels re-seed, the
+      // contraction is this query's own work.
       val lab = louvainStepLabels(s, d)
       val op = lineitem(s, d).filter(col("l_partkey") % 3 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -1207,9 +1219,8 @@ object Graph {
       // C(64,2)+64 = 2 080 rows (communities ⊂ the 64 hash seeds), so
       // the inner rounds are pure stage-floor — the honest gate-scale
       // cost of the scale-true plan (the HITS finding).
-      import s.implicits._
       val art = louvain10Art(s, d)
-      val lab1 = art.labels.toDF("i", "c")
+      val lab1 = s.read.parquet(art.labelsPath) // (i, c), node-sized
       val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val und = op.as("x").join(op.as("y"),
@@ -1310,7 +1321,11 @@ object Graph {
         var dipped = false
         var sweeps = 0
         while (!dipped && sweeps < 16) {
-          val nxt = sweepW(lab).localCheckpoint(eager = false).persist()
+          // EAGER: qW(nxt) consumes nxt through multiple sibling plan
+          // branches inside one action — a lazy first materialization
+          // loses the first-compute race and re-runs the sweep subtree
+          // per branch (the measured level2/ce finding; r12 review).
+          val nxt = sweepW(lab).localCheckpoint(eager = true)
           val qn = qW(nxt)
           dipped = qn <= q
           if (!dipped) {

@@ -577,12 +577,18 @@ object StreamingBatch {
       // (the davg tie rule). A degenerate constant-valued or
       // single-row type emits z = 0.0 (σ = 0 / NaN guard) instead of
       // dividing by zero.
+      // Second factor at DECIMAL(12,2), not (8,2): a |value| ≥ 10⁶ row
+      // would overflow the narrow cast to NULL in Spark's non-ANSI
+      // mode while the DuckDB oracle errors — a silent-wrong-sum vs
+      // loud-failure asymmetry (r12 review). (12,2)×(19,2) stays
+      // inside DECIMAL(38) with exact products to |value| < 10¹⁰,
+      // far past the fixture's 2-dp ≤ 10⁴ domain.
       val d2: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         c => c.cast(DecimalType(19, 2))
       val stats = eventsTs(s, d).groupBy("event_type")
         .agg(count(lit(1)).cast(DoubleType).as("n"),
           sum(d2(col("value"))).cast(DoubleType).as("s1"),
-          sum(d2(col("value")) * col("value").cast(DecimalType(8, 2)))
+          sum(d2(col("value")) * col("value").cast(DecimalType(12, 2)))
             .cast(DoubleType).as("s2"))
         .select(col("event_type"), (col("s1") / col("n")).as("mu"),
           sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
@@ -1253,10 +1259,18 @@ object StreamingBatch {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"))
-      .withColumn("slope", round(
-        (col("np") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-          (col("np") * col("sxx") - col("sx") * col("sx"))
-            .cast(DoubleType), 6))
+      // Degenerate fit (constant x over the pairs — incl. any type
+      // with exactly one pair): slope denominator is exactly 0 on the
+      // integer grid → defined flat fallback slope = 0, intercept =
+      // mean(y) (the feat_standard_scale guard convention) instead of
+      // a silent NaN emission (r12 review).
+      .withColumn("slope",
+        when(col("np") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+          .otherwise(round(
+            (col("np") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+              (col("np") * col("sxx") - col("sx") * col("sx"))
+                .cast(DoubleType), 6)))
       .withColumn("intercept", round(
         (col("sy").cast(DoubleType) - col("slope") *
           col("sx").cast(DoubleType)) / col("np"), 6))
@@ -1268,13 +1282,22 @@ object StreamingBatch {
       .select(col("event_type"), col("np").as("n_pairs"), col("slope"),
         col("intercept"), col("y_last"),
         explode(sequence(lit(1), lit(3))).as("h"))
+      // bʰ unrolls to explicit multiplications (h ∈ {1,2,3}) — libm
+      // pow is only 1-ulp-specified in the JVM while DuckDB's power()
+      // is correctly rounded, so a pow() here could flip a round(·,6)
+      // boundary between engines; products of identical doubles are
+      // bit-exact in both (the codebase's no-libm-pow rule; r12
+      // review).
+      .withColumn("bh",
+        when(col("h") === 1, col("slope"))
+          .when(col("h") === 2, col("slope") * col("slope"))
+          .otherwise(col("slope") * col("slope") * col("slope")))
       .withColumn("forecast", round(
         when(abs(col("slope")) === 1.0,
           col("y_last") + col("intercept") * col("h"))
           .otherwise(col("intercept") *
-            (lit(1.0) - pow(col("slope"), col("h"))) /
-            (lit(1.0) - col("slope")) +
-            pow(col("slope"), col("h")) * col("y_last")), 6))
+            (lit(1.0) - col("bh")) / (lit(1.0) - col("slope")) +
+            col("bh") * col("y_last")), 6))
       .select(col("event_type"), col("n_pairs"), col("slope"),
         col("intercept"), col("h"), col("forecast"))
       .orderBy("event_type", "h")
@@ -1825,7 +1848,7 @@ object StreamingBatch {
         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(19,2))) AS DOUBLE) AS s1,
         |    CAST(sum(CAST(value AS DECIMAL(19,2))
-        |      * CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS s2
+        |      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
         |  FROM events GROUP BY event_type),
         |sd AS (
         |  SELECT event_type, s1 / n AS mu,
@@ -1854,8 +1877,10 @@ object StreamingBatch {
         |  FROM pairs GROUP BY event_type),
         |sl AS (
         |  SELECT event_type, np,
-        |    round(CAST(np * sxy - sx * sy AS DOUBLE)
-        |      / CAST(np * sxx - sx * sx AS DOUBLE), 6) AS slope, sx, sy
+        |    CASE WHEN np * sxx - sx * sx = 0 THEN 0.0
+        |      ELSE round(CAST(np * sxy - sx * sy AS DOUBLE)
+        |        / CAST(np * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+        |    sx, sy
         |  FROM fit),
         |ab AS (
         |  SELECT event_type, np, slope,
@@ -1870,8 +1895,12 @@ object StreamingBatch {
         |SELECT ab.event_type, np AS n_pairs, slope, intercept, hh.h,
         |  round(CASE WHEN abs(slope) = 1.0
         |    THEN y_last + intercept * hh.h
-        |    ELSE intercept * (1.0 - power(slope, hh.h))
-        |      / (1.0 - slope) + power(slope, hh.h) * y_last END, 6)
+        |    ELSE intercept * (1.0 - (CASE hh.h WHEN 1 THEN slope
+        |        WHEN 2 THEN slope * slope
+        |        ELSE slope * slope * slope END))
+        |      / (1.0 - slope)
+        |      + (CASE hh.h WHEN 1 THEN slope WHEN 2 THEN slope * slope
+        |        ELSE slope * slope * slope END) * y_last END, 6)
         |    AS forecast
         |FROM ab JOIN lastv USING (event_type)
         |CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) hh

@@ -47,8 +47,20 @@ class ArtifactMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("the structural-bound require trips loudly on oversized emissions") {
     val e = intercept[IllegalArgumentException] {
       ArtifactMemo.cached(spark, s"spec-big#${System.nanoTime()}")(
-        spark.range(200001).toDF("x"))
+        spark.range(10001).toDF("x"))
     }
     assert(e.getMessage.contains("structurally-bounded"))
+  }
+
+  test("cachedTable persists once and re-reads the parquet artifact") {
+    var trains = 0
+    val key = s"spec-table#${System.nanoTime()}"
+    def train = { trains += 1; spark.range(100).toDF("x") }
+    val a = ArtifactMemo.cachedTable(spark, key)(train)
+      .agg(org.apache.spark.sql.functions.sum("x")).head().getLong(0)
+    val b = ArtifactMemo.cachedTable(spark, key)(train)
+      .agg(org.apache.spark.sql.functions.sum("x")).head().getLong(0)
+    assert(trains === 1, "second consumption must re-read, not retrain")
+    assert(a === b && a === 4950L)
   }
 }
