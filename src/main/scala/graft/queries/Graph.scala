@@ -1365,6 +1365,52 @@ object Graph {
         .orderBy("node_id")
     },
 
+    "graph_community_conductance" -> { (s, d) =>
+      // ARTIFACT CONSUMER (round 12): community QUALITY metrics over
+      // the converged phase-1 partition (the louvain10 parquet
+      // artifact) — per community its size, internal edge count,
+      // degree mass, cut and CONDUCTANCE φ(C) = cut(C) / min(vol(C),
+      // 2m − vol(C)), the standard community-health metric Louvain's
+      // own Q does not expose (a partition can carry good ΔQ while a
+      // community leaks most of its degree across the cut — exactly
+      // what a crawl-curation pipeline audits before trusting
+      // community-level quality priors). Everything is exact longs
+      // (vol = Σ ki, cut = vol − 2·e_c) with ONE rounded division at
+      // emission; a community owning all edge mass (min = 0) emits
+      // φ = 0 by convention instead of 0/0. Scale shape: the
+      // graph_modularity construction — two O(edges) label joins +
+      // community-sized rollups; labels re-read from the artifact
+      // table, never recomputed.
+      val lab = s.read.parquet(louvain10Art(s, d).labelsPath) // (i, c)
+      val op = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+        .localCheckpoint(eager = true) // deg + both e_c joins consume it
+      val m = und.agg(count(lit(1))).head().getLong(0) // O(1), once
+      val deg = und.select(explode(array(col("u"), col("v"))).as("i"))
+        .groupBy("i").agg(count(lit(1)).as("ki"))
+      val dC = deg.join(lab, "i").groupBy("c")
+        .agg(sum(col("ki")).as("d_c"), count(lit(1)).as("n_nodes"))
+      val eC = und
+        .join(lab.select(col("i").as("u"), col("c").as("lu")), "u")
+        .join(lab.select(col("i").as("v"), col("c").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("c")).agg(count(lit(1)).as("e_c"))
+      dC.join(eC, Seq("c"), "left")
+        .select(col("c").as("community_id"), col("n_nodes"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
+          (col("d_c") - lit(2) * coalesce(col("e_c"), lit(0L))).as("cut"),
+          when(least(col("d_c"), lit(2 * m) - col("d_c")) === 0, lit(0.0))
+            .otherwise(round(
+              (col("d_c") - lit(2) * coalesce(col("e_c"), lit(0L)))
+                .cast(DoubleType) /
+                least(col("d_c"), lit(2 * m) - col("d_c")), 6))
+            .as("conductance"))
+        .orderBy("community_id")
+    },
+
     "graph_label_prop" -> { (s, d) =>
       // One synchronous label-propagation step (community detection's
       // workhorse): every node adopts the plurality label among its
@@ -2159,6 +2205,28 @@ object Graph {
         |  UNION ALL SELECT i, c FROM comp3 WHERE (SELECT lev FROM sel) = 3) t
         |CROSS JOIN sel CROSS JOIN qfin
         |ORDER BY node_id""".stripMargin,
+
+    // The shared fine ladder selects the converged partition; the
+    // conductance rollup is exact-long arithmetic over it.
+    "graph_community_conductance" ->
+      s"""WITH $louvainFineLadderCtes,
+        |flab AS MATERIALIZED (SELECT i, c
+        |  FROM labs JOIN kstar ON labs.k = kstar.ks - 1),
+        |dc AS (SELECT l.c, CAST(sum(d.ki) AS BIGINT) AS d_c,
+        |    count(*) AS n_nodes
+        |  FROM deg d JOIN flab l USING (i) GROUP BY l.c),
+        |ec AS (SELECT l1.c AS c, count(*) AS e_c FROM und
+        |  JOIN flab l1 ON und.u = l1.i
+        |  JOIN flab l2 ON und.v = l2.i AND l1.c = l2.c
+        |  GROUP BY l1.c)
+        |SELECT dc.c AS community_id, n_nodes,
+        |  CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c, d_c,
+        |  CAST(d_c - 2 * coalesce(ec.e_c, 0) AS BIGINT) AS cut,
+        |  CASE WHEN least(d_c, 2 * m.m - d_c) = 0 THEN 0.0
+        |    ELSE round(CAST(d_c - 2 * coalesce(ec.e_c, 0) AS DOUBLE)
+        |      / least(d_c, 2 * m.m - d_c), 6) END AS conductance
+        |FROM dc LEFT JOIN ec USING (c) CROSS JOIN m
+        |ORDER BY community_id""".stripMargin,
 
     // The louvain_step oracle's label CTEs + the contraction rollup
     // (least/greatest unordered pair, 2x self-loop weight).

@@ -935,6 +935,28 @@ object Vectors {
       }
     },
 
+    "feat_pca_project" -> { (s, d) =>
+      // ARTIFACT CONSUMER (round 12): project the corpus onto the
+      // TRAINED first principal component — what a PCA basis is FOR
+      // (the dimensionality-reduction feature column; the PQ-ADC
+      // relationship replayed for the PCA family: train once, ship
+      // the 64-float basis, consume it corpus-wide). The basis
+      // re-seeds from feat_pca_power_converged's artifact (64
+      // round-6 doubles cast to FLOAT — the serving dtype; JVM
+      // toFloat and DuckDB CAST AS FLOAT are the same IEEE nearest
+      // rounding); the projection is MAP-ONLY: one corpus scan, a
+      // broadcast 64-float literal, the codegen'd index-order dot
+      // (graft_dot), round 6. At 100 TB this is the embarrassingly
+      // parallel shape — no shuffle at all.
+      GraftFunctions.register(s)
+      val basis = queries("feat_pca_power_converged")(s, d)
+        .orderBy("dim").collect().map(_.getDouble(1).toFloat).toSeq
+      embeddings(s, d)
+        .select(col("vec_id"), round(call_function("graft_dot",
+          col("embedding"), typedLit(basis)), 6).as("pc1"))
+        .orderBy("vec_id")
+    },
+
     "dedup_semantic" -> { (s, d) =>
       // SemDeDup-style semantic dedup: coarse clusters BOUND the O(n²)
       // pair search (candidates are same-cluster only — at 10⁹ docs k
@@ -1290,6 +1312,43 @@ object Vectors {
       |  SELECT j, CAST(vec_id AS INTEGER) AS cid, semb AS cemb,
       |    ${dot("semb", "semb")} AS cc
       |  FROM ptsub WHERE vec_id < 16),
+      |$rounds""".stripMargin
+  }
+
+  /** The feat_pca_power_converged oracle's CTE chain (60 unrolled
+    * power rounds over the planted-gap corpus), ending with the
+    * float-cast normalized basis v60 — shared verbatim with the
+    * feat_pca_project oracle so the trainer and its consumer cannot
+    * drift.
+    */
+  private def pcaLadderCtes: String = {
+    def dotAB(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
+    val rounds = (1 to 60).map { i =>
+      s"""sc$i AS (
+         |  SELECT e.embedding, round(${dotAB("e.embedding", "v.v")}, 6) AS sc
+         |  FROM base e CROSS JOIN v${i - 1} v),
+         |w$i AS MATERIALIZED (
+         |  SELECT CAST(i AS INTEGER) AS dim,
+         |    CAST(sum(CAST(round(
+         |      CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * sc, 9)
+         |      AS DECIMAL(28,9))) AS DOUBLE) AS w
+         |  FROM sc$i, (SELECT unnest(range(64)) AS i) dims
+         |  GROUP BY 1),
+         |n$i AS (
+         |  SELECT CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS n2
+         |  FROM w$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT list_transform(list(round(w / sqrt(n.n2), 6) ORDER BY dim),
+         |    x -> CAST(x AS FLOAT)) AS v
+         |  FROM w$i CROSS JOIN n$i n GROUP BY n.n2)""".stripMargin
+    }.mkString(",\n")
+    s"""base AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT e.vec_id + 200000, p.pv FROM embeddings e
+      |  CROSS JOIN (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
+      |  WHERE e.vec_id % 10 = 0),
+      |v0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
       |$rounds""".stripMargin
   }
 
@@ -1845,38 +1904,20 @@ object Vectors {
     // at 1e-6 then CAST TO FLOAT per element before the next round —
     // the float32 feedback the Spark loop applies); rounds past the
     // stationary vector are exact no-ops.
-    "feat_pca_power_converged" -> {
-      def dotAB(a: String, b: String) = oDot.replace("%A", a).replace("%B", b)
-      val rounds = (1 to 60).map { i =>
-        s"""sc$i AS (
-           |  SELECT e.embedding, round(${dotAB("e.embedding", "v.v")}, 6) AS sc
-           |  FROM base e CROSS JOIN v${i - 1} v),
-           |w$i AS MATERIALIZED (
-           |  SELECT CAST(i AS INTEGER) AS dim,
-           |    CAST(sum(CAST(round(
-           |      CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * sc, 9)
-           |      AS DECIMAL(28,9))) AS DOUBLE) AS w
-           |  FROM sc$i, (SELECT unnest(range(64)) AS i) dims
-           |  GROUP BY 1),
-           |n$i AS (
-           |  SELECT CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS n2
-           |  FROM w$i),
-           |v$i AS MATERIALIZED (
-           |  SELECT list_transform(list(round(w / sqrt(n.n2), 6) ORDER BY dim),
-           |    x -> CAST(x AS FLOAT)) AS v
-           |  FROM w$i CROSS JOIN n$i n GROUP BY n.n2)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH base AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT e.vec_id + 200000, p.pv FROM embeddings e
-        |  CROSS JOIN (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
-        |  WHERE e.vec_id % 10 = 0),
-        |v0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
-        |$rounds
+    "feat_pca_power_converged" ->
+      s"""WITH $pcaLadderCtes
         |SELECT dim, round(w / sqrt(n.n2), 6) AS w_normed
-        |FROM w60 CROSS JOIN n60 n ORDER BY dim""".stripMargin
-    },
+        |FROM w60 CROSS JOIN n60 n ORDER BY dim""".stripMargin,
+
+    // The PCA ladder (above, shared verbatim) + one projection pass:
+    // corpus x the float-cast v60 basis through the index-order dot.
+    "feat_pca_project" ->
+      s"""WITH $pcaLadderCtes
+        |SELECT e.vec_id, round(
+        |  ${oDot.replace("%A", "e.embedding").replace("%B", "v.v")}, 6)
+        |  AS pc1
+        |FROM embeddings e CROSS JOIN v60 v
+        |ORDER BY e.vec_id""".stripMargin,
 
     // Full replication of the deterministic LSH pipeline: plane family
     // (integer-hash rationals cast to float), index-order sign dots,
