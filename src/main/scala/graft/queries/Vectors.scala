@@ -946,8 +946,9 @@ object Vectors {
       // toFloat and DuckDB CAST AS FLOAT are the same IEEE nearest
       // rounding); the projection is MAP-ONLY: one corpus scan, a
       // broadcast 64-float literal, the codegen'd index-order dot
-      // (graft_dot), round 6. At 100 TB this is the embarrassingly
-      // parallel shape — no shuffle at all.
+      // (graft_dot), round 6 — the only exchange in the plan is the
+      // emission orderBy's rangepartitioning (PlanSpec-pinned). At
+      // 100 TB this is the embarrassingly parallel shape.
       GraftFunctions.register(s)
       val basis = queries("feat_pca_power_converged")(s, d)
         .orderBy("dim").collect().map(_.getDouble(1).toFloat).toSeq

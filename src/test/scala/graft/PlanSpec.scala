@@ -154,6 +154,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sampling shuffled beyond the output sort: $exchanges\n$p")
   }
 
+  test("PCA projection is map-only up to its output sort") {
+    // The artifact-consumer claim pinned: the trained basis arrives as
+    // a broadcast literal and the projection dot is a map pass — the
+    // only exchange is the rangepartitioning for the deterministic
+    // emission orderBy (no aggregation, no join, no data shuffle).
+    val p = plan("feat_pca_project")
+    val exchanges = "Exchange \\S+".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"projection shuffled beyond the output sort: $exchanges\n$p")
+  }
+
   test("funnel stages share one user_id shuffle across both windows and the rollup") {
     // All three funnel stages ride a single hashpartitioning(user_id)
     // exchange: both Window nodes and the per-user HashAggregate reuse
