@@ -18,18 +18,94 @@ import org.apache.spark.sql.types.StructType
   * repeats re-emit the held rows (what Bench floors, per the
   * BASELINE.md r11/r12 floor-RESET rule).
   *
+  * Concurrency contract (round 13, ADVICE r12):
+  *  - WITHIN a JVM training is SINGLE-FLIGHT: one holder per key wins
+  *    `putIfAbsent`, its `lazy val` runs the training block at most
+  *    once, and concurrent callers of the same key block on the
+  *    winner instead of re-training (the old `getOrElseUpdate` could
+  *    evaluate the by-name block in several threads, each racing a
+  *    mode(overwrite) write to the SAME scratch path).
+  *  - Table artifacts PUBLISH ATOMICALLY: the trainer writes to a
+  *    sibling temp dir and renames it into the keyed path, so no
+  *    reader can ever observe a half-written parquet directory.
+  *  - ACROSS JVMs there is no shared state by design: scratch paths
+  *    embed the applicationId, so two concurrent drivers each train
+  *    and read their own copy — duplicated work, never a torn read
+  *    (the measured r12 stress protocol). A production deployment
+  *    would replace the scratch dir with a shared artifact store and
+  *    the same write-to-temp-then-rename publish.
+  *
+  * Lifecycle (round 13, ADVICE r12): keys carry a parquet content
+  * fingerprint (Tables.artifactKey) so in-place dataset regeneration
+  * retrains — and the SUPERSEDED key is evicted when its replacement
+  * registers: same eviction GROUP (key minus the fingerprint segment),
+  * different fingerprint ⇒ the old entry's driver rows are dropped and
+  * its scratch parquet deleted eagerly instead of stranding until the
+  * JVM-exit hook. Eviction is best-effort: regenerating a dataset
+  * while a query is mid-flight on the old artifact was never defined
+  * behavior, and an in-training holder (not yet evaluated) is skipped
+  * rather than trained just to be deleted.
+  *
   * Bounds: every cached emission is structurally bounded (node-sized
   * scores, ≤k×dim centroid rows, vocab-sized merges — never
   * corpus-proportional data); the require makes an unbounded misuse
-  * loud. Keys carry a parquet content fingerprint (Tables.artifactKey)
-  * so in-place dataset regeneration retrains. Driver-held rows are the
-  * gate-scale stand-in for reading the persisted artifact table back —
-  * and survive CacheDrain between Bench reps by construction (they
-  * live outside the block manager).
+  * loud. Driver-held rows are the gate-scale stand-in for reading the
+  * persisted artifact table back — and survive CacheDrain between
+  * Bench reps by construction (they live outside the block manager).
   */
 object ArtifactMemo {
-  private val memos =
-    scala.collection.concurrent.TrieMap.empty[String, (StructType, Array[Row])]
+  /** Single-flight lazy holder: the `lazy val` guarantees the thunk
+    * runs at most once per JVM; `computed` lets eviction act on the
+    * value without triggering a pointless training run.
+    */
+  private final class Holder[T](thunk: () => T) {
+    @volatile private var done = false
+    lazy val value: T = { val v = thunk(); done = true; v }
+    def ifComputed(f: T => Unit): Unit = if (done) f(value)
+  }
+
+  private val entries =
+    scala.collection.concurrent.TrieMap.empty[String, Holder[_]]
+  // eviction group -> currently-registered full key
+  private val groups =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Eviction group: the key minus its content-fingerprint segment
+    * (`path#fp#variant` → `path#variant`), i.e. "this artifact of
+    * this dataset path, whatever its current bytes".
+    */
+  private def group(key: String): String = {
+    val seg = key.split("#", -1)
+    if (seg.length < 2) key else (seg(0) +: seg.drop(2).toSeq).mkString("#")
+  }
+
+  /** Generic single-flight keyed memo with superseded-key eviction.
+    * `onEvict` runs against an OLD key's value when a new fingerprint
+    * registers for the same group (delete its scratch dir, etc.).
+    */
+  def once[T](key: String)(train: => T)(onEvict: T => Unit): T = {
+    val holder = new Holder[T](() => train)
+    val winner = entries.putIfAbsent(key, holder) match {
+      case Some(h) => h.asInstanceOf[Holder[T]]
+      case None =>
+        // This call registered a NEW key: retire any superseded
+        // sibling (same group, older fingerprint) eagerly.
+        groups.put(group(key), key).filter(_ != key).foreach { oldKey =>
+          entries.remove(oldKey)
+            .foreach(_.asInstanceOf[Holder[T]].ifComputed(onEvict))
+        }
+        holder
+    }
+    winner.value
+  }
+
+  private[graft] def deleteDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
 
   /** Driver-held form — ONLY for artifacts whose size is structurally
     * bounded by the algorithm (≤k×dim centroids, vocab-sized merges,
@@ -38,7 +114,7 @@ object ArtifactMemo {
     * node-sized emission belongs in cachedTable below).
     */
   def cached(s: SparkSession, key: String)(train: => DataFrame): DataFrame = {
-    val (schema, rows) = memos.getOrElseUpdate(key, {
+    val (schema, rows) = once(key) {
       val df = train
       val collected = df.collect()
       require(collected.length <= 10000,
@@ -47,7 +123,7 @@ object ArtifactMemo {
           "corpus-proportional (node-sized) emissions must use " +
           "cachedTable, which persists a parquet artifact instead")
       (df.schema, collected)
-    })
+    }((_: (StructType, Array[Row])) => ()) // superseded rows just drop to GC
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -60,18 +136,22 @@ object ArtifactMemo {
     * memory never holds the rows, so this form scales to any node
     * count; the read-back is a columnar scan parallelized like any
     * other source. Paths are keyed by an MD5 of the full memo key, so
-    * distinct datasets/artifacts can't collide in one app's scratch.
+    * distinct datasets/artifacts can't collide in one app's scratch;
+    * the write publishes via temp-dir + atomic rename (see the
+    * concurrency contract above); a superseded fingerprint's dir is
+    * deleted when its replacement registers.
     */
-  private val tableMemos =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   def cachedTable(s: SparkSession, key: String)
       (train: => DataFrame): DataFrame = {
-    val path = tableMemos.getOrElseUpdate(key, {
+    val path = once(key) {
       val p = Tables.scratch(s, "art" + Tables.md5hex(key).take(16), key)
-      train.write.mode("overwrite").parquet(p)
+      val tmp = Tables.scratch(s, "arttmp" + Tables.md5hex(key).take(16), key)
+      train.write.mode("overwrite").parquet(tmp)
+      deleteDir(p) // defensive: the keyed path must not exist pre-rename
+      require(new java.io.File(tmp).renameTo(new java.io.File(p)),
+        s"ArtifactMemo($key): atomic publish rename $tmp -> $p failed")
       p
-    })
+    }(deleteDir)
     s.read.parquet(path)
   }
 }

@@ -1242,7 +1242,8 @@ object StreamingBatch {
     * StreamingOps.typeHourlyCounts) provably shares the batch
     * arithmetic: exact integer sums over consecutive-present-hour lag
     * pairs, slope/intercept snapped at 1e-6 BEFORE the bʰ recursion,
-    * |b| = 1 drift fallback.
+    * b = 1 drift fallback (b = −1 is non-singular and takes the
+    * closed form — r12 ADVICE).
     */
   private[graft] def ar1Tail(hc: DataFrame): DataFrame = {
     // Renamed-projection self-join, not alias resolution: over a
@@ -1292,8 +1293,13 @@ object StreamingBatch {
         when(col("h") === 1, col("slope"))
           .when(col("h") === 2, col("slope") * col("slope"))
           .otherwise(col("slope") * col("slope") * col("slope")))
+      // The geometric closed form is singular ONLY at slope = +1
+      // (denominator 1 − b = 0 ⇒ pure drift y_T + a·h); slope = −1 is
+      // a perfectly valid alternating AR(1) and takes the closed form
+      // (r12 ADVICE: the old abs(slope) == 1 branch emitted the drift
+      // line for b = −1, which is not that model's forecast).
       .withColumn("forecast", round(
-        when(abs(col("slope")) === 1.0,
+        when(col("slope") === 1.0,
           col("y_last") + col("intercept") * col("h"))
           .otherwise(col("intercept") *
             (lit(1.0) - col("bh")) / (lit(1.0) - col("slope")) +
@@ -1893,7 +1899,7 @@ object StreamingBatch {
         |      PARTITION BY event_type ORDER BY h DESC) AS rn FROM hc) t
         |  WHERE rn = 1)
         |SELECT ab.event_type, np AS n_pairs, slope, intercept, hh.h,
-        |  round(CASE WHEN abs(slope) = 1.0
+        |  round(CASE WHEN slope = 1.0
         |    THEN y_last + intercept * hh.h
         |    ELSE intercept * (1.0 - (CASE hh.h WHEN 1 THEN slope
         |        WHEN 2 THEN slope * slope

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Multimodal._
+
+/** Unit gates for the round-13 pixel codec (SURVEY.md §2i multimodal):
+  * the zlib stored-deflate framing, the full five-filter PNG
+  * encode→decode roundtrip, and loud rejection of corrupted streams.
+  * These run WITHOUT Spark — the codec is plain byte arithmetic — so
+  * a framing slip fails in milliseconds, not via the oracle gate.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def pix(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((i * 31 + 7) % 256).toByte)
+
+  test("zlib stored roundtrip, including the multi-block path past 65535 bytes") {
+    for (n <- Seq(0, 1, 17, 65534, 65535, 65536, 200000)) {
+      val raw = pix(n)
+      val z = zlibStore(raw)
+      assert((z(0) & 0x0F) == 8 && ((z(0) & 0xFF) * 256 + (z(1) & 0xFF)) % 31 == 0,
+        s"bad zlib header for n=$n")
+      assert(zlibInflateStored(z).sameElements(raw), s"roundtrip broke at n=$n")
+    }
+  }
+
+  test("zlib inflate rejects LEN/NLEN and Adler-32 corruption loudly") {
+    val z = zlibStore(pix(100))
+    val nlenBad = z.clone(); nlenBad(5) = (nlenBad(5) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](zlibInflateStored(nlenBad))
+    assert(e1.getMessage.contains("LEN/NLEN"))
+    val adlerBad = z.clone(); adlerBad(z.length - 1) = (adlerBad(z.length - 1) ^ 0x01).toByte
+    val e2 = intercept[IllegalArgumentException](zlibInflateStored(adlerBad))
+    assert(e2.getMessage.contains("Adler-32"))
+  }
+
+  test("PNG grayscale roundtrip exercises all five filters and every small dim") {
+    // h >= 5 cycles every filter type (y % 5); sweep the pixDims range.
+    for (w <- 8 to 16; h <- 8 to 14) {
+      val img = pix(w * h)
+      val (dw, dh, out) = decodeGrayPng(encodeGrayPng(img, w, h))
+      assert(dw == w && dh == h, s"dims drifted at ${w}x$h")
+      assert(out.sameElements(img), s"pixels drifted at ${w}x$h")
+    }
+  }
+
+  test("PNG decode rejects chunk-CRC corruption loudly") {
+    val png = encodeGrayPng(pix(64), 8, 8)
+    // Flip a byte inside the IDAT body (well past the 33-byte IHDR span).
+    val bad = png.clone(); bad(45) = (bad(45) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException](decodeGrayPng(bad))
+    assert(e.getMessage.contains("CRC-32"))
+  }
+
+  test("tilePixels matches the oracle's construction pixel-for-pixel") {
+    val data = "hello graft".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val t = tilePixels(data, 9, 5)
+    for (k <- 0 until 45)
+      assert(t(k) == data(k % data.length), s"tile broke at k=$k")
+  }
+}

@@ -484,21 +484,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 18, s"quantized rerank recalled only $recall/20")
   }
 
-  test("mm_phash_dedup recovers every planted sign-flip near-dup") {
+  test("mm_phash_dedup recovers every planted pixel-perturbed near-dup") {
     val sp = spark
     import sp.implicits._
     val got = SparkEntry.queries("mm_phash_dedup")(spark, sf)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
-    val planted = Tables.embeddings(spark, sf)
-      .filter(col("vec_id") % 10 === 0)
-      .select("vec_id").as[Long].collect().toSet
-    // Every planted (v, v+1e12) pair must surface: negating dims 3 and 7
-    // flips exactly those sign bits, so the pair sits at Hamming ≤ 2 —
-    // inside the banding's lossless ≤3 gate by construction.
-    val gotPairs = got.map(p => (p._1, p._2)).toSet
-    planted.foreach { v =>
-      assert(gotPairs.contains((v, v + 1000000000000L)),
-        s"planted near-dup of vec $v not recovered")
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    // Every planted (d, d+1e12) pair must surface AT HAMMING 0: the
+    // perturbation bumps only non-sample pixels, so after each image's
+    // own PNG encode→decode roundtrip the aHashes are identical by
+    // construction — the perceptual-collision property aHash provides.
+    val gotAt0 = got.collect { case (a, b, 0) => (a, b) }.toSet
+    planted.foreach { d =>
+      assert(gotAt0.contains((d, d + 1000000000000L)),
+        s"planted pixel-perturbed near-dup of doc $d not recovered at Hamming 0")
     }
     got.foreach { case (a, b, h) =>
       assert(h >= 0 && h <= 3, s"pair ($a,$b) outside the Hamming gate: $h")

@@ -22,6 +22,24 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
 
+  test("ar1Tail: slope = -1 takes the closed form, not the drift fallback") {
+    // r12 ADVICE: the geometric closed form is singular only at
+    // b = +1; an alternating series fitting b = -1 exactly must
+    // forecast the alternation (2, 8, 2), not the drift line 8 + 10h.
+    val sp = spark
+    import sp.implicits._
+    // counts 2,8,2,8 at hours 1..4: lag pairs (2,8),(8,2),(2,8) fit
+    // y = -x + 10 exactly => OLS slope -1, intercept 10, y_last = 8.
+    val hc = Seq(("a", 1L, 2L), ("a", 2L, 8L), ("a", 3L, 2L), ("a", 4L, 8L))
+      .toDF("event_type", "h", "n")
+    val got = graft.queries.StreamingBatch.ar1Tail(hc)
+      .select("h", "slope", "forecast").as[(Int, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._2).forall(_ == -1.0), s"slope must fit -1: ${got.toSeq}")
+    assert(got.map(_._3).toSeq === Seq(2.0, 8.0, 2.0),
+      s"b = -1 must alternate via the closed form: ${got.toSeq}")
+  }
+
   test("ts_gapfill emits a dense hourly series carrying values forward") {
     val rows = SparkEntry.queries("ts_gapfill")(spark, sf).collect()
     assert(rows.nonEmpty)
