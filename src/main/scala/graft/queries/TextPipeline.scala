@@ -296,14 +296,26 @@ object TextPipeline {
     * literal — one training loop per dataset instead of one per
     * consumer. Keyed on the documents parquet fingerprint + k.
     */
-  private val bpeMergesMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(String, String)], Map[String, String])]
-
   private def bpeTrainMergesMemo(s: SparkSession, d: String,
       all: DataFrame, k: Int)
       : (Seq[(String, String)], Map[String, String]) =
-    bpeMergesMemo.getOrElseUpdate(artifactKey(d, "documents") + s"#merges$k",
-      bpeTrainMerges(all, k))
+    // Single-flight + superseded-fingerprint eviction via
+    // ArtifactMemo.once (round 13 — the shared concurrency contract).
+    graft.ArtifactMemo.once(artifactKey(d, "documents") + s"#merges$k")(
+      bpeTrainMerges(all, k))(
+      (_: (Seq[(String, String)], Map[String, String])) => ())
+
+  /** The trained merge list for external consumers (the streaming
+    * tokenizer twin): same memo, same single-flight training.
+    */
+  private[graft] def trainedBpeMerges(s: SparkSession, d: String,
+      k: Int = 6): Seq[(String, String)] = {
+    val all = documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    bpeTrainMergesMemo(s, d, all, k)._1
+  }
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (s, d) =>

@@ -183,9 +183,9 @@ object Vectors {
     * repeat invocations re-seed from the held artifact, exactly like
     * the one-time clustered-layout writes the scan-skipping witnesses
     * exclude from their timed region (BASELINE.md r8 precedent).
+    * Single-flight + superseded-fingerprint eviction via
+    * ArtifactMemo.once (round 13 — the shared concurrency contract).
     */
-  private val pqMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Int, Seq[Float])]]
 
   private def trainPq(s: SparkSession, d: String): PqTrained = {
     val M = 8; val K = 16; val SUB = 8
@@ -237,12 +237,20 @@ object Vectors {
             / count(lit(1)) * 1000000 + 0.5).cast("double") / 1000000.0)
             .as("centroid"))
     }
-    if (pqMemo.contains(memoKey)) { // plain if, not a closure: `return`
-      val art = pqMemo(memoKey)       // must stay method-level
-      val cb = art.groupBy(_._1).map { case (j, rs) =>
-        j -> rs.map { case (_, cid, ce) => (cid, ce) } }
-      return PqTrained(assignRecompute(cb), art, 0)
-    }
+    val art = graft.ArtifactMemo.once(memoKey + "#pqcb") {
+      trainPqCodebook(slices, K, assignRecompute)
+    }((_: Seq[(Int, Int, Seq[Float])]) => ())
+    val cbOut = art.groupBy(_._1).map { case (j, rs) =>
+      j -> rs.map { case (_, cid, ce) => (cid, ce) } }
+    PqTrained(assignRecompute(cbOut), art, 0)
+  }
+
+  /** The Lloyd fixpoint loop itself — the single-flight memo value
+    * (trains at most once per JVM per dataset fingerprint).
+    */
+  private def trainPqCodebook(slices: DataFrame, K: Int,
+      assignRecompute: Map[Int, Seq[(Int, Seq[Float])]] => DataFrame)
+      : Seq[(Int, Int, Seq[Float])] = {
     var cb: Map[Int, Seq[(Int, Seq[Float])]] = slices
       .filter(col("vec_id") < K)
       .select(col("j"), col("vec_id").cast("int").as("cid"), col("semb"))
@@ -275,11 +283,9 @@ object Vectors {
       s"sim_pq_train_converged: codebook not stationary after $rounds " +
         "sweeps — emission would be a mid-descent truncation")
     slices.unpersist()
-    val art = cb.toSeq.flatMap { case (j, ws) =>
+    cb.toSeq.flatMap { case (j, ws) =>
       ws.map { case (cid, ce) => (j, cid, ce) }
     }.sortBy(t => (t._1, t._2))
-    pqMemo.put(memoKey, art)
-    PqTrained(assignRecompute(cb), art, rounds)
   }
 
   /** The trained codebook as the 1-row broadcast `cb` column the ADC

@@ -145,6 +145,49 @@ object StreamingOps {
   def readOrders(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(ordersSchema).parquet(dir)
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Unbounded documents source — the corpus feed the tokenizer-apply
+    * twin (and any future ingest-side text op) watches.
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(dir)
+
+  /** bpe_tokenize_corpus's streaming twin (round 13, VERDICT r12 item
+    * 8): per-doc word/token/char counts over a streamed doc source
+    * under a TRAINED merge list — the artifact-consumer pattern on
+    * incremental arrival (encode is stateless map work; the merge list
+    * comes from the shared single-flight vocabulary memo and
+    * broadcasts as chained codegen'd replace()s). ONE stateful
+    * aggregation keyed by doc_id — the batch query's intermediate
+    * per-(doc, word) collapse is an encode-each-distinct-word-once
+    * efficiency, mathematically identical to summing per occurrence,
+    * and streaming does not allow the chained agg — so the twin sums
+    * occurrences directly and StreamingSpec's equality against the
+    * batch emission proves the decomposition exact. State is one row
+    * per doc key in complete mode (a production run would bound it
+    * with a doc-arrival watermark + append emission per micro-batch).
+    */
+  def tokenizeCorpus(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val encoded = merges.foldLeft(col("w")) { case (c, (pair, ph)) =>
+      call_function("replace", c, lit(pair), lit(ph))
+    }
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(length(encoded).cast(LongType)).as("n_tokens"),
+        sum(length(col("w")).cast(LongType)).as("n_chars"))
+  }
+
   /** Leading-digit counts over a streamed orders source — the
     * incremental rollup behind agg_benford_test's streaming twin:
     * complete-mode agg on ≤9 keys forever (not a time window), digit

@@ -267,6 +267,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("tokenize-corpus under the trained vocabulary: streaming == batch") {
+    // The tokenizer-apply artifact-consumer on incremental arrival
+    // (round 13): encode-with-trained-merges over a streamed doc
+    // source through the SHARED single-flight vocabulary memo must
+    // land exactly on bpe_tokenize_corpus's batch emission — including
+    // the twin's single-agg decomposition (sum per occurrence ≡ the
+    // batch per-(doc, word) collapse).
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    graft.Tables.documents(spark, sf).write.mode("overwrite")
+      .parquet(docsDir.toString)
+    val merges = graft.queries.TextPipeline.trainedBpeMerges(spark, sf)
+    assert(merges.length === 6, s"expected the 6-merge vocabulary: $merges")
+    val stream = StreamingOps.readDocuments(spark, docsDir.toString)
+    val got = runToMemory(StreamingOps.tokenizeCorpus(stream, merges),
+      "t_bpe_tok", "complete").orderBy("doc_id").collect().toSeq
+    val want = SparkEntry.queries("bpe_tokenize_corpus")(spark, sf)
+      .collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState running totals == batch per-user totals") {
     val stream = StreamingOps.readEvents(spark, srcDir.toString)
     val mem = runToMemory(StreamingOps.runningTotals(stream).toDF(), "t_state", "update")
