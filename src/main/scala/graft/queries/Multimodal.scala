@@ -336,6 +336,27 @@ object Multimodal {
     */
   @inline def pixDims(n: Int): (Int, Int) = (8 + n % 9, 8 + n % 7)
 
+  /** Integerized 8-point DCT-II basis: B[u][x] = round(64·cos(π(2x+1)
+    * u/16)). Hardcoded (not computed with libm cos at runtime) so the
+    * oracle SQL carries the IDENTICAL integers and the whole 2D
+    * transform stays exact BIGINT arithmetic in both engines.
+    */
+  private[queries] val dctB: Array[Array[Int]] = Array(
+    Array(64, 64, 64, 64, 64, 64, 64, 64),
+    Array(63, 53, 36, 12, -12, -36, -53, -63),
+    Array(59, 24, -24, -59, -59, -24, 24, 59),
+    Array(53, -12, -63, -36, 36, 63, 12, -53),
+    Array(45, -45, -45, 45, 45, -45, -45, 45),
+    Array(36, -63, 12, 53, -53, -12, 63, -36),
+    Array(24, -59, 59, -24, -24, 59, -59, 24),
+    Array(12, -36, 53, -63, 63, -53, 36, -12))
+
+  /** dctB as a flat SQL list literal for the oracle (row-major
+    * B[u*8+x]).
+    */
+  private def dctBSql: String =
+    dctB.flatten.mkString("[", ", ", "]")
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> { (s, d) =>
       // REAL container-metadata decode (round 12, VERDICT r11 item 5).
@@ -593,6 +614,104 @@ object Multimodal {
         .orderBy("id_a", "id_b")
     },
 
+    "mm_phash_dct" -> { (s, d) =>
+      // The REAL 2D-DCT perceptual hash (classic pHash, round 13) —
+      // the frequency-domain sibling of mm_phash_dedup's average hash:
+      // decode the PNG, 8×8-downsample, 2D DCT-II via an INTEGERIZED
+      // basis B[u][x] = round(64·cos(π(2x+1)u/16)) hardcoded
+      // identically in both engines (libm cos at runtime would be a
+      // cross-engine 1-ulp trap — the no-libm rule; with integer B the
+      // whole transform C = B·P·Bᵀ is exact BIGINT arithmetic, |C| ≤
+      // 6.7e7), then one bit per low-frequency coefficient by
+      // compare-to-median (60 non-DC coefficients, row-major;
+      // median = 31st of the sorted 60 — a deterministic integer
+      // order-statistic, no float mean). Same planted construction and
+      // banded-LSH emission as mm_phash_dedup: the non-sample-pixel
+      // bump leaves the 8×8 downsample — hence the whole spectrum —
+      // identical, so planted pairs sit at Hamming 0; the brute-force
+      // oracle replays the same integer DCT from the construction.
+      val sp = s
+      import sp.implicits._
+      val base = documents(s, d)
+        .select(col("doc_id"), col("text"), lit(false).as("perturb"))
+      val planted = documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000000L +
+          coalesce(assert_true(col("doc_id") < 1000000000000L,
+            lit("mm_phash_dct: base doc_id >= 1e12 collides with the " +
+              "planted-id offset — regenerate or raise the offset"))
+            .cast(LongType), lit(0L))).as("doc_id"),
+          col("text"), lit(true).as("perturb"))
+      val hashed = base.unionByName(planted)
+        .as[(Long, String, Boolean)]
+        .mapPartitions { rows =>
+          // per-partition init of a hardware codec context would go here
+          rows.map { case (id, text, perturb) =>
+            val data =
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val (w, h) = pixDims(data.length)
+            val pix0 = tilePixels(data, w, h)
+            val img = if (!perturb) pix0 else {
+              val sx = Array.tabulate(8)(i => i * w / 8).toSet
+              val sy = Array.tabulate(8)(j => j * h / 8).toSet
+              Array.tabulate(w * h) { k =>
+                if (sx(k % w) && sy(k / w)) pix0(k)
+                else ((pix0(k) + 1) & 0xFF).toByte
+              }
+            }
+            val (dw, dh, pix) = decodeGrayPng(encodeGrayPng(img, w, h))
+            val smp = Array.tabulate(64)(c =>
+              (pix((c / 8 * dh / 8) * dw + (c % 8) * dw / 8) & 0xFF).toLong)
+            // C = B · P · Bᵀ in two exact integer matmuls.
+            val r = Array.ofDim[Long](8, 8) // R[x][v] = Σ_y P[x][y]·B[v][y]
+            var x = 0
+            while (x < 8) {
+              var v = 0
+              while (v < 8) {
+                var acc = 0L; var y = 0
+                while (y < 8) { acc += smp(x * 8 + y) * dctB(v)(y); y += 1 }
+                r(x)(v) = acc; v += 1
+              }
+              x += 1
+            }
+            val coefs = new Array[Long](60) // row-major (u,v), DC skipped
+            var idx = 0
+            var u = 0
+            while (u < 8 && idx < 60) {
+              var v = 0
+              while (v < 8 && idx < 60) {
+                if (u != 0 || v != 0) {
+                  var acc = 0L; var xx = 0
+                  while (xx < 8) { acc += dctB(u)(xx) * r(xx)(v); xx += 1 }
+                  coefs(idx) = acc; idx += 1
+                }
+                v += 1
+              }
+              u += 1
+            }
+            val med = coefs.sorted.apply(30) // 31st of 60, deterministic
+            var hsh = 0L
+            var c = 0
+            while (c < 60) { if (coefs(c) > med) hsh |= 1L << c; c += 1 }
+            (id, hsh)
+          }
+        }
+        .toDF("doc_id", "phash")
+      val bandArr = array((0 until 4).map(k =>
+        shiftright(col("phash"), k * 15).bitwiseAND(lit(32767L))): _*)
+      val banded = hashed
+        .select(col("doc_id"), col("phash"), posexplode(bandArr))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+      banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(first(col("a.phash")).as("ha"), first(col("b.phash")).as("hb"))
+        .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
     "mm_shard_pack" -> { (s, d) =>
       // WebDataset-style shard planning — the packaging step every
       // multimodal estate runs before training: millions of small
@@ -814,6 +933,62 @@ object Multimodal {
         |          ELSE CAST(0 AS BIGINT) END)),
         |      (a, x) -> a + x) AS BIGINT) AS phash
         |  FROM smp)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force truth for the DCT hash: the same integerized basis
+    // (dctBSql carries the identical 64 ints), the same two exact
+    // BIGINT matmuls C = B·P·Bᵀ, the same 60-coefficient row-major
+    // non-DC slice and 31st-of-sorted median rule — all from the
+    // unperturbed sample construction (the planted bump never touches
+    // a sample point), then the unbanded all-pairs Hamming compare.
+    "mm_phash_dct" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |g AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
+        |  FROM u),
+        |bb AS (SELECT $dctBSql AS b),
+        |smp AS (
+        |  SELECT doc_id,
+        |    list_transform(range(64), c -> CAST(
+        |      ord(substring(text,
+        |        CAST(((((c // 8) * h) // 8) * w + (((c % 8) * w) // 8)) % n + 1 AS INTEGER),
+        |        1)) AS BIGINT)) AS sv
+        |  FROM g),
+        |r AS (
+        |  SELECT doc_id,
+        |    list_transform(range(64), i ->
+        |      list_reduce(list_transform(range(8), y ->
+        |        sv[CAST((i // 8) * 8 + y + 1 AS INTEGER)] *
+        |        CAST(b[CAST((i % 8) * 8 + y + 1 AS INTEGER)] AS BIGINT)),
+        |      (a, t) -> a + t)) AS rm
+        |  FROM smp, bb),
+        |cm AS (
+        |  SELECT doc_id, list_slice(
+        |    list_transform(range(64), i ->
+        |      list_reduce(list_transform(range(8), x ->
+        |        CAST(b[CAST((i // 8) * 8 + x + 1 AS INTEGER)] AS BIGINT) *
+        |        rm[CAST(x * 8 + (i % 8) + 1 AS INTEGER)]),
+        |      (a, t) -> a + t)), 2, 61) AS coefs
+        |  FROM r, bb),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(60), c ->
+        |        CASE WHEN coefs[CAST(c + 1 AS INTEGER)] >
+        |            list_sort(coefs)[31]
+        |          THEN CAST(1 AS BIGINT) << CAST(c AS INTEGER)
+        |          ELSE CAST(0 AS BIGINT) END)),
+        |      (a, t) -> a + t) AS BIGINT) AS phash
+        |  FROM cm)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id

@@ -504,6 +504,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (a, b, h) =>
       assert(h >= 0 && h <= 3, s"pair ($a,$b) outside the Hamming gate: $h")
     }
+    // The DCT sibling must recover the same planted pairs at Hamming 0:
+    // the perturbation leaves the 8x8 downsample — hence the whole
+    // spectrum — identical.
+    val dct = SparkEntry.queries("mm_phash_dct")(spark, sf)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val dctAt0 = dct.collect { case (a, b, 0) => (a, b) }.toSet
+    planted.foreach { d =>
+      assert(dctAt0.contains((d, d + 1000000000000L)),
+        s"planted near-dup of doc $d not recovered by the DCT hash")
+    }
   }
 
   test("text_bigram_lm conditionals are consistent with the vocabulary counts") {
