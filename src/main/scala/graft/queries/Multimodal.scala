@@ -336,6 +336,27 @@ object Multimodal {
     */
   @inline def pixDims(n: Int): (Int, Int) = (8 + n % 9, 8 + n % 7)
 
+  /** Decode the 16-bit little-endian PCM samples out of a WAV
+    * container FROM THE BYTES ALONE: verifies RIFF/WAVE magic, the
+    * 16-byte PCM fmt chunk, 16-bit sample width, and the RIFF size
+    * (including the odd-length pad convention), then reads the data
+    * chunk's length field and sign-extends each LE sample pair. A
+    * trailing odd byte is not a complete sample and is dropped, per
+    * the 16-bit PCM framing.
+    */
+  def parseWavSamples(b: Array[Byte]): Array[Short] = {
+    val (container, _, _, ok) = parseMeta(b)
+    require(container == "wav" && ok,
+      s"parseWavSamples: not a verified PCM WAV (container=$container)")
+    require(rle16(b, 34) == 16, "parseWavSamples: expected 16-bit samples")
+    require(b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a',
+      "parseWavSamples: missing data chunk")
+    val n = rle32(b, 40).toInt
+    require(b.length >= 44 + n, "parseWavSamples: truncated data chunk")
+    Array.tabulate(n / 2)(i =>
+      ((b(44 + 2 * i) & 0xFF) | ((b(45 + 2 * i) & 0xFF) << 8)).toShort)
+  }
+
   /** Integerized 8-point DCT-II basis: B[u][x] = round(64·cos(π(2x+1)
     * u/16)). Hardcoded (not computed with libm cos at runtime) so the
     * oracle SQL carries the IDENTICAL integers and the whole 2D
@@ -612,6 +633,53 @@ object Multimodal {
         .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
+    },
+
+    "mm_audio_sample_stats" -> { (s, d) =>
+      // REAL PCM sample decode (round 13) — the audio sibling of the
+      // pixel path, closing the other half of the old "pixel/sample
+      // decode stubbed" caveat: each doc's payload (text bytes with
+      // the high bit SET on every 3rd byte, so the sign-extension
+      // branch is actually exercised — ASCII alone never yields a
+      // negative 16-bit sample) is wrapped in the spec-conformant PCM
+      // WAV and the samples are decoded back FROM THE BYTES ALONE
+      // (RIFF/fmt verification, data-chunk length field, little-endian
+      // sign-extended pairs, trailing-odd-byte and pad handling), then
+      // rolled into the stats an audio-curation pass computes: count,
+      // min/max, energy (Σs², exact BIGINT), zero crossings. The
+      // oracle predicts every sample from the construction; an endian,
+      // sign-extension, offset, or framing slip breaks the hash gate.
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          // per-partition init of a hardware codec context would go here
+          rows.map { case (id, text) =>
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val data = Array.tabulate(raw.length)(i =>
+              if (i % 3 == 2) (raw(i) ^ 0x80).toByte else raw(i))
+            val wav = wrapWav(data, 8000 + data.length % 8 * 4000,
+              1 + data.length % 2)
+            val smp = parseWavSamples(wav)
+            var mn = Short.MaxValue.toInt; var mx = Short.MinValue.toInt
+            var energy = 0L; var crossings = 0L
+            var i = 0
+            while (i < smp.length) {
+              val v = smp(i).toInt
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              energy += v.toLong * v
+              if (i > 0 && ((v < 0) != (smp(i - 1) < 0))) crossings += 1
+              i += 1
+            }
+            (id, smp.length, if (smp.isEmpty) 0 else mn,
+              if (smp.isEmpty) 0 else mx, energy, crossings)
+          }
+        }
+        .toDF("doc_id", "n_samples", "s_min", "s_max", "energy",
+          "zero_crossings")
+        .orderBy("doc_id")
     },
 
     "mm_phash_dct" -> { (s, d) =>
@@ -938,6 +1006,46 @@ object Multimodal {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The oracle predicts every 16-bit sample from the construction:
+    // payload byte i = ord(text[i+1]) + 128 when i % 3 = 2 (XOR 0x80
+    // on ASCII is +128), sample i = lo(2i) + 256·hi(2i+1) with
+    // two's-complement sign extension — so sample i is negative
+    // exactly when i % 3 = 2 (its hi byte is the boosted one). The
+    // Spark side must RECOVER the same values by parsing the WAV it
+    // wrote.
+    "mm_audio_sample_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n // 2 AS ns,
+        |    list_transform(range(n // 2), i ->
+        |      CAST(ord(substring(text, CAST(2 * i + 1 AS INTEGER), 1))
+        |        + CASE WHEN (2 * i) % 3 = 2 THEN 128 ELSE 0 END
+        |        + 256 * (ord(substring(text, CAST(2 * i + 2 AS INTEGER), 1))
+        |        + CASE WHEN (2 * i + 1) % 3 = 2 THEN 128 ELSE 0 END)
+        |        AS BIGINT)) AS v
+        |  FROM t),
+        |ss AS (
+        |  SELECT doc_id, ns,
+        |    list_transform(v, x ->
+        |      CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS smp
+        |  FROM s)
+        |SELECT doc_id, CAST(ns AS INTEGER) AS n_samples,
+        |  CAST(CASE WHEN ns = 0 THEN 0
+        |    ELSE list_aggregate(smp, 'min') END AS INTEGER) AS s_min,
+        |  CAST(CASE WHEN ns = 0 THEN 0
+        |    ELSE list_aggregate(smp, 'max') END AS INTEGER) AS s_max,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(smp, x -> x * x)), (a, t2) -> a + t2)
+        |    AS BIGINT) AS energy,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(ns), i -> CASE WHEN i >= 1 AND
+        |      ((smp[CAST(i + 1 AS INTEGER)] < 0) <>
+        |       (smp[CAST(i AS INTEGER)] < 0))
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |    (a, t2) -> a + t2) AS BIGINT) AS zero_crossings
+        |FROM ss ORDER BY doc_id""".stripMargin,
 
     // Brute-force truth for the DCT hash: the same integerized basis
     // (dctBSql carries the identical 64 ints), the same two exact

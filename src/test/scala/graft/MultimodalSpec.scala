@@ -52,6 +52,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC-32"))
   }
 
+  test("parseWavSamples: LE sign extension, odd tail drop, framing checks") {
+    // 4 bytes = 2 samples: 0x0102 = 258; 0xFF80 sign-extends to -128.
+    val data = Array[Byte](0x02, 0x01, 0x80.toByte, 0xFF.toByte, 0x7F)
+    val smp = parseWavSamples(wrapWav(data, 8000, 1))
+    assert(smp.toSeq === Seq[Short](258, -128),
+      "LE decode + sign extension + odd-tail drop")
+    val bad = wrapWav(data, 8000, 1)
+    bad(34) = 8 // claim 8-bit samples: fmt-derived fields now disagree
+    val e = intercept[IllegalArgumentException](parseWavSamples(bad))
+    assert(e.getMessage.contains("WAV"), s"unexpected: ${e.getMessage}")
+  }
+
   test("tilePixels matches the oracle's construction pixel-for-pixel") {
     val data = "hello graft".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val t = tilePixels(data, 9, 5)
