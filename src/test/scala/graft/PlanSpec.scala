@@ -165,6 +165,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"projection shuffled beyond the output sort: $exchanges\n$p")
   }
 
+  test("pixel decode ops are map-only up to their output sort") {
+    // The round-13 real-codec claim pinned: encode→decode→pixel-math
+    // runs entirely inside the per-partition batch (one corpus scan);
+    // the only exchange is the rangepartitioning for the deterministic
+    // emission order. A regression that introduced a keyed shuffle
+    // (e.g. a per-doc groupBy creeping in) would show here.
+    for (name <- Seq("mm_resize", "mm_feature_extract", "mm_frame_sample",
+        "mm_audio_sample_stats")) {
+      val p = plan(name)
+      val exchanges = "Exchange \\S+".r.findAllIn(p).toList
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$name shuffled beyond the output sort: $exchanges\n$p")
+    }
+  }
+
+  test("DCT phash generates candidates by banded equi-join, never quadratically") {
+    // Same scale shape as the embedding/aHash dedups: candidates come
+    // from the 4x15-bit band equi-join; any cartesian/BNLJ here would
+    // be quadratic in the corpus.
+    val p = plan("mm_phash_dct")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"DCT phash planned a quadratic join:\n$p")
+    assert(p.contains("band") && p.contains("bv"),
+      s"banded equi-join keys missing from the plan:\n$p")
+  }
+
   test("funnel stages share one user_id shuffle across both windows and the rollup") {
     // All three funnel stages ride a single hashpartitioning(user_id)
     // exchange: both Window nodes and the per-user HashAggregate reuse
