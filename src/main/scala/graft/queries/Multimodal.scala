@@ -230,12 +230,13 @@ object Multimodal {
     * the decoder's filter reversal is exercised on every image — then
     * stored-deflate zlib in one IDAT, IEND, CRC-32 per chunk.
     */
-  def encodeGrayPng(pix: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  def encodeGrayPng(pix: Array[Byte], w: Int, h: Int,
+      filterOffset: Int = 0): Array[Byte] = {
     require(pix.length == w * h, s"encodeGrayPng: ${pix.length} != $w*$h")
     val raw = new Array[Byte](h * (w + 1))
     var y = 0
     while (y < h) {
-      val f = y % 5
+      val f = (y + filterOffset) % 5
       raw(y * (w + 1)) = f.toByte
       var x = 0
       while (x < w) {
@@ -635,6 +636,55 @@ object Multimodal {
         .orderBy("id_a", "id_b")
     },
 
+    "mm_dedup_pixels_exact" -> { (s, d) =>
+      // Decode-NORMALIZED exact dedup (round 13): the same image
+      // stored twice under different encoder choices has different
+      // container BYTES — a byte digest (mm_exact_dedup's shape)
+      // misses it. Planted copies re-encode the SAME pixels under a
+      // SHIFTED filter schedule ((y+1) % 5 instead of y % 5): the PNGs
+      // differ byte-for-byte (MultimodalSpec asserts it), but decoding
+      // normalizes them — the digest-of-DECODED-PIXELS groupBy
+      // recovers every planted pair. Scale shape: decode is the
+      // map-only batch pass, then ONE fingerprint-sized shuffle on the
+      // 16-byte digest (dedup_exact's shape). The oracle predicts each
+      // digest from the construction: the pixel bytes are the text
+      // tiled to w·h, so md5(substring(repeat(text, …), 1, w·h)) in
+      // DuckDB hashes the identical bytes — writer, codec, or tiling
+      // slips all break the digest equality.
+      val sp = s
+      import sp.implicits._
+      val base = documents(s, d)
+        .select(col("doc_id"), col("text"), lit(false).as("reenc"))
+      val planted = documents(s, d).filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000000000L +
+          coalesce(assert_true(col("doc_id") < 1000000000000L,
+            lit("mm_dedup_pixels_exact: base doc_id >= 1e12 collides " +
+              "with the planted-id offset"))
+            .cast(LongType), lit(0L))).as("doc_id"),
+          col("text"), lit(true).as("reenc"))
+      base.unionByName(planted)
+        .as[(Long, String, Boolean)]
+        .mapPartitions { rows =>
+          // per-partition init of a hardware codec context would go here
+          rows.map { case (id, text, reenc) =>
+            val data =
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val (w, h) = pixDims(data.length)
+            val png = encodeGrayPng(tilePixels(data, w, h), w, h,
+              if (reenc) 1 else 0)
+            val (_, _, pix) = decodeGrayPng(png)
+            (id, pix)
+          }
+        }
+        .toDF("doc_id", "pix")
+        .groupBy(md5(col("pix")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("survivor_id"),
+          max(col("doc_id")).as("dup_id"))
+        .filter(col("n_copies") > 1)
+        .orderBy("digest")
+    },
+
     "mm_audio_sample_stats" -> { (s, d) =>
       // REAL PCM sample decode (round 13) — the audio sibling of the
       // pixel path, closing the other half of the old "pixel/sample
@@ -1006,6 +1056,32 @@ object Multimodal {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The tiled pixel bytes ARE the text repeated to w·h bytes (ASCII
+    // ⇒ byte == char), so DuckDB's md5 over the repeated-and-truncated
+    // string hashes the identical bytes Spark's md5 hashes over the
+    // decoded pixel array. The planted branch's digest is BY
+    // CONSTRUCTION equal to its source's — the re-encode varies only
+    // the container bytes.
+    "mm_dedup_pixels_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, text FROM documents
+        |  WHERE doc_id % 20 = 0),
+        |g AS (
+        |  SELECT doc_id, md5(substring(
+        |    repeat(text, CAST(ceil(
+        |      CAST((8 + length(text) % 9) * (8 + length(text) % 7) AS DOUBLE)
+        |        / length(text)) AS INTEGER)),
+        |    1,
+        |    CAST((8 + length(text) % 9) * (8 + length(text) % 7) AS INTEGER)))
+        |    AS digest
+        |  FROM u)
+        |SELECT digest, count(*) AS n_copies,
+        |  min(doc_id) AS survivor_id, max(doc_id) AS dup_id
+        |FROM g GROUP BY digest HAVING count(*) > 1
+        |ORDER BY digest""".stripMargin,
 
     // The oracle predicts every 16-bit sample from the construction:
     // payload byte i = ord(text[i+1]) + 128 when i % 3 = 2 (XOR 0x80

@@ -52,6 +52,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC-32"))
   }
 
+  test("a shifted filter schedule changes the bytes but not the decoded pixels") {
+    // The mm_dedup_pixels_exact premise: re-encoding the same image
+    // under a different (still spec-conformant) filter choice yields a
+    // byte-DIFFERENT container that decodes to the IDENTICAL image.
+    val img = pix(12 * 10)
+    val a = encodeGrayPng(img, 12, 10)
+    val b = encodeGrayPng(img, 12, 10, filterOffset = 1)
+    assert(!a.sameElements(b), "filter shift must change container bytes")
+    assert(decodeGrayPng(a)._3.sameElements(img))
+    assert(decodeGrayPng(b)._3.sameElements(img),
+      "shifted-schedule PNG must decode to the same pixels")
+  }
+
   test("parseWavSamples: LE sign extension, odd tail drop, framing checks") {
     // 4 bytes = 2 samples: 0x0102 = 258; 0xFF80 sign-extends to -128.
     val data = Array[Byte](0x02, 0x01, 0x80.toByte, 0xFF.toByte, 0x7F)
