@@ -836,7 +836,18 @@ object Vectors {
         // holds to ~10⁶ unit-scale vectors per partition-free key; the
         // decimal form is bit-identical and ~2× slower per round.
         .agg(lsum(round(col("x").cast(DoubleType) * col("sc"), 9), 9).as("w"))
-      val norm2 = w.agg(lsum(round(col("w") * col("w"), 9), 9).as("n2"))
+      // n2 sums w² of the UNNORMALIZED iterate: w itself is
+      // corpus-scaled (Σ over all vectors), so w²·10⁹ exceeds the
+      // long-capture envelope as the corpus grows — the armed x64
+      // drive TRIPPED here (round 13: max|m|·n = 1.5e18 with a single
+      // term past 2⁵³, a true would-be wrap, not just the conservative
+      // envelope). Widened to an exact DECIMAL(38,9) capture per the
+      // committed rule ("a callsite whose group size grows with the
+      // corpus should use dsum"): same exact Σ of the same rationals,
+      // same single to-double rounding ⇒ bit-identical emission, just
+      // the 29-digit headroom. The 64-row sum is off the hot path.
+      val norm2 = w.agg(sum(round(col("w") * col("w"), 9)
+        .cast(DecimalType(38, 9))).cast(DoubleType).as("n2"))
       w.crossJoin(broadcast(norm2))
         .select(col("dim"), round(col("w"), 6).as("w"),
           round(col("w") / sqrt(col("n2")), 6).as("w_normed"))
@@ -913,7 +924,11 @@ object Vectors {
           .groupBy("dim")
           // Exact long capture — see feat_pca_power_step's bound note.
           .agg(lsum(round(col("x").cast(DoubleType) * col("sc"), 9), 9).as("w"))
-        val norm2 = w.agg(lsum(round(col("w") * col("w"), 9), 9).as("n2"))
+        // DECIMAL(38,9) capture, not lsum: w² of the corpus-scaled
+        // iterate overflows the long envelope at the x64 tier (the
+        // round-13 armed-drive trip — see feat_pca_power_step).
+        val norm2 = w.agg(sum(round(col("w") * col("w"), 9)
+          .cast(DecimalType(38, 9))).cast(DoubleType).as("n2"))
         w.crossJoin(broadcast(norm2))
           .select(col("dim"), round(col("w") / sqrt(col("n2")), 6).as("w_normed"))
       }
