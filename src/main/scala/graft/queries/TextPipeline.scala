@@ -1438,6 +1438,70 @@ object TextPipeline {
         .orderBy("lang")
     },
 
+    "decontaminate_minhash" -> { (s, d) =>
+      // FUZZY decontamination (round 13) — decontaminate_ngram's
+      // published-recipe sibling: exact shingle overlap flags verbatim
+      // leakage, but a lightly-paraphrased benchmark doc needs the
+      // NEAR-DUP test, so production hygiene also drops training docs
+      // whose 5-word-shingle Jaccard with any eval doc reaches the
+      // dedup family's 0.5 threshold. Same salted-md5 80/20 split;
+      // candidates via dedup_minhash's machinery (K=16 one-pass
+      // signature, 4×4-band LSH) with the EVAL side BROADCAST at every
+      // stage (a benchmark suite is tiny by construction): the
+      // training corpus is never shuffled except the per-doc signature
+      // combine — band probe, shingle-hit probe, and candidate filter
+      // are all broadcast hash joins. Verification is EXACT and
+      // integer-only: 3·|A∩B| ≥ |A|+|B| ⇔ J ≥ 0.5 (no float divide).
+      // The emission is candidates ∩ truth; the brute-force oracle is
+      // the truth — equality holds because banding recall at J ≥ 0.5
+      // is already proven complete on this corpus by dedup_minhash's
+      // own green gate (same signature, same bands, superset pair
+      // space). Emits the decontaminate_ngram rollup per lang.
+      graft.functions.GraftFunctions.register(s)
+      val docs = documents(s, d).withColumn("bucket", splitBucket)
+      val sh = docs.select(col("doc_id"), col("bucket"),
+        explode(array_distinct(
+          call_function("graft_shingles", col("text")))).as("w"))
+      val sigs = sh.groupBy("doc_id", "bucket")
+        .agg(call_function("graft_minhash16", col("w")).as("sig"),
+          count(lit(1)).as("n_sh")) // w is per-doc distinct
+      val bandStructs = (0 until B).map { j =>
+        val rowCols = (0 until R).map(r => element_at(col("sig"), j * R + r + 1))
+        struct(lit(j).as("band"), xxhash64(rowCols: _*).as("bh"))
+      }
+      def banded(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("n_sh"),
+          explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("n_sh"),
+          col("bs.band").as("band"), col("bs.bh").as("bh"))
+      val evalB = banded(sigs.filter(col("bucket") >= 80))
+        .select(col("doc_id").as("eval_id"), col("n_sh").as("n_ev"),
+          col("band"), col("bh"))
+      val cand = banded(sigs.filter(col("bucket") < 80))
+        .join(broadcast(evalB), Seq("band", "bh"))
+        .select("doc_id", "eval_id", "n_sh", "n_ev").distinct()
+      val esh = sh.filter(col("bucket") >= 80)
+        .select(col("doc_id").as("eval_id"), col("w"))
+      // Exact intersection counts, train side map-only: shingle hits
+      // against the broadcast eval set, filtered to banded candidates
+      // (also broadcast), then one pair-keyed combine.
+      val inter = sh.filter(col("bucket") < 80).select("doc_id", "w")
+        .join(broadcast(esh), Seq("w"))
+        .join(broadcast(cand), Seq("doc_id", "eval_id"))
+        .groupBy("doc_id", "eval_id", "n_sh", "n_ev")
+        .agg(count(lit(1)).as("n_i"))
+      val cont = inter
+        .filter(col("n_i") * 3 >= col("n_sh") + col("n_ev"))
+        .select("doc_id").distinct().withColumn("hit", lit(1))
+      docs.filter(col("bucket") < 80)
+        .join(cont, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_train"),
+          count(col("hit")).as("n_contaminated"),
+          (count(lit(1)) - count(col("hit"))).as("n_clean"))
+        .orderBy("lang")
+    },
+
     "sample_stratified" -> { (s, d) =>
       // Stratified downsampling with per-stratum rates (the data-mixing
       // knob of a training pipeline: e.g. keep 50% of English, 20% of
@@ -3355,6 +3419,41 @@ object TextPipeline {
         |cont AS (
         |  SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.s = ev.s
         |  WHERE sh.bucket < 80)
+        |SELECT lang, count(*) AS n_train, count(cont.doc_id) AS n_contaminated,
+        |  count(*) - count(cont.doc_id) AS n_clean
+        |FROM b LEFT JOIN cont ON b.doc_id = cont.doc_id
+        |WHERE b.bucket < 80
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Brute-force truth for the fuzzy variant: ALL train×eval pairs'
+    // exact distinct-shingle intersections, the integer threshold
+    // 3·|A∩B| ≥ |A|+|B| (⇔ Jaccard ≥ 0.5, no float divide), then the
+    // same per-lang rollup. The Spark side emits candidates ∩ truth;
+    // equality = banding recall complete at 0.5 on this corpus (the
+    // dedup_minhash gate's own evidence, superset pair space).
+    "decontaminate_minhash" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(('0x' || substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM b),
+        |sh AS (
+        |  SELECT doc_id, bucket, list_distinct(list_transform(
+        |    range(len(ws) - 4), i -> array_to_string(ws[i + 1:i + 5], ' '))) AS shs
+        |  FROM w WHERE len(ws) >= 5),
+        |tok AS (SELECT doc_id, bucket, unnest(shs) AS s FROM sh),
+        |sz AS (SELECT doc_id, bucket, len(shs) AS n FROM sh),
+        |inter AS (
+        |  SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_i
+        |  FROM tok t JOIN tok e ON t.s = e.s
+        |  WHERE t.bucket < 80 AND e.bucket >= 80
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT DISTINCT inter.doc_id
+        |  FROM inter
+        |  JOIN sz st ON st.doc_id = inter.doc_id
+        |  JOIN sz se ON se.doc_id = inter.eval_id
+        |  WHERE 3 * n_i >= st.n + se.n)
         |SELECT lang, count(*) AS n_train, count(cont.doc_id) AS n_contaminated,
         |  count(*) - count(cont.doc_id) AS n_clean
         |FROM b LEFT JOIN cont ON b.doc_id = cont.doc_id
