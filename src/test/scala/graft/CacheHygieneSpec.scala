@@ -72,4 +72,32 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
           "per-query drain would accumulate them across a full pass")
     }
   }
+
+  test("artifact scratch parquet stays bounded across repeated consumption") {
+    // VERDICT r12 item 3: the block-manager drain above says nothing
+    // about the DISK layer — ArtifactMemo.cachedTable and the Louvain
+    // label tables write scratch parquet dirs. The single-flight memo
+    // must mint each artifact's dir ONCE: re-running every artifact
+    // consumer may not grow the app's scratch-dir count (a regression
+    // to per-invocation writes would double it here). Eviction of a
+    // superseded fingerprint deleting its dir is gated separately in
+    // ArtifactMemoSpec.
+    def artDirs: Int = Option(
+      new java.io.File(System.getProperty("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("graft_art") &&
+        f.getName.endsWith(spark.sparkContext.applicationId))
+    val consumers = Seq("graph_pagerank_converged", "graph_hits_converged",
+      "graph_louvain_converged", "graph_community_conductance",
+      "feat_pca_project", "graph_louvain_full")
+    consumers.foreach(n => { SparkEntry.queries(n)(spark, sf).count(): Unit
+      CacheDrain.drain(spark) })
+    val after1 = artDirs
+    assert(after1 > 0, "expected at least one scratch artifact dir")
+    consumers.foreach(n => { SparkEntry.queries(n)(spark, sf).count(): Unit
+      CacheDrain.drain(spark) })
+    assert(artDirs === after1,
+      s"re-consumption minted new scratch dirs ($after1 -> $artDirs) — " +
+        "the single-flight memo is not being hit")
+  }
 }
