@@ -522,8 +522,11 @@ object Multimodal {
       // Byte-exact media dedup — the first pass of every image/video
       // pipeline (identical files are the bulk of web-crawl dup mass;
       // phash only earns its cost on the remainder). Digest the BINARY
-      // blob column (stub: text bytes, the contract's fake-decode rule),
-      // hash-groupBy on the 16-byte digest — one fingerprint-sized
+      // blob column AS BYTES — deliberately no decode: this op's
+      // contract is byte identity; its decode-normalized sibling is
+      // mm_dedup_pixels_exact (blob stand-in: text bytes, the corpus's
+      // no-binary-column rule). Hash-groupBy on the 16-byte digest —
+      // one fingerprint-sized
       // shuffle regardless of blob sizes, same scale shape as
       // dedup_exact. The corpus has no duplicate blobs, so plant copies
       // of every doc_id%20 blob under new ids (self-union precedent)
