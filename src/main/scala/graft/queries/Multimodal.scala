@@ -337,6 +337,21 @@ object Multimodal {
     */
   @inline def pixDims(n: Int): (Int, Int) = (8 + n % 9, 8 + n % 7)
 
+  /** mm_decode_meta's per-row wrap→parse roundtrip, factored so the
+    * streaming twin (StreamingOps.decodeMeta) provably shares the
+    * batch arithmetic — the cdc/ar1/tokenizer precedent.
+    */
+  private[graft] def decodeMetaRow(id: Long, text: String)
+      : (Long, String, Int, Int, Int, Boolean) = {
+    val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = data.length
+    val payload =
+      if (id % 2 == 0) wrapPng(data, 16 + n * 7 % 1009, 16 + n * 13 % 763)
+      else wrapWav(data, 8000 + n % 8 * 4000, 1 + n % 2)
+    val (container, dimA, dimB, ok) = parseMeta(payload)
+    (id, container, payload.length, dimA, dimB, ok)
+  }
+
   /** Decode the 16-bit little-endian PCM samples out of a WAV
     * container FROM THE BYTES ALONE: verifies RIFF/WAVE magic, the
     * 16-byte PCM fmt chunk, 16-bit sample width, and the RIFF size
@@ -404,17 +419,7 @@ object Multimodal {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a real pixel decoder would go here
-          rows.map { case (id, text) =>
-            val data =
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val n = data.length
-            val payload =
-              if (id % 2 == 0)
-                wrapPng(data, 16 + n * 7 % 1009, 16 + n * 13 % 763)
-              else wrapWav(data, 8000 + n % 8 * 4000, 1 + n % 2)
-            val (container, dimA, dimB, ok) = parseMeta(payload)
-            (id, container, payload.length, dimA, dimB, ok)
-          }
+          rows.map { case (id, text) => decodeMetaRow(id, text) }
         }
         .toDF("doc_id", "container", "n_bytes", "width", "height",
           "header_ok")
@@ -637,6 +642,49 @@ object Multimodal {
         .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
+    },
+
+    "mm_scene_cut" -> { (s, d) =>
+      // Scene-cut detection over DECODED pixels (round 13) — the video
+      // curation primitive that decides clip boundaries before frame
+      // sampling: consecutive-frame sum of absolute differences with
+      // an INTEGER threshold (SAD > 32·w ⇔ mean abs pixel delta > 32 —
+      // no float compare), frames = scanlines per the mm_frame_sample
+      // convention. The whole temporal pass runs inside the map batch
+      // right after the codec roundtrip — one corpus scan, zero
+      // shuffles before the emission sort. The oracle replays SAD from
+      // the tiled construction; a codec or adjacency-index slip breaks
+      // the per-doc cut counts.
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          // per-partition init of a hardware codec context would go here
+          rows.map { case (id, text) =>
+            val data =
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val (w, h) = pixDims(data.length)
+            val (dw, dh, pix) =
+              decodeGrayPng(encodeGrayPng(tilePixels(data, w, h), w, h))
+            var cuts = 0L; var maxSad = 0L
+            var y = 1
+            while (y < dh) {
+              var sad = 0L; var x = 0
+              while (x < dw) {
+                sad += math.abs((pix(y * dw + x) & 0xFF) -
+                  (pix((y - 1) * dw + x) & 0xFF))
+                x += 1
+              }
+              if (sad > 32L * dw) cuts += 1
+              if (sad > maxSad) maxSad = sad
+              y += 1
+            }
+            (id, dh, cuts, maxSad)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_cuts", "max_sad")
+        .orderBy("doc_id")
     },
 
     "mm_dedup_pixels_exact" -> { (s, d) =>
@@ -1059,6 +1107,31 @@ object Multimodal {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SAD replayed from the tiled construction; the integer cut rule
+    // (sad > 32·w) and abs-of-ord arithmetic are exact in both engines.
+    "mm_scene_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, text, n,
+        |    CAST(unnest(range(1, h)) AS INTEGER) AS y
+        |  FROM t),
+        |sad AS (
+        |  SELECT doc_id, w, h, y,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(w), x -> CAST(abs(
+        |        ord(substring(text, CAST((y * w + x) % n + 1 AS INTEGER), 1)) -
+        |        ord(substring(text, CAST(((y - 1) * w + x) % n + 1 AS INTEGER), 1)))
+        |        AS BIGINT))),
+        |      (a, t2) -> a + t2) AS BIGINT) AS s
+        |  FROM f)
+        |SELECT doc_id, CAST(max(h) AS INTEGER) AS n_frames,
+        |  CAST(count(*) FILTER (WHERE s > 32 * w) AS BIGINT) AS n_cuts,
+        |  CAST(max(s) AS BIGINT) AS max_sad
+        |FROM sad GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The tiled pixel bytes ARE the text repeated to w·h bytes (ASCII
     // ⇒ byte == char), so DuckDB's md5 over the repeated-and-truncated

@@ -267,6 +267,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("multimodal container decode: streaming == batch") {
+    // The ingest-side decode pass (round 13): stateless append-mode
+    // map over a streamed doc source through the SHARED decodeMetaRow
+    // must land exactly on mm_decode_meta's batch emission, CRC/RIFF
+    // verification included.
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_stream_mm")
+    graft.Tables.documents(spark, sf).write.mode("overwrite")
+      .parquet(docsDir.toString)
+    val stream = StreamingOps.readDocuments(spark, docsDir.toString)
+    val got = runToMemory(StreamingOps.decodeMeta(stream),
+      "t_mm_decode", "append").orderBy("doc_id").collect().toSeq
+    val want = SparkEntry.queries("mm_decode_meta")(spark, sf)
+      .collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("tokenize-corpus under the trained vocabulary: streaming == batch") {
     // The tokenizer-apply artifact-consumer on incremental arrival
     // (round 13): encode-with-trained-merges over a streamed doc
