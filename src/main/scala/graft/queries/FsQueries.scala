@@ -641,6 +641,31 @@ object FsQueries {
         .orderBy("name")
     },
 
+    "fs_checksum_manifest" -> { (s, d) =>
+      // hh checksum — the verify half of every distcp/migration story
+      // (round 13): a WHOLE-CONTENT digest manifest of the estate's
+      // files, (name, length, content_md5), computed executor-side by
+      // the distributed binaryFile source (one task per file, no
+      // driver materialization — 100 TB of blobs digests like any
+      // other scan; a real estate would persist this table and diff
+      // it against the destination's after a copy). Closes
+      // fs_cat_binary's documented caveat (its oracle engine couldn't
+      // digest blobs, so it compared a 16-byte head): the md5-of-
+      // UPPERCASE-HEX form IS oracle-expressible (the fs_put digest
+      // rule), so this gate proves full-content integrity end to end.
+      val hp = new org.apache.hadoop.fs.Path(s"$d/*.parquet")
+      val matches = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .globStatus(hp)
+      require(matches != null && matches.nonEmpty,
+        s"fs_checksum_manifest: no *.parquet under $d")
+      s.read.format("binaryFile").load(s"$d/*.parquet")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("name"),
+          col("length"),
+          md5(hex(col("content"))).as("content_md5"))
+        .orderBy("name")
+    },
+
     "fs_cat_binary" -> { (s, d) =>
       // hh get/cat for opaque content: the distributed `binaryFile`
       // source streams whole files as (path, length, content) rows —
@@ -737,6 +762,14 @@ object FsQueries {
     "fs_cat_binary" ->
       s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,
         |  size AS length, substring(hex(content), 1, 32) AS head_hex
+        |FROM read_blob('$SfDirToken/*.parquet') ORDER BY name""".stripMargin,
+
+    // Whole-content digest via md5-of-uppercase-hex — blob md5 is not
+    // expressible in the oracle engine, but hex(BLOB) is, and both
+    // engines' hex() is uppercase (the fs_put digest rule).
+    "fs_checksum_manifest" ->
+      s"""SELECT list_extract(string_split(filename, '/'), -1) AS name,
+        |  size AS length, md5(hex(content)) AS content_md5
         |FROM read_blob('$SfDirToken/*.parquet') ORDER BY name""".stripMargin,
 
     // Known-construction oracle (fs_sync_plan precedent): the declared
