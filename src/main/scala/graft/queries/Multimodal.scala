@@ -644,6 +644,79 @@ object Multimodal {
         .orderBy("id_a", "id_b")
     },
 
+    "pipeline_mm_corpus" -> { (s, d) =>
+      // The END-TO-END multimodal curation pass (round 13) — the mm
+      // analogue of pipeline_clean_corpus, composing this file's real
+      // pieces into the one operator an estate actually schedules:
+      // (1) container decode (even doc_ids image/PNG, odd audio/WAV —
+      // mm_decode_meta's construction) with the header_ok gate;
+      // (2) modality quality gates over DECODED content — images keep
+      // scene-cut count ≤ 3 (mm_scene_cut's integer rule: a
+      // scanline-frame stack cutting more often is junk for clip
+      // training), audio keeps ≥ 64 samples (mm_audio_sample_stats'
+      // framing: shorter clips carry no usable signal);
+      // (3) decode-normalized dedup of the SURVIVORS (distinct
+      // container-prefixed content digests — pixel digest for images,
+      // payload digest for audio). One mapPartitions pass computes all
+      // per-doc facts behind the codec roundtrips; the only shuffle is
+      // the per-source report rollup. Emits per source: docs, images,
+      // audio, header/quality failures, survivors, unique media.
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions { rows =>
+          // per-partition init of a hardware codec context would go here
+          rows.map { case (id, source, text) =>
+            val data =
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val n = data.length
+            if (id % 2 == 0) {
+              val (w, h) = pixDims(n)
+              val png = encodeGrayPng(tilePixels(data, w, h), w, h)
+              val (dw, dh, pix) = decodeGrayPng(png)
+              var cuts = 0L
+              var y = 1
+              while (y < dh) {
+                var sad = 0L; var x = 0
+                while (x < dw) {
+                  sad += math.abs((pix(y * dw + x) & 0xFF) -
+                    (pix((y - 1) * dw + x) & 0xFF))
+                  x += 1
+                }
+                if (sad > 32L * dw) cuts += 1
+                y += 1
+              }
+              val pass = dw == w && dh == h && cuts <= 3
+              (id, source, "image", pass,
+                if (pass) "png:" + java.security.MessageDigest
+                  .getInstance("MD5").digest(pix)
+                  .map("%02x".format(_)).mkString
+                else null)
+            } else {
+              val wav = wrapWav(data, 8000 + n % 8 * 4000, 1 + n % 2)
+              val smp = parseWavSamples(wav)
+              val pass = smp.length >= 64
+              (id, source, "audio", pass,
+                if (pass) "wav:" + java.security.MessageDigest
+                  .getInstance("MD5").digest(data)
+                  .map("%02x".format(_)).mkString
+                else null)
+            }
+          }
+        }
+        .toDF("doc_id", "source", "container", "pass", "digest")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("container") === "image", 1)).as("n_images"),
+          count(when(col("container") === "audio", 1)).as("n_audio"),
+          count(when(!col("pass"), 1)).as("n_quality_fail"),
+          count(col("digest")).as("n_survivors"),
+          countDistinct(col("digest")).as("n_unique_media"))
+        .orderBy("source")
+    },
+
     "mm_scene_cut" -> { (s, d) =>
       // Scene-cut detection over DECODED pixels (round 13) — the video
       // curation primitive that decides clip boundaries before frame
@@ -1107,6 +1180,49 @@ object Multimodal {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The whole pipeline composed from the per-op constructions: image
+    // cuts from the tiled pixels, audio sample count = n // 2, pixel
+    // digest = md5 of the tiled bytes (lowercase hex both engines),
+    // audio digest = md5(text). Spark must RECOVER each fact through
+    // the codec; the oracle PREDICTS them.
+    "pipeline_mm_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, length(text) AS n,
+        |    8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, text, n, CAST(unnest(range(1, h)) AS INTEGER) AS y
+        |  FROM t WHERE doc_id % 2 = 0),
+        |sadc AS (
+        |  SELECT doc_id, count(*) FILTER (WHERE s > 32 * w) AS cuts FROM (
+        |    SELECT doc_id, w,
+        |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(w), x -> CAST(abs(
+        |          ord(substring(text, CAST((y * w + x) % n + 1 AS INTEGER), 1)) -
+        |          ord(substring(text, CAST(((y - 1) * w + x) % n + 1 AS INTEGER), 1)))
+        |          AS BIGINT))),
+        |        (a, t2) -> a + t2) AS BIGINT) AS s
+        |    FROM f) q GROUP BY doc_id),
+        |facts AS (
+        |  SELECT t.doc_id, t.source,
+        |    CASE WHEN t.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS container,
+        |    CASE WHEN t.doc_id % 2 = 0 THEN coalesce(sadc.cuts, 0) <= 3
+        |         ELSE t.n // 2 >= 64 END AS pass,
+        |    CASE WHEN t.doc_id % 2 = 0 AND coalesce(sadc.cuts, 0) <= 3
+        |      THEN 'png:' || md5(substring(repeat(t.text,
+        |        CAST(ceil(CAST(t.w * t.h AS DOUBLE) / t.n) AS INTEGER)),
+        |        1, CAST(t.w * t.h AS INTEGER)))
+        |      WHEN t.doc_id % 2 = 1 AND t.n // 2 >= 64 THEN 'wav:' || md5(t.text)
+        |      ELSE NULL END AS digest
+        |  FROM t LEFT JOIN sadc ON t.doc_id = sadc.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE container = 'image') AS n_images,
+        |  count(*) FILTER (WHERE container = 'audio') AS n_audio,
+        |  count(*) FILTER (WHERE NOT pass) AS n_quality_fail,
+        |  count(digest) AS n_survivors,
+        |  count(DISTINCT digest) AS n_unique_media
+        |FROM facts GROUP BY source ORDER BY source""".stripMargin,
 
     // SAD replayed from the tiled construction; the integer cut rule
     // (sad > 32·w) and abs-of-ord arithmetic are exact in both engines.
