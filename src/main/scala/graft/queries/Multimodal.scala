@@ -460,6 +460,52 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    "mm_resize_bilinear" -> { (s, d) =>
+      // BILINEAR resize over decoded pixels (round 13) — the resample
+      // production image pipelines actually use (nearest-neighbor,
+      // mm_resize, aliases badly on downscale). Entirely FIXED-POINT
+      // integer arithmetic so both engines compute bit-identically
+      // with no float kernel: source coordinate in 1/256ths via the
+      // half-pixel (align_corners=false) mapping sx·256 =
+      // (2i+1)·w·32 − 128 — exact for every w in pixDims' range, never
+      // negative, never past w−1 — then the 2×2 neighborhood blend
+      // (p00·(256−fx)·(256−fy) + p10·fx·(256−fy) + p01·(256−fx)·fy +
+      // p11·fx·fy) DIV 65536. The oracle replays the identical integer
+      // kernel from the tiled construction; codec, coordinate, or
+      // blend slips all break the 16-value thumbnail hash.
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          // per-partition init of a hardware codec context would go here
+          rows.map { case (id, text) =>
+            val data =
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val (w, h) = pixDims(data.length)
+            val (dw, dh, pix) =
+              decodeGrayPng(encodeGrayPng(tilePixels(data, w, h), w, h))
+            @inline def p(x: Int, y: Int): Long = pix(y * dw + x) & 0xFF
+            val thumb = Array.tabulate(16) { k =>
+              val sx = (2 * (k % 4) + 1) * dw * 32 - 128
+              val sy = (2 * (k / 4) + 1) * dh * 32 - 128
+              val x0 = sx >> 8; val fx = (sx & 255).toLong
+              val y0 = sy >> 8; val fy = (sy & 255).toLong
+              val x1 = math.min(x0 + 1, dw - 1)
+              val y1 = math.min(y0 + 1, dh - 1)
+              ((p(x0, y0) * (256 - fx) * (256 - fy) +
+                p(x1, y0) * fx * (256 - fy) +
+                p(x0, y1) * (256 - fx) * fy +
+                p(x1, y1) * fx * fy) / 65536).toInt
+            }
+            (id, dw, dh, thumb.mkString(","),
+              thumb.foldLeft(0L)(_ + _))
+          }
+        }
+        .toDF("doc_id", "width", "height", "thumb", "thumb_sum")
+        .orderBy("doc_id")
+    },
+
     "mm_feature_extract" -> { (s, d) =>
       // REAL pixel feature extraction (round 13): the same
       // encode→decode PNG roundtrip as mm_resize, then an 8-bin
@@ -1087,6 +1133,40 @@ object Multimodal {
         |  array_to_string(list_transform(tv, x -> CAST(x AS VARCHAR)), ',') AS thumb,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(tv, x -> CAST(x AS BIGINT))), (a, x) -> a + x) AS BIGINT) AS thumb_sum
+        |FROM th ORDER BY doc_id""".stripMargin,
+
+    // The identical fixed-point kernel replayed from the construction:
+    // half-pixel source coords in 1/256ths, 2×2 blend, // 65536 — all
+    // BIGINT, no float anywhere.
+    "mm_resize_bilinear" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n, w, h,
+        |    list_transform(range(16), k -> struct_pack(
+        |      x0 := ((2 * (k % 4) + 1) * w * 32 - 128) // 256,
+        |      fx := ((2 * (k % 4) + 1) * w * 32 - 128) % 256,
+        |      y0 := ((2 * (k // 4) + 1) * h * 32 - 128) // 256,
+        |      fy := ((2 * (k // 4) + 1) * h * 32 - 128) % 256)) AS cs
+        |  FROM t),
+        |th AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(cs, c -> CAST((
+        |      ord(substring(text, CAST((c.y0 * w + c.x0) % n + 1 AS INTEGER), 1))
+        |        * (256 - c.fx) * (256 - c.fy)
+        |      + ord(substring(text, CAST((c.y0 * w + least(c.x0 + 1, w - 1)) % n + 1 AS INTEGER), 1))
+        |        * c.fx * (256 - c.fy)
+        |      + ord(substring(text, CAST((least(c.y0 + 1, h - 1) * w + c.x0) % n + 1 AS INTEGER), 1))
+        |        * (256 - c.fx) * c.fy
+        |      + ord(substring(text, CAST((least(c.y0 + 1, h - 1) * w + least(c.x0 + 1, w - 1)) % n + 1 AS INTEGER), 1))
+        |        * c.fx * c.fy
+        |      ) // 65536 AS BIGINT)) AS tv
+        |  FROM c)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  array_to_string(list_transform(tv, x -> CAST(x AS VARCHAR)), ',') AS thumb,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), tv), (a, x) -> a + x) AS BIGINT) AS thumb_sum
         |FROM th ORDER BY doc_id""".stripMargin,
 
     // Tiled pixels ⇒ pixel k = text byte k % n; the luminance
