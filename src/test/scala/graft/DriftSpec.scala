@@ -120,4 +120,28 @@ class DriftSpec extends AnyFunSuite {
     assert(modules.map(_._2.size).sum === SparkEntry.queries.size,
       "per-module key counts must sum to the combined map size")
   }
+
+  test("no query key is defined twice WITHIN one module (Map literal drops one silently)") {
+    // Round-13 near-miss: a second ts_stl_decompose added to
+    // StreamingBatch compiled fine and SHADOWED the original inside
+    // the same Map literal — invisible to the cross-module check
+    // above, caught only because the new oracle's columns mismatched.
+    // Scan the SOURCE for query/oracle entry definitions per file.
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val qRx = """"([a-z0-9_]+)" -> \{ \(s, d\) =>""".r
+    val oRx = """"([a-z0-9_]+)" ->\s*\n?\s*s?"{3}""".r
+    val it = java.nio.file.Files.list(dir).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.toString.endsWith(".scala")) {
+        val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        for ((rx, what) <- Seq(qRx -> "query", oRx -> "oracle")) {
+          val dupsIn = rx.findAllMatchIn(txt).map(_.group(1)).toSeq
+            .groupBy(identity).filter(_._2.size > 1).keys.toList.sorted
+          assert(dupsIn.isEmpty,
+            s"${f.getFileName}: duplicate $what definitions: $dupsIn")
+        }
+      }
+    }
+  }
 }
