@@ -77,6 +77,106 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("WAV"), s"unexpected: ${e.getMessage}")
   }
 
+  // ---- Round-14 gates: full RFC 1951 inflate (fixed + dynamic
+  // Huffman) and the matching encoder modes. Corpus shapes chosen to
+  // force both the literal path and the LZ77 window-copy path
+  // (including overlapping copies with dist < len).
+
+  private def repetitive(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ("graft".charAt(i % 5)).toByte)
+
+  test("fixed-Huffman deflate roundtrips through the full inflate") {
+    for (n <- Seq(0, 1, 2, 3, 100, 5000, 70000)) {
+      for (raw <- Seq(pix(n), repetitive(n))) {
+        val z = zlibDeflate(raw, 1)
+        assert(((z(0) & 0xFF) * 256 + (z(1) & 0xFF)) % 31 == 0)
+        assert(zlibInflate(z).sameElements(raw),
+          s"fixed roundtrip broke at n=$n")
+      }
+    }
+  }
+
+  test("dynamic-Huffman deflate roundtrips through the full inflate") {
+    for (n <- Seq(0, 1, 2, 3, 100, 5000, 70000)) {
+      for (raw <- Seq(pix(n), repetitive(n))) {
+        val z = zlibDeflate(raw, 2)
+        assert(zlibInflate(z).sameElements(raw),
+          s"dynamic roundtrip broke at n=$n")
+      }
+    }
+  }
+
+  test("overlapping LZ77 copy (dist < len) decodes correctly in both modes") {
+    // 3-byte period over 600 bytes: the greedy matcher emits dist=3
+    // matches far longer than 3, so the decoder MUST copy byte-by-byte.
+    val raw = Array.tabulate(600)(i => "abc".charAt(i % 3).toByte)
+    for (mode <- Seq(1, 2)) {
+      val z = zlibDeflate(raw, mode)
+      assert(z.length < raw.length / 4,
+        s"mode $mode should compress a period-3 stream hard (${z.length})")
+      assert(zlibInflate(z).sameElements(raw))
+    }
+  }
+
+  test("full inflate also accepts the stored subset and mixed corpora agree") {
+    for (n <- Seq(0, 1, 100, 70000)) {
+      val raw = pix(n)
+      assert(zlibInflate(zlibStore(raw)).sameElements(raw))
+      // All three modes carry the same payload.
+      assert(zlibInflate(zlibDeflate(raw, 0)).sameElements(
+        zlibInflate(zlibDeflate(raw, 1))))
+      assert(zlibInflate(zlibDeflate(raw, 1)).sameElements(
+        zlibInflate(zlibDeflate(raw, 2))))
+    }
+  }
+
+  test("full inflate rejects corruption loudly: trailer, truncation, reserved btype") {
+    val raw = pix(500)
+    for (mode <- Seq(1, 2)) {
+      val z = zlibDeflate(raw, mode)
+      val adlerBad = z.clone()
+      adlerBad(z.length - 1) = (adlerBad(z.length - 1) ^ 0x01).toByte
+      val e1 = intercept[IllegalArgumentException](zlibInflate(adlerBad))
+      assert(e1.getMessage.contains("Adler-32") ||
+        e1.getMessage.contains("deflate"), s"mode $mode: ${e1.getMessage}")
+      val trunc = z.take(z.length / 2)
+      intercept[IllegalArgumentException](zlibInflate(trunc))
+    }
+    // Reserved btype=11: header bits BFINAL=1, BTYPE=3 -> byte 0b00000111.
+    val res = Array[Byte](0x78, 0x01, 0x07, 0, 0, 0, 0, 1)
+    val e3 = intercept[IllegalArgumentException](zlibInflate(res))
+    assert(e3.getMessage.contains("reserved btype"))
+  }
+
+  test("full inflate rejects an over-subscribed dynamic Huffman header") {
+    // Hand-packed dynamic block: HLIT=257, HDIST=1, HCLEN=4, and all
+    // four transmitted code-length-code lengths (syms 16,17,18,0) set
+    // to 1 -> four 1-bit codes is over-subscribed (max two).
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def put(v: Int, n: Int): Unit = (0 until n).foreach(i => bits += ((v >>> i) & 1))
+    put(1, 1); put(2, 2) // BFINAL, BTYPE=dynamic
+    put(0, 5); put(0, 5); put(0, 4) // HLIT-257, HDIST-1, HCLEN-4
+    (0 until 4).foreach(_ => put(1, 3))
+    val body = bits.grouped(8).map(g =>
+      g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte).toArray
+    val stream = Array[Byte](0x78, 0x01) ++ body ++ Array[Byte](0, 0, 0, 1)
+    val e = intercept[IllegalArgumentException](zlibInflate(stream))
+    assert(e.getMessage.contains("over-subscribed"), e.getMessage)
+  }
+
+  test("PNG roundtrip holds under fixed and dynamic IDAT modes") {
+    for (w <- Seq(8, 11, 16); h <- Seq(8, 10, 14); mode <- Seq(1, 2)) {
+      val img = pix(w * h)
+      val png = encodeGrayPng(img, w, h, deflateMode = mode)
+      val (dw, dh, out) = decodeGrayPng(png)
+      assert(dw == w && dh == h && out.sameElements(img),
+        s"mode-$mode PNG roundtrip broke at ${w}x$h")
+      // And the compressed container is byte-different from stored mode.
+      assert(!png.sameElements(encodeGrayPng(img, w, h)),
+        "deflate mode must change container bytes")
+    }
+  }
+
   test("tilePixels matches the oracle's construction pixel-for-pixel") {
     val data = "hello graft".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val t = tilePixels(data, 9, 5)
