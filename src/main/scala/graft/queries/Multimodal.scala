@@ -721,28 +721,36 @@ object Multimodal {
       throw new IllegalArgumentException(s"png: unknown filter $other")
   }
 
-  /** Encode a w×h 8-bit GRAYSCALE image as a spec-conformant PNG:
-    * IHDR (bit depth 8, color type 0), scanlines filtered with type
-    * y % 5 — deliberately cycling ALL FIVE standard PNG filters so
-    * the decoder's filter reversal is exercised on every image — then
-    * a zlib IDAT in the caller's deflate mode (0 stored / 1 fixed
-    * Huffman / 2 dynamic Huffman), IEND, CRC-32 per chunk.
+  /** Encode a w×h 8-bit image as a spec-conformant PNG — GRAYSCALE
+    * (bpp=1, color type 0) or TRUECOLOR (bpp=3, color type 2; round
+    * 14, VERDICT r13 item 3). Scanlines are filtered with type y % 5,
+    * deliberately cycling ALL FIVE standard PNG filters so the
+    * decoder's filter reversal is exercised on every image; the
+    * filters operate bytewise with the left neighbor at offset bpp,
+    * exactly the PNG spec's bpp-parametric rule. IDAT is zlib in the
+    * caller's deflate mode (0 stored / 1 fixed / 2 dynamic Huffman),
+    * CRC-32 per chunk.
     */
-  def encodeGrayPng(pix: Array[Byte], w: Int, h: Int,
+  def encodePng(pix: Array[Byte], w: Int, h: Int, bpp: Int,
       filterOffset: Int = 0, deflateMode: Int = 0): Array[Byte] = {
-    require(pix.length == w * h, s"encodeGrayPng: ${pix.length} != $w*$h")
-    val raw = new Array[Byte](h * (w + 1))
+    require(bpp == 1 || bpp == 3, s"encodePng: unsupported bpp=$bpp")
+    require(pix.length == w * h * bpp,
+      s"encodePng: ${pix.length} != $w*$h*$bpp")
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (stride + 1))
     var y = 0
     while (y < h) {
       val f = (y + filterOffset) % 5
-      raw(y * (w + 1)) = f.toByte
+      raw(y * (stride + 1)) = f.toByte
       var x = 0
-      while (x < w) {
-        val cur = pix(y * w + x) & 0xFF
-        val a = if (x > 0) pix(y * w + x - 1) & 0xFF else 0
-        val b = if (y > 0) pix((y - 1) * w + x) & 0xFF else 0
-        val c = if (x > 0 && y > 0) pix((y - 1) * w + x - 1) & 0xFF else 0
-        raw(y * (w + 1) + 1 + x) = ((cur - predict(f, a, b, c)) & 0xFF).toByte
+      while (x < stride) {
+        val cur = pix(y * stride + x) & 0xFF
+        val a = if (x >= bpp) pix(y * stride + x - bpp) & 0xFF else 0
+        val b = if (y > 0) pix((y - 1) * stride + x) & 0xFF else 0
+        val c = if (x >= bpp && y > 0)
+          pix((y - 1) * stride + x - bpp) & 0xFF else 0
+        raw(y * (stride + 1) + 1 + x) =
+          ((cur - predict(f, a, b, c)) & 0xFF).toByte
         x += 1
       }
       y += 1
@@ -758,24 +766,33 @@ object Multimodal {
       crc.update(tb); crc.update(body)
       out.write(be32(crc.getValue), 0, 4)
     }
+    val colorType: Byte = if (bpp == 1) 0 else 2
     chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
-      Array[Byte](8, 0, 0, 0, 0)) // bit depth 8, color type 0 = grayscale
+      Array[Byte](8, colorType, 0, 0, 0))
     chunk("IDAT", zlibDeflate(raw, deflateMode))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
-  /** Decode an 8-bit grayscale PNG from the BYTES ALONE: signature
-    * sniff, chunk walk with per-chunk CRC-32 verification (ancillary
-    * chunks skipped, multiple IDATs concatenated per spec), zlib
-    * inflate, then per-scanline filter REVERSAL for all five filter
-    * types. Returns (w, h, pixels row-major).
+  /** Grayscale convenience wrapper (the r13 surface, unchanged). */
+  def encodeGrayPng(pix: Array[Byte], w: Int, h: Int,
+      filterOffset: Int = 0, deflateMode: Int = 0): Array[Byte] =
+    encodePng(pix, w, h, 1, filterOffset, deflateMode)
+
+  /** Decode an 8-bit PNG from the BYTES ALONE — grayscale (color type
+    * 0) or truecolor (color type 2): signature sniff, chunk walk with
+    * per-chunk CRC-32 verification (ancillary chunks skipped, multiple
+    * IDATs concatenated per spec, IHDR-before-IDAT ordering enforced),
+    * zlib inflate (full RFC 1951 — stored, fixed, and dynamic
+    * Huffman), then per-scanline bpp-parametric filter REVERSAL for
+    * all five filter types. Returns (w, h, bpp, samples row-major —
+    * 1 byte per pixel for grayscale, RGB triplets for truecolor).
     */
-  def decodeGrayPng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+  def decodePng(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     require(b.length >= 8 && b.take(8).sameElements(pngSig),
       "png: bad signature")
     var p = 8
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var bpp = 0
     var ihdrSeen = false
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
@@ -792,8 +809,14 @@ object Multimodal {
         case "IHDR" =>
           w = rbe32(b, p + 8).toInt; h = rbe32(b, p + 12).toInt
           require(w > 0 && h > 0, s"png: non-positive dimensions ${w}x$h")
-          require(b(p + 16) == 8 && b(p + 17) == 0,
-            "png: decoder handles 8-bit grayscale only")
+          require(b(p + 16) == 8,
+            "png: decoder handles 8-bit samples only")
+          bpp = b(p + 17) match {
+            case 0 => 1
+            case 2 => 3
+            case other => throw new IllegalArgumentException(
+              s"png: unsupported color type $other (grayscale/truecolor only)")
+          }
           ihdrSeen = true
         case "IDAT" =>
           require(ihdrSeen, "png: IDAT before IHDR")
@@ -805,23 +828,35 @@ object Multimodal {
     }
     require(ihdrSeen, "png: missing IHDR chunk")
     val raw = zlibInflate(idat.toByteArray)
-    require(raw.length == h * (w + 1),
-      s"png: scanline payload ${raw.length} != $h*(${w}+1)")
-    val pix = new Array[Byte](w * h)
+    val stride = w * bpp
+    require(raw.length == h * (stride + 1),
+      s"png: scanline payload ${raw.length} != $h*($stride+1)")
+    val pix = new Array[Byte](stride * h)
     var y = 0
     while (y < h) {
-      val f = raw(y * (w + 1)) & 0xFF
+      val f = raw(y * (stride + 1)) & 0xFF
       var x = 0
-      while (x < w) {
-        val enc = raw(y * (w + 1) + 1 + x) & 0xFF
-        val a = if (x > 0) pix(y * w + x - 1) & 0xFF else 0
-        val up = if (y > 0) pix((y - 1) * w + x) & 0xFF else 0
-        val c = if (x > 0 && y > 0) pix((y - 1) * w + x - 1) & 0xFF else 0
-        pix(y * w + x) = ((enc + predict(f, a, up, c)) & 0xFF).toByte
+      while (x < stride) {
+        val enc = raw(y * (stride + 1) + 1 + x) & 0xFF
+        val a = if (x >= bpp) pix(y * stride + x - bpp) & 0xFF else 0
+        val up = if (y > 0) pix((y - 1) * stride + x) & 0xFF else 0
+        val c = if (x >= bpp && y > 0)
+          pix((y - 1) * stride + x - bpp) & 0xFF else 0
+        pix(y * stride + x) = ((enc + predict(f, a, up, c)) & 0xFF).toByte
         x += 1
       }
       y += 1
     }
+    (w, h, bpp, pix)
+  }
+
+  /** Grayscale convenience wrapper (the r13 surface, unchanged):
+    * rejects a truecolor container rather than silently reinterpreting
+    * its triplets.
+    */
+  def decodeGrayPng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, bpp, pix) = decodePng(b)
+    require(bpp == 1, "png: expected grayscale, got truecolor")
     (w, h, pix)
   }
 
@@ -927,6 +962,50 @@ object Multimodal {
         }
         .toDF("doc_id", "container", "n_bytes", "width", "height",
           "header_ok")
+        .orderBy("doc_id")
+    },
+
+    "mm_decode_rgb" -> { (s, d) =>
+      // TRUECOLOR decode (round 14, VERDICT r13 item 3): each doc's
+      // bytes tile an RGB image (sample k = data(k % n), row-major
+      // triplets), encoded as a color-type-2 PNG — the bpp=3 filter
+      // walk with the left neighbor at byte offset 3 — in the doc's
+      // deflate mode, DECODED back from the bytes alone, then reduced
+      // per pixel to the integer BT.601 luminance (77R + 150G + 29B)
+      // >> 8 (no float weights) feeding the same 8-bin histogram
+      // shape as mm_feature_extract. The oracle predicts every channel
+      // sample from the construction; a bpp offset slip (grayscale's
+      // x−1 left neighbor instead of x−3) corrupts every Sub/Average/
+      // Paeth row's triplets and with them the hash gate.
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          // per-partition init of a hardware codec context would go here
+          rows.map { case (id, text) =>
+            val data =
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val (w, h) = pixDims(data.length)
+            val png = encodePng(tilePixels(data, 3 * w, h), w, h, 3,
+              deflateMode = (id % 3).toInt)
+            val (dw, dh, bpp, pix) = decodePng(png)
+            val hist = new Array[Long](8)
+            var lumSum = 0L
+            var k = 0
+            while (k < dw * dh) {
+              val lum = (77 * (pix(3 * k) & 0xFF) +
+                150 * (pix(3 * k + 1) & 0xFF) +
+                29 * (pix(3 * k + 2) & 0xFF)) >> 8
+              hist(lum / 32) += 1
+              lumSum += lum
+              k += 1
+            }
+            (id, dw, dh, bpp, lumSum, hist.mkString(","))
+          }
+        }
+        .toDF("doc_id", "width", "height", "channels", "lum_sum",
+          "lum_hist")
         .orderBy("doc_id")
     },
 
@@ -1626,6 +1705,30 @@ object Multimodal {
         |  true AS header_ok
         |FROM (SELECT doc_id, length(text) AS n FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // RGB construction: channel byte k (row-major triplets) =
+    // ord(text[(k % n) + 1]); pixel k's channels sit at 3k, 3k+1,
+    // 3k+2. Luminance = (77R + 150G + 29B) // 256 — integer BT.601.
+    "mm_decode_rgb" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
+        |  FROM documents),
+        |cp AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(w * h), k ->
+        |      (77 * ord(substring(text, CAST((3*k) % n + 1 AS INTEGER), 1)) +
+        |       150 * ord(substring(text, CAST((3*k+1) % n + 1 AS INTEGER), 1)) +
+        |       29 * ord(substring(text, CAST((3*k+2) % n + 1 AS INTEGER), 1)))
+        |      // 256) AS lums
+        |  FROM t)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+        |  CAST(list_sum(lums) AS BIGINT) AS lum_sum,
+        |  array_to_string(list_transform(range(8),
+        |    b -> CAST(CAST(len(list_filter(lums, x -> x // 32 = b))
+        |      AS BIGINT) AS VARCHAR)), ',') AS lum_hist
+        |FROM cp ORDER BY doc_id""".stripMargin,
 
     // The pixel construction (tilePixels): pixel k row-major =
     // ord(text[(k % n) + 1]) — ASCII ⇒ char == byte. The oracle

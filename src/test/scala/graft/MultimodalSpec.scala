@@ -177,6 +177,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("truecolor PNG roundtrip: bpp=3 filter walk over all five filters and modes") {
+    for (w <- Seq(8, 11, 16); h <- Seq(8, 10, 14); mode <- Seq(0, 1, 2)) {
+      val img = pix(w * h * 3)
+      val png = encodePng(img, w, h, 3, deflateMode = mode)
+      val (dw, dh, bpp, out) = decodePng(png)
+      assert(dw == w && dh == h && bpp == 3, s"RGB dims drifted at ${w}x$h")
+      assert(out.sameElements(img), s"RGB pixels drifted at ${w}x$h mode $mode")
+    }
+    // The grayscale wrapper refuses to reinterpret truecolor triplets.
+    val rgb = encodePng(pix(8 * 8 * 3), 8, 8, 3)
+    val e = intercept[IllegalArgumentException](decodeGrayPng(rgb))
+    assert(e.getMessage.contains("truecolor"))
+  }
+
+  test("BT.601 integer luminance of a known triplet") {
+    // Pure white -> 255, pure black -> 0, mid checks the >> 8 floor.
+    def lum(r: Int, g: Int, b: Int) = (77 * r + 150 * g + 29 * b) >> 8
+    assert(lum(255, 255, 255) == 255)
+    assert(lum(0, 0, 0) == 0)
+    assert(lum(100, 50, 25) == (7700 + 7500 + 725) / 256)
+  }
+
   test("tilePixels matches the oracle's construction pixel-for-pixel") {
     val data = "hello graft".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val t = tilePixels(data, 9, 5)
