@@ -199,6 +199,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lum(100, 50, 25) == (7700 + 7500 + 725) / 256)
   }
 
+  test("GCLP clip container: write/walk roundtrip, bounds, trailing-byte rejection") {
+    val frames = (0 until 5).map(f => encodeGrayPng(pix(8 * 8), 8, 8,
+      deflateMode = f % 3))
+    val clip = wrapClip(frames)
+    val back = clipFrames(clip)
+    assert(back.length == 5)
+    for (f <- 0 until 5) {
+      assert(back(f).sameElements(frames(f)), s"frame $f bytes drifted")
+      assert(decodeGrayPng(back(f))._3.sameElements(pix(64)))
+    }
+    // Empty clip is legal; garbage is not.
+    assert(clipFrames(wrapClip(Seq.empty)).isEmpty)
+    val trailing = clip ++ Array[Byte](0)
+    val e1 = intercept[IllegalArgumentException](clipFrames(trailing))
+    assert(e1.getMessage.contains("trailing"))
+    val trunc = clip.take(clip.length - 3)
+    intercept[IllegalArgumentException](clipFrames(trunc))
+    val badMagic = clip.clone(); badMagic(0) = 'X'
+    val e3 = intercept[IllegalArgumentException](clipFrames(badMagic))
+    assert(e3.getMessage.contains("magic"))
+  }
+
   test("tilePixels matches the oracle's construction pixel-for-pixel") {
     val data = "hello graft".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val t = tilePixels(data, 9, 5)
