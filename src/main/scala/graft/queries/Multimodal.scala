@@ -983,6 +983,64 @@ object Multimodal {
   private def dctBSql: String =
     dctB.flatten.mkString("[", ", ", "]")
 
+  /** The average-hash stage SHARED by mm_phash_dedup (pair emission)
+    * and pipeline_mm_dedup (survivor emission, round 14): base corpus
+    * plus planted perceptual dups — every doc_id % 10 re-planted at
+    * +1e12 with every NON-SAMPLE pixel bumped +1 (mod 256), so the
+    * plant is a byte-different image that aHashes IDENTICAL to its
+    * source — then the PNG encode→decode roundtrip (per-doc deflate
+    * mode) and the 60-bit integer average hash over the decoded 8×8
+    * sample grid. The standing +1e12 collision guard is folded into
+    * the projected id (coalesce of the always-null assert_true) so
+    * pruning can't drop it.
+    */
+  private def aHashWithPlants(s: SparkSession, d: String,
+      what: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val base = documents(s, d)
+      .select(col("doc_id"), col("text"), lit(false).as("perturb"))
+    val planted = documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000000000L +
+        coalesce(assert_true(col("doc_id") < 1000000000000L,
+          lit(s"$what: base doc_id >= 1e12 collides with the " +
+            "planted-id offset — regenerate or raise the offset"))
+          .cast(LongType), lit(0L))).as("doc_id"),
+        col("text"), lit(true).as("perturb"))
+    base.unionByName(planted)
+      .as[(Long, String, Boolean)]
+      .mapPartitions { rows =>
+        // per-partition init of a hardware codec context would go here
+        rows.map { case (id, text, perturb) =>
+          val data =
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (w, h) = pixDims(data.length)
+          val pix0 = tilePixels(data, w, h)
+          val img = if (!perturb) pix0 else {
+            val sx = Array.tabulate(8)(i => i * w / 8).toSet
+            val sy = Array.tabulate(8)(j => j * h / 8).toSet
+            Array.tabulate(w * h) { k =>
+              if (sx(k % w) && sy(k / w)) pix0(k)
+              else ((pix0(k) + 1) & 0xFF).toByte
+            }
+          }
+          val (dw, dh, pix) = decodeGrayPng(encodeGrayPng(img, w, h,
+            deflateMode = (id % 3).toInt))
+          val smp = Array.tabulate(64)(c =>
+            pix((c / 8 * dh / 8) * dw + (c % 8) * dw / 8) & 0xFF)
+          val total = smp.sum
+          var hsh = 0L
+          var c = 0
+          while (c < 60) {
+            if (smp(c) * 64 > total) hsh |= 1L << c
+            c += 1
+          }
+          (id, hsh)
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> { (s, d) =>
       // REAL container-metadata decode (round 12, VERDICT r11 item 5).
@@ -1272,52 +1330,7 @@ object Multimodal {
       // sample values; a Spark-side slip that touches a sample point
       // (wrong sample grid, filter-reversal bug on the perturbed
       // image) breaks the hash gate.
-      val sp = s
-      import sp.implicits._
-      // Planted ids at doc_id + 1e12, with the standing collision
-      // guard folded into the projected value (coalesce of the
-      // always-null assert_true) so pruning can't drop it.
-      val base = documents(s, d)
-        .select(col("doc_id"), col("text"), lit(false).as("perturb"))
-      val planted = documents(s, d).filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000000000L +
-          coalesce(assert_true(col("doc_id") < 1000000000000L,
-            lit("mm_phash_dedup: base doc_id >= 1e12 collides with the " +
-              "planted-id offset — regenerate or raise the offset"))
-            .cast(LongType), lit(0L))).as("doc_id"),
-          col("text"), lit(true).as("perturb"))
-      val hashed = base.unionByName(planted)
-        .as[(Long, String, Boolean)]
-        .mapPartitions { rows =>
-          // per-partition init of a hardware codec context would go here
-          rows.map { case (id, text, perturb) =>
-            val data =
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val (w, h) = pixDims(data.length)
-            val pix0 = tilePixels(data, w, h)
-            val img = if (!perturb) pix0 else {
-              val sx = Array.tabulate(8)(i => i * w / 8).toSet
-              val sy = Array.tabulate(8)(j => j * h / 8).toSet
-              Array.tabulate(w * h) { k =>
-                if (sx(k % w) && sy(k / w)) pix0(k)
-                else ((pix0(k) + 1) & 0xFF).toByte
-              }
-            }
-            val (dw, dh, pix) = decodeGrayPng(encodeGrayPng(img, w, h,
-              deflateMode = (id % 3).toInt))
-            val smp = Array.tabulate(64)(c =>
-              pix((c / 8 * dh / 8) * dw + (c % 8) * dw / 8) & 0xFF)
-            val total = smp.sum
-            var hsh = 0L
-            var c = 0
-            while (c < 60) {
-              if (smp(c) * 64 > total) hsh |= 1L << c
-              c += 1
-            }
-            (id, hsh)
-          }
-        }
-        .toDF("doc_id", "phash")
+      val hashed = aHashWithPlants(s, d, "mm_phash_dedup")
       val bandArr = array((0 until 4).map(k =>
         shiftright(col("phash"), k * 15).bitwiseAND(lit(32767L))): _*)
       val banded = hashed
@@ -1332,6 +1345,60 @@ object Multimodal {
         .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
+    },
+
+    "pipeline_mm_dedup" -> { (s, d) =>
+      // SURVIVOR-SET perceptual dedup (round 14, VERDICT r13 item 4):
+      // mm_phash_dedup emits near-dup PAIRS — O(K²) output on a
+      // K-mutual-dup corpus (measured 341,871 rows at x16) — while
+      // the form a production estate schedules emits the O(n)
+      // survivor map. Scale shape, stepwise: (1) decode+hash is the
+      // map-only batch pass (aHashWithPlants — the arithmetic shared
+      // with mm_phash_dedup); (2) EXACT-equal hashes collapse FIRST:
+      // groupBy(phash) to one representative per distinct hash, so a
+      // K-copy pile is ONE node from here on — this kills the K²
+      // term, because banding then joins DISTINCT HASHES, not
+      // documents; (3) banded LSH over the distinct-hash table yields
+      // candidate representative pairs, verified at Hamming ≤ 3
+      // (lossless: 3 bit errors corrupt at most 3 of the 4 15-bit
+      // bands); (4) the min-label CC fixpoint (Cc.minLabel — the
+      // dedup_clusters schedule) runs over the REP graph, which is
+      // tiny; (5) one hash-group join maps every doc to its cluster
+      // survivor. Emitted: one row per non-singleton cluster —
+      // survivor (= min doc_id, because each rep is its hash-group
+      // min and the label is the min rep), member count, distinct
+      // hash count. Oracle: brute-force qualifying pairs +
+      // recursive-CTE reachability — a hash match proves the
+      // collapse+band+CC pipeline found exactly the truth clustering.
+      val hashed = aHashWithPlants(s, d, "pipeline_mm_dedup")
+      val reps = hashed.groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          count(lit(1)).as("n_docs"))
+        .persist() // consumed by banding AND the final label join
+      val bandArr = array((0 until 4).map(k =>
+        shiftright(col("phash"), k * 15).bitwiseAND(lit(32767L))): _*)
+      val banded = reps
+        .select(col("rep_id"), col("phash"), posexplode(bandArr))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+      val repPairs = banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.rep_id") < col("b.rep_id"))
+        .groupBy(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"))
+        .agg(first(col("a.phash")).as("ha"), first(col("b.phash")).as("hb"))
+        .filter(expr("bit_count(ha ^ hb) <= 3"))
+        .select(col("id_a"), col("id_b"))
+      val labels = Cc.minLabel(repPairs, "pipeline_mm_dedup")
+      // Reps untouched by any near-dup edge label themselves.
+      val repLabel = reps.join(labels, col("rep_id") === col("id"), "left")
+        .select(col("phash"),
+          coalesce(col("label"), col("rep_id")).as("survivor_id"),
+          col("n_docs"))
+      val out = repLabel.groupBy(col("survivor_id"))
+        .agg(sum(col("n_docs")).as("n_members"),
+          count(lit(1)).as("n_hashes"))
+        .filter(col("n_members") > 1)
+        .orderBy("survivor_id")
+      out
     },
 
     "pipeline_mm_corpus" -> { (s, d) =>
@@ -1756,6 +1823,40 @@ object Multimodal {
     }
   )
 
+  /** The aHash construction as DuckDB CTEs, shared verbatim by the
+    * mm_phash_dedup and pipeline_mm_dedup oracles (they must agree on
+    * every hash bit for the pair/survivor emissions to be consistent):
+    * planted union, dims, the 8×8 sample grid from the UNPERTURBED
+    * construction, and the 60-bit compare-to-mean hash.
+    */
+  private val aHashCtes: String =
+    """u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000000, text FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |g AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
+      |  FROM u),
+      |smp AS (
+      |  SELECT doc_id,
+      |    list_transform(range(64), c ->
+      |      ord(substring(text,
+      |        CAST(((((c // 8) * h) // 8) * w + (((c % 8) * w) // 8)) % n + 1 AS INTEGER),
+      |        1))) AS sv
+      |  FROM g),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(60), c ->
+      |        CASE WHEN sv[CAST(c + 1 AS INTEGER)] * 64 >
+      |            list_reduce(sv, (a, x) -> a + x)
+      |          THEN CAST(1 AS BIGINT) << CAST(c AS INTEGER)
+      |          ELSE CAST(0 AS BIGINT) END)),
+      |      (a, x) -> a + x) AS BIGINT) AS phash
+      |  FROM smp)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // The oracle PREDICTS the planted container metadata from the
     // document table (ASCII text ⇒ byte length == char length); the
@@ -1921,37 +2022,38 @@ object Multimodal {
     // mean rule 64·p > Σ over all 64 samples avoids float compare;
     // bits for cells 0..59 only (BIGINT shift range).
     "mm_phash_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000000, text FROM documents
-        |  WHERE doc_id % 10 = 0),
-        |g AS (
-        |  SELECT doc_id, text, length(text) AS n,
-        |    8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
-        |  FROM u),
-        |smp AS (
-        |  SELECT doc_id,
-        |    list_transform(range(64), c ->
-        |      ord(substring(text,
-        |        CAST(((((c // 8) * h) // 8) * w + (((c % 8) * w) // 8)) % n + 1 AS INTEGER),
-        |        1))) AS sv
-        |  FROM g),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(60), c ->
-        |        CASE WHEN sv[CAST(c + 1 AS INTEGER)] * 64 >
-        |            list_reduce(sv, (a, x) -> a + x)
-        |          THEN CAST(1 AS BIGINT) << CAST(c AS INTEGER)
-        |          ELSE CAST(0 AS BIGINT) END)),
-        |      (a, x) -> a + x) AS BIGINT) AS phash
-        |  FROM smp)
+      s"""WITH $aHashCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force truth for the survivor pipeline: ALL qualifying
+    // pairs (no banding, no exact-collapse), recursive-CTE
+    // reachability, min-reachable-id survivor — a hash match proves
+    // the collapse+band+CC decomposition exact.
+    "pipeline_mm_dedup" ->
+      s"""WITH RECURSIVE $aHashCtes,
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |edges AS (
+        |  SELECT id_a, id_b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.id_b, reach.r FROM reach JOIN edges e ON reach.id = e.id_a),
+        |lab AS (SELECT id, min(r) AS survivor_id FROM reach GROUP BY id),
+        |cl AS (
+        |  SELECT lab.survivor_id, h.doc_id, h.phash
+        |  FROM lab JOIN h ON lab.id = h.doc_id)
+        |SELECT survivor_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(count(DISTINCT phash) AS BIGINT) AS n_hashes
+        |FROM cl GROUP BY survivor_id ORDER BY survivor_id""".stripMargin,
 
     // The whole pipeline composed from the per-op constructions: image
     // cuts from the tiled pixels, audio sample count = n // 2, pixel

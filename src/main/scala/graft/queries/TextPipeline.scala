@@ -157,89 +157,11 @@ object TextPipeline {
   private def ccLabels(s: SparkSession, d: String): DataFrame = synchronized {
     val truthPairs = queries("dedup_jaccard_pairs")(s, d)
       .select(col("id_a"), col("id_b"))
-    // Both edge directions from ONE pass over the pair join: a
-    // union of the pair query with its swap re-executes the whole
-    // quadratic subtree per branch (measured ~2× the pair-join cost);
-    // explode emits (a,b) and (b,a) from each row instead.
-    val edges = truthPairs
-      .select(explode(array(
-        struct(col("id_a"), col("id_b")),
-        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
-      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
-      .persist() // joined every propagation round
-    // localCheckpoint each round: the round-k plan references the
-    // round-(k-1) frame several times (edges side, jump side, union),
-    // so WITHOUT lineage truncation the logical tree — which Catalyst
-    // re-analyzes in full even when caches cover execution — grows
-    // exponentially with rounds (measured: 136 s at sf0.01 from
-    // analysis alone). Checkpointing flattens each round to a
-    // LogicalRDD; a production multi-app setup would use reliable
-    // checkpoint() to survive executor loss, same shape.
-    // checkpoint-then-persist each round: the checkpoint truncates
-    // lineage, the persist's InMemoryRelation reports ACCURATE size
-    // stats once the convergence aggregate materializes it — so
-    // Catalyst auto-broadcasts the (small) label table into the next
-    // round's joins, turning them map-side. No forced broadcast()
-    // hint: if the label table ever outgrows the threshold (billions
-    // of near-dup nodes), the joins degrade to shuffles on their own.
-    // Init already performs round 1 (min of self and direct
-    // neighbors) — the groupBy that would otherwise just distinct the
-    // node ids computes the neighbor min for free, saving one full
-    // propagation round of fixed job overhead.
-    // eager=false: the checkpoint RDD still truncates lineage at plan
-    // time, but materialization folds into the convergence aggregate's
-    // job below — one Spark job per round instead of two (the eager
-    // form's checkpoint job + the labelSum job), halving the fixed
-    // per-round overhead that dominates at gate size.
-    var labels = edges.groupBy(col("id_a").as("id"))
-      .agg(min(col("id_b")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("label"))
-      .localCheckpoint(eager = false)
-      .persist()
-    // coalesce: sum over zero rows is NULL — a corpus with no
-    // near-dup pairs must yield an empty result, not an NPE.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    // Labels only ever DECREASE, so the label sum is strictly monotone
-    // until the fixpoint — convergence is one tiny aggregate per
-    // round instead of a join-and-count against the previous round.
-    var prevSum = labelSum(labels)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < 30) {
-      val viaEdges = labels
-        .join(edges, col("id") === col("id_a"))
-        .select(col("id_b").as("id"), col("label"))
-      // label(label): labels always point at real node ids (min over
-      // ids in the component so far), so the self-join is total; one
-      // composition per round halves the pointer depth (log2 rounds
-      // in the chain length — this corpus' components have diameter
-      // ≤ 5, so more aggressive doubling only adds joins per round).
-      val jmap = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-      val viaJump = labels.join(jmap, col("label") === col("jid"))
-        .select(col("id"), col("jlabel").as("label"))
-      val next = viaEdges.unionByName(viaJump).unionByName(labels)
-        .groupBy("id")
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(eager = false)
-        .persist()
-      val s2 = labelSum(next) // materializes the cache → stats for round k+1
-      converged = s2 == prevSum
-      prevSum = s2
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    // An unconverged fixpoint must fail loudly: a partial propagation
-    // would emit labels that are upper bounds, i.e. a WRONG (split)
-    // clustering, and only the gate harness's hash — not a standalone
-    // caller — would notice. 30 rounds covers component diameter
-    // 2^30 under pointer doubling; hitting the cap means the input or
-    // the schedule is broken, never normal operation.
-    require(converged,
-      s"ccLabels: min-label propagation did not converge in $rounds rounds" +
-        " — emission would be a partial (split) clustering")
-    edges.unpersist()
+    // The min-label pointer-doubling fixpoint itself lives in
+    // [[Cc.minLabel]] (shared with pipeline_mm_dedup since round 14);
+    // this wrapper adds the per-session memoization the converged/
+    // full siblings rely on.
+    val labels = Cc.minLabel(truthPairs, "ccLabels")
     // Best-effort release: the previous table may belong to an earlier
     // (now-stopped) SparkSession — unpersist on a dead context NPEs in
     // BlockManagerMaster, and a dead context has nothing to free.
