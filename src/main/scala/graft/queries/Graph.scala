@@ -122,7 +122,10 @@ object Graph {
   private def louvain10Art(s: SparkSession, d: String): Louvain10Art = {
     val key = artifactKey(d, "lineitem") + "#p10"
     graft.ArtifactMemo.once(key)(trainLouvain10(s, d, key))(
-      old => graft.ArtifactMemo.deleteDir(old.labelsPath))
+      // Deferred, not eager (ADVICE r13): a consumer's lazy DataFrame
+      // over the old labels parquet may still execute after a
+      // regeneration — let it finish; disk is reclaimed at JVM exit.
+      old => graft.ArtifactMemo.deferDelete(old.labelsPath))
   }
 
   /** graph_louvain_converged's training loop, extracted verbatim as

@@ -77,30 +77,89 @@ class ArtifactMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally pool.shutdown()
   }
 
-  test("a superseded fingerprint is evicted and its scratch parquet deleted") {
-    // ADVICE r12 (low): in-place dataset regeneration previously
-    // stranded the old key's entry and scratch dir until JVM exit.
-    // Same eviction group (path#variant), different fingerprint ⇒ the
-    // old entry drops and its directory is deleted eagerly.
+  private def storeDir(key: String) = new java.io.File(
+    s"${System.getProperty("java.io.tmpdir")}/graft_artstore/" +
+      s"art${Tables.md5hex(key)}")
+
+  test("a superseded fingerprint is evicted with a DEFERRED delete; " +
+      "re-registering it consumes the still-published artifact") {
+    // ADVICE r13 (low): the r13 eager delete could (a) yank a dir out
+    // from under a consumer's lazily-built reader and (b) thrash
+    // retrain+delete under alternating keys. Round 14: eviction only
+    // SCHEDULES the delete for JVM exit, and a re-registered key finds
+    // its published artifact still on disk and consumes it — zero
+    // retrains in the alternating pattern.
     val tag = System.nanoTime()
     val k1 = s"/specds$tag#fp1#gc"
     val k2 = s"/specds$tag#fp2#gc"
-    def scratchDir(key: String) = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_art${Tables.md5hex(key).take(16)}" +
-        s"_${key.hashCode.toHexString}_${spark.sparkContext.applicationId}")
     var trains = 0
     def train = { trains += 1; spark.range(10).toDF("x") }
     ArtifactMemo.cachedTable(spark, k1)(train).count()
-    assert(scratchDir(k1).isDirectory, "first artifact dir must exist")
+    assert(storeDir(k1).isDirectory, "first artifact dir must exist")
     ArtifactMemo.cachedTable(spark, k2)(train).count()
-    assert(!scratchDir(k1).exists(),
-      "superseded fingerprint's scratch dir must be deleted eagerly")
-    assert(scratchDir(k2).isDirectory, "successor artifact dir must exist")
+    assert(storeDir(k1).isDirectory,
+      "superseded dir must SURVIVE until JVM exit (deferred delete)")
+    assert(storeDir(k2).isDirectory, "successor artifact dir must exist")
     assert(trains === 2)
-    // The evicted key is OUT of the memo: re-consuming it retrains
-    // (fresh holder) rather than reading the deleted path.
-    ArtifactMemo.cachedTable(spark, k1)(train).count()
-    assert(trains === 3, "evicted key must retrain on next use")
+    // Alternating back: the evicted key's entry is gone from the memo,
+    // but its published artifact is not — the fresh holder consumes it.
+    val n = ArtifactMemo.cachedTable(spark, k1)(train).count()
+    assert(n === 10L)
+    assert(trains === 2, "re-registered evicted key must consume, not retrain")
+  }
+
+  test("cross-JVM consume: a fresh memo (JVM-2 stand-in) reads JVM-1's " +
+      "published artifact without training") {
+    // VERDICT r13 item 6: store paths are content-addressed with NO
+    // applicationId, so a second driver finds the first's publish.
+    // Simulated in one JVM by dropping all in-memory memo state.
+    val key = s"spec-xjvm#${System.nanoTime()}"
+    ArtifactMemo.cachedTable(spark, key)(spark.range(77).toDF("x")).count()
+    ArtifactMemo.resetForTest()
+    val n = ArtifactMemo.cachedTable(spark, key) {
+      fail("JVM-2 must consume the published artifact, not retrain")
+    }.count()
+    assert(n === 77L)
+    // Same for the driver-held form…
+    val key2 = s"spec-xjvm2#${System.nanoTime()}"
+    ArtifactMemo.cached(spark, key2)(spark.range(9).toDF("x")).count()
+    ArtifactMemo.resetForTest()
+    val m = ArtifactMemo.cached(spark, key2) {
+      fail("cached() must consume the published artifact, not retrain")
+    }.count()
+    assert(m === 9L)
+    // …and the typed form (the PQ codebook's shape).
+    val key3 = s"spec-xjvm3#${System.nanoTime()}"
+    val sp = spark
+    import sp.implicits._
+    def codec(v: Seq[(Int, String)]) = v.toDF("a", "b")
+    val v1 = ArtifactMemo.cachedValue(spark, key3)(
+      Seq((1, "x"), (2, "y")))(codec)(df =>
+      df.collect().toSeq.map(r => (r.getInt(0), r.getString(1))).sorted)
+    ArtifactMemo.resetForTest()
+    val v2 = ArtifactMemo.cachedValue[Seq[(Int, String)]](spark, key3)(
+      fail("cachedValue must consume the published artifact"))(codec)(df =>
+      df.collect().toSeq.map(r => (r.getInt(0), r.getString(1))).sorted)
+    assert(v1 === v2 && v2 === Seq((1, "x"), (2, "y")))
+  }
+
+  test("a THROWING training run does not poison the key: later calls retry") {
+    // VERDICT r13 item 8 contract sentence, gated: the lazy-val holder
+    // stays uninitialized when the thunk throws, so a later invocation
+    // re-runs the training instead of replaying the exception forever.
+    val key = s"spec-retry#${System.nanoTime()}"
+    var attempts = 0
+    def flaky = {
+      attempts += 1
+      if (attempts == 1) sys.error("transient trainer failure")
+      spark.range(5).toDF("x")
+    }
+    val e = intercept[RuntimeException](
+      ArtifactMemo.cachedTable(spark, key)(flaky).count())
+    assert(e.getMessage.contains("transient"))
+    val n = ArtifactMemo.cachedTable(spark, key)(flaky).count()
+    assert(n === 5L && attempts === 2,
+      "second call must retry the training after a throwing first run")
   }
 
   test("cachedTable persists once and re-reads the parquet artifact") {

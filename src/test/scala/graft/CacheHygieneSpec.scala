@@ -87,9 +87,14 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a superseded fingerprint deleting its dir is gated separately
     // in ArtifactMemoSpec.
     val liKey = Tables.artifactKey(sf, "lineitem")
+    // Two layers since round 14: cachedTable artifacts live in the
+    // shared cross-JVM store (graft_artstore/art<md5(key)>, no appId);
+    // the Louvain label tables still write app-scoped Tables.scratch
+    // dirs. Count both.
+    val storeNames = Seq(
+      "art" + Tables.md5hex(liKey + "#pagerank"),
+      "art" + Tables.md5hex(liKey + "#hits"))
     val tags = Seq(
-      "art" + Tables.md5hex(liKey + "#pagerank").take(16),
-      "art" + Tables.md5hex(liKey + "#hits").take(16),
       "artlouv10" + Tables.md5hex(liKey + "#p10").take(12),
       "artlouv" + Tables.md5hex(liKey).take(12))
     // Tag-prefix match only, NO appId suffix: a sibling suite's
@@ -97,12 +102,18 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // mid-suite, while the (content-keyed) memo correctly keeps
     // re-reading the dir minted under the old id — filtering on the
     // current id undercounts to zero (observed in the full-suite run).
-    // The md5-of-key tag is unique to these four artifacts, so the
+    // The md5-of-key tag is unique to these artifacts, so the
     // stability assertion below is exact either way.
-    def artDirs: Int = Option(
-      new java.io.File(System.getProperty("java.io.tmpdir")).listFiles())
-      .getOrElse(Array.empty)
-      .count(f => tags.exists(t => f.getName.startsWith(s"graft_${t}_")))
+    def artDirs: Int = {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val scratch = Option(new java.io.File(tmp).listFiles())
+        .getOrElse(Array.empty)
+        .count(f => tags.exists(t => f.getName.startsWith(s"graft_${t}_")))
+      val store = Option(new java.io.File(tmp, "graft_artstore").listFiles())
+        .getOrElse(Array.empty)
+        .count(f => storeNames.contains(f.getName))
+      scratch + store
+    }
     val consumers = Seq("graph_pagerank_converged", "graph_hits_converged",
       "graph_louvain_converged", "graph_community_conductance",
       "feat_pca_project", "graph_louvain_full")
