@@ -264,4 +264,18 @@ object ArtifactMemo {
     entries.clear()
     groups.clear()
   }
+
+  /** Test hook: drop the in-JVM memo state AND the on-disk shared
+    * store — for gates that must observe the TRAINING run itself
+    * (ShuffleSpec's vocabulary-bounded-bytes witness): with the
+    * round-14 cross-JVM store, a bench/verify run in an earlier
+    * process publishes the artifact and a later test JVM would
+    * otherwise consume it and measure zero shuffle, making the
+    * assert vacuous.
+    */
+  private[graft] def clearStoreForTest(): Unit = {
+    resetForTest()
+    deleteDir(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_artstore").getAbsolutePath)
+  }
 }

@@ -24,6 +24,26 @@ object Bench {
       // Single ~20MB parquet files per table would otherwise scan on a
       // couple of cores; smaller split size keeps all of local[N] busy.
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // AQE partition coalescing, tuned per the optimization guide §2.2
+      // (round 14). parallelismFirst=false is Spark's own documented
+      // production recommendation: the default true pins every
+      // post-shuffle read at cluster-width task counts, which at the
+      // gate tiers schedules 32 tasks for KB-sized shuffles — measured
+      // ~0.2-0.3 s of pure scheduling per stage across hundreds of
+      // stages. The advisory size is env-parameterised: 2m matches the
+      // gate tiers (tables are 0.3-11 MB, so ~input/cores); a
+      // production 100 TB deployment sets 64-256m (the guide's
+      // 100 MB-1 GB partition target) via SPARK_GRAFT_ADVISORY_BYTES.
+      // canChangeCachedPlanOutputPartitioning lets AQE coalesce the
+      // materialization of persisted plans too — the fixpoint loops'
+      // per-round localCheckpoint().persist() stages otherwise bypass
+      // AQE entirely and schedule full-width task waves per round.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "2m"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -162,6 +162,29 @@ object Tables {
   def davg(c: Column): Column =
     floor(sum(dec(c)).cast(DoubleType) / count(lit(1)) * 10000 + 0.5)
       .cast(DoubleType) / 10000.0
+  /** Scale-adaptive input-parallelism floor for CPU-bound per-row work
+    * (optimization guide §2: make partitioning scale-adaptive — derive
+    * it from the cluster and the input, never a constant tuned for one
+    * deployment). The gate tiers are single small parquet files with
+    * ONE row group, so Spark's split math (maxPartitionBytes /
+    * openCostInBytes) yields a ONE-TASK scan — and a per-row codec or
+    * tokenize pass then runs on 1 of N cores while the rest idle
+    * (guide §2.6, idle capacity). At production scale a large table
+    * arrives in thousands of splits, `getNumPartitions >=
+    * defaultParallelism` holds, and this helper is a NO-OP — no
+    * exchange is inserted, so it can never add a payload shuffle to a
+    * job that is already parallel. Round-robin repartition (no key:
+    * the downstream work is per-row) pays the sortBeforeRepartition
+    * local sort on the tiny under-parallel input — negligible against
+    * the CPU it spreads. Results are unchanged: every consumer is a
+    * per-row map or a commutative aggregate, and emissions carry their
+    * own ORDER BY.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Memo key for a once-per-dataset trained artifact (the PQ-codebook /
     * Louvain-label pattern): absolute path PLUS a cheap content
     * fingerprint of the backing parquet (file names, lengths, mtimes) —

@@ -17,6 +17,14 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE coalescing contract shared with Bench (see Bench.scala's
+      // scaladoc for the full rationale + production values).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "2m"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // µs-int64 timestamps in output parquet (not int96) so the driver's
       // DuckDB/pyarrow compare sees plain timestamps (SURVEY.md §7.4).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -731,12 +731,18 @@ object Graph {
           floor(col("common").cast(DoubleType)
             / (col("dn") + col("dc") - col("common")) * 1000000 + 0.5)
             .cast(DoubleType) / 1000000.0)
-      val w = Window.partitionBy("node")
-        .orderBy(col("jac").desc, col("cand").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("cand").as("best_match"), col("common"),
-          col("jac"))
+      // Per-node argmax as an AGGREGATE, not a rank window (round 14,
+      // guide §2.3 "aggregate before you shuffle"): max over
+      // struct(jac, −cand, common) is exactly (jac DESC, cand ASC) —
+      // common is only compared on a full (jac, cand) tie, i.e. the
+      // same row — and the hash aggregate partial-combines map-side,
+      // so the exchange carries ≤|V| rows instead of every candidate
+      // pair, and the per-partition sort the window needed is gone.
+      scored.groupBy("node")
+        .agg(max(struct(col("jac"), (-col("cand")).as("negc"),
+          col("common"))).as("b"))
+        .select(col("node"), (-col("b.negc")).as("best_match"),
+          col("b.common").as("common"), col("b.jac").as("jac"))
         .orderBy("node")
     },
 
@@ -778,12 +784,15 @@ object Graph {
         .groupBy("node", "cand")
         .agg(sum(round(lit(1.0) / log(col("dw")), 9)
           .cast(DecimalType(28, 9))).as("aa_dec"))
-      val win = Window.partitionBy("node")
-        .orderBy(col("aa_dec").desc, col("cand").asc)
-      aa.withColumn("rn", row_number().over(win))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("cand").as("best_cand"),
-          col("aa_dec").cast(DoubleType).as("aa"))
+      // Argmax as an aggregate, not a rank window (round 14 — the
+      // jaccard_neighbors rationale): max(struct(aa_dec, −cand)) IS
+      // (aa_dec DESC, cand ASC), partial-combines map-side, and drops
+      // the window's per-partition sort; the exchange carries ≤|V|
+      // rows instead of every scored pair.
+      aa.groupBy("node")
+        .agg(max(struct(col("aa_dec"), (-col("cand")).as("negc"))).as("b"))
+        .select(col("node"), (-col("b.negc")).as("best_cand"),
+          col("b.aa_dec").cast(DoubleType).as("aa"))
         .orderBy("node")
     },
 

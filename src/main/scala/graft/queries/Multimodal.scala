@@ -320,6 +320,10 @@ object Multimodal {
   private val fixedDistLen: Array[Int] = Array.fill(30)(5)
   private lazy val fixedLitHuff = new Huff(fixedLitLen)
   private lazy val fixedDistHuff = new Huff(fixedDistLen)
+  // Fixed-mode canonical ENCODE tables, hoisted (round 14): they were
+  // recomputed from the static length arrays on every mode-1 encode.
+  private lazy val fixedLitCodes = canonCodes(fixedLitLen)
+  private lazy val fixedDistCodes = canonCodes(fixedDistLen)
   private val lenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
     23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
   private val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
@@ -472,37 +476,73 @@ object Multimodal {
     * are 3..258 bytes within the 32 KiB window. Token packing:
     * literal = 0..255; match = (1<<30) | len<<16 | dist.
     */
+  /** Per-thread reusable LZ77 state (round 14, guide §1.2 step 2 /
+    * §4.5 "initialise heavyweight state once per task"): the 32 Ki-slot
+    * hash-head table was previously allocated AND fill(-1)'d per encode
+    * call — ~128 KB of alloc + clear for inputs that are typically a
+    * few hundred bytes, dominating the per-image encode cost across the
+    * ~10⁵ encode calls a full mm-family pass makes. The head table is
+    * paired with a stamp array and a monotonically increasing epoch so
+    * reuse needs NO clearing: a slot is live only if its stamp equals
+    * the current call's epoch. Token output is BIT-IDENTICAL to the
+    * old form — same hash, same single-candidate policy — so every
+    * oracle that replays the construction is unaffected.
+    */
+  private final class Lz77State {
+    val head = new Array[Int](1 << 15)
+    val stamp = new Array[Int](1 << 15)
+    var epoch = 0
+    var toks = new Array[Int](1024)
+  }
+  private val lzState = new ThreadLocal[Lz77State] {
+    override def initialValue(): Lz77State = new Lz77State
+  }
+
   private def lz77Tokens(raw: Array[Byte]): Array[Int] = {
-    val toks = new scala.collection.mutable.ArrayBuffer[Int](
-      raw.length / 2 + 8)
-    val HB = 15
-    val head = Array.fill(1 << HB)(-1)
+    val st = lzState.get()
+    st.epoch += 1
+    if (st.epoch == 0) { // Int wrap: stamps are stale-safe only within an epoch cycle
+      java.util.Arrays.fill(st.stamp, 0)
+      st.epoch = 1
+    }
+    val ep = st.epoch
+    val head = st.head
+    val stamp = st.stamp
+    var toks = st.toks
+    var n = 0
+    @inline def push(v: Int): Unit = {
+      if (n == toks.length) {
+        toks = java.util.Arrays.copyOf(toks, toks.length * 2)
+        st.toks = toks
+      }
+      toks(n) = v; n += 1
+    }
     @inline def hash(i: Int): Int =
       (((raw(i) & 0xFF) << 10) ^ ((raw(i + 1) & 0xFF) << 5) ^
-        (raw(i + 2) & 0xFF)) & ((1 << HB) - 1)
+        (raw(i + 2) & 0xFF)) & ((1 << 15) - 1)
     var i = 0
     while (i < raw.length) {
       var matched = false
       if (i + 2 < raw.length) {
         val h = hash(i)
-        val cand = head(h)
-        head(h) = i
+        val cand = if (stamp(h) == ep) head(h) else -1
+        head(h) = i; stamp(h) = ep
         if (cand >= 0 && i - cand <= 32768 && raw(cand) == raw(i) &&
             raw(cand + 1) == raw(i + 1) && raw(cand + 2) == raw(i + 2)) {
           var len = 3
           val maxLen = math.min(258, raw.length - i)
           while (len < maxLen && raw(cand + len) == raw(i + len)) len += 1
-          toks += (1 << 30) | (len << 16) | (i - cand)
+          push((1 << 30) | (len << 16) | (i - cand))
           var j = i + 1
           val stop = math.min(i + len, raw.length - 2)
-          while (j < stop) { head(hash(j)) = j; j += 1 }
+          while (j < stop) { val hj = hash(j); head(hj) = j; stamp(hj) = ep; j += 1 }
           i += len
           matched = true
         }
       }
-      if (!matched) { toks += (raw(i) & 0xFF); i += 1 }
+      if (!matched) { push(raw(i) & 0xFF); i += 1 }
     }
-    toks.toArray
+    java.util.Arrays.copyOf(toks, n)
   }
 
   /** Largest length code whose base ≤ len (code 285 = exactly 258,
@@ -651,8 +691,8 @@ object Multimodal {
       bw.bits(1, 1) // BFINAL: single block
       if (m == 1) {
         bw.bits(1, 2)
-        emitTokens(bw, toks, canonCodes(fixedLitLen), fixedLitLen,
-          canonCodes(fixedDistLen), fixedDistLen)
+        emitTokens(bw, toks, fixedLitCodes, fixedLitLen,
+          fixedDistCodes, fixedDistLen)
       } else {
         bw.bits(2, 2)
         val litFreq = new Array[Long](286)
@@ -1007,7 +1047,7 @@ object Multimodal {
             "planted-id offset — regenerate or raise the offset"))
           .cast(LongType), lit(0L))).as("doc_id"),
         col("text"), lit(true).as("perturb"))
-    base.unionByName(planted)
+    spread(base.unionByName(planted))
       .as[(Long, String, Boolean)]
       .mapPartitions { rows =>
         // per-partition init of a hardware codec context would go here
@@ -1062,8 +1102,8 @@ object Multimodal {
       // mm_phash_dedup, which run the full encode→decode codec.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a real pixel decoder would go here
           rows.map { case (id, text) => decodeMetaRow(id, text) }
@@ -1087,8 +1127,8 @@ object Multimodal {
       // Paeth row's triplets and with them the hash gate.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
           rows.map { case (id, text) =>
@@ -1129,8 +1169,8 @@ object Multimodal {
       // arithmetic (x = i·w/4, y = j·h/4) breaks the hash gate.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
           rows.map { case (id, text) =>
@@ -1167,8 +1207,8 @@ object Multimodal {
       // blend slips all break the 16-value thumbnail hash.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
           rows.map { case (id, text) =>
@@ -1208,8 +1248,8 @@ object Multimodal {
       // values recovered through the codec.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
           rows.map { case (id, text) =>
@@ -1242,8 +1282,8 @@ object Multimodal {
       // pixels recovered through the full container+codec stack.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .flatMap { case (id, text) =>
           val data =
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1420,8 +1460,8 @@ object Multimodal {
       // audio, header/quality failures, survivors, unique media.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("source"), col("text"))
+      spread(documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")))
         .as[(Long, String, String)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
@@ -1492,8 +1532,8 @@ object Multimodal {
       // container-walk, or adjacency slip breaks the per-doc counts.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
           rows.map { case (id, text) =>
@@ -1558,7 +1598,7 @@ object Multimodal {
               "with the planted-id offset"))
             .cast(LongType), lit(0L))).as("doc_id"),
           col("text"), lit(true).as("reenc"))
-      base.unionByName(planted)
+      spread(base.unionByName(planted))
         .as[(Long, String, Boolean)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
@@ -1601,8 +1641,8 @@ object Multimodal {
       // sign-extension, offset, or framing slip breaks the hash gate.
       val sp = s
       import sp.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
           rows.map { case (id, text) =>
@@ -1659,7 +1699,7 @@ object Multimodal {
               "planted-id offset — regenerate or raise the offset"))
             .cast(LongType), lit(0L))).as("doc_id"),
           col("text"), lit(true).as("perturb"))
-      val hashed = base.unionByName(planted)
+      val hashed = spread(base.unionByName(planted))
         .as[(Long, String, Boolean)]
         .mapPartitions { rows =>
           // per-partition init of a hardware codec context would go here
@@ -1791,8 +1831,8 @@ object Multimodal {
       // Dims come from the REAL header roundtrip (every doc wrapped as
       // PNG here — aspect bucketing is an image-batch concern), parsed
       // back from the bytes; the require makes a roundtrip slip loud.
-      val frames = documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val frames = spread(documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           // per-partition init of a real pixel decoder would go here
           rows.map { case (id, text) =>

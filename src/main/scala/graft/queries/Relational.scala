@@ -2118,7 +2118,11 @@ object Relational {
       // print bare, the double goes through the DECIMAL(28,6) money
       // policy (Tables.dsum scaladoc), the timestamp through an
       // explicit format — all so both engines print identical strings.
-      val o = orders(s, d)
+      // spread: the Expand×7 multi-distinct partial aggregate is the
+      // query's dominant cost and would otherwise run on the single
+      // split of a one-row-group input file (guide §2.6 idle capacity;
+      // no-op once the scan has ≥ cluster-width splits).
+      val o = spread(orders(s, d))
       def longCol(c: String) = Seq(
         count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
         min(col(c)).cast(StringType).as(s"mn_$c"),

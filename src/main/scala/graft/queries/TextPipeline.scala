@@ -31,7 +31,7 @@ object TextPipeline {
     */
   private[queries] def shingles(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    documents(s, d)
+    spread(documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(call_function("graft_shingles", col("text"))).as("w"))
   }
@@ -74,7 +74,8 @@ object TextPipeline {
     * scaladoc for the shape and determinism arguments.
     */
   private[graft] def unigramDocScores(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+    val toks = spread(documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
     val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
       .persist() // 2 consumers (total + logp) — uncached each would
@@ -653,13 +654,20 @@ object TextPipeline {
                    // the explode+groupBy corpus pass runs twice (r2 bench
                    // measured it at 2× the query's cost)
       val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      // Per-doc argmax as an aggregate, not a rank window (round 14,
+      // guide §2.3): min over struct(−score, term) IS (score DESC,
+      // term ASC) — negation flips the double order exactly, and the
+      // string tiebreak stays ascending under min — with map-side
+      // partial combine, so the exchange carries one row per doc
+      // instead of every (doc, term) score, and the window's
+      // per-partition sort is gone.
       tf.join(df, "term")
         .crossJoin(broadcast(nDf))
         .withColumn("score", round(col("tf") * log(col("corpus_n") / col("df")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("term"), col("score"))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("score")).as("negs"), col("term"))).as("b"))
+        .select(col("doc_id"), col("b.term").as("term"),
+          (-col("b.negs")).as("score"))
         .orderBy("doc_id")
     },
 
@@ -1167,7 +1175,8 @@ object TextPipeline {
       // SQL-replicable; at 100 TB swap in dedup_minhash's banding —
       // same pairs→drop-id_b interface, sketch candidates instead of
       // the blocked quadratic.
-      val norm = documents(s, d)
+      val norm = spread(documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text")))
         .withColumn("clean", trim(regexp_replace(
           regexp_replace(col("text"), "[^a-z0-9 ]", ""), " +", " ")))
         .select(col("doc_id"), col("lang"), col("source"), col("clean"))
@@ -1825,7 +1834,8 @@ object TextPipeline {
       val snap: Column => Column =
         x => floor(x * 1000000 + 0.5).cast(DoubleType) / 1000000.0
       val ttr = snap(size(array_distinct(arr)).cast(DoubleType) / size(arr))
-      val tl = documents(s, d).select(col("lang"), ttr.as("ttr"))
+      val docsS = spread(documents(s, d).select(col("lang"), col("text")))
+      val tl = docsS.select(col("lang"), ttr.as("ttr"))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"),
           snap(sum(dec(col("ttr"))).cast(DoubleType) / count(lit(1)))
             .as("avg_ttr"))
@@ -1833,7 +1843,7 @@ object TextPipeline {
         transform(sequence(lit(0), size(arr) - 3),
           i => array_join(slice(arr, i + 1, lit(3)), " ")))
         .otherwise(array().cast(ArrayType(StringType)))
-      val hp = documents(s, d).select(col("lang"), explode(tris).as("tri"))
+      val hp = docsS.select(col("lang"), explode(tris).as("tri"))
         .groupBy("lang", "tri").agg(count(lit(1)).as("freq"))
         .groupBy("lang").agg(count(lit(1)).as("tri_vocab"),
           sum(when(col("freq") === 1, 1L).otherwise(0L)).as("tri_hapax"))
@@ -1863,7 +1873,7 @@ object TextPipeline {
         transform(sequence(lit(0), size(arr) - 5),
           i => array_join(slice(arr, i + 1, lit(5)), " ")))
         .otherwise(array().cast(ArrayType(StringType)))
-      val ss = documents(s, d)
+      val ss = spread(documents(s, d).select(col("source"), col("text")))
         .select(col("source"), explode(shing).as("sh")).distinct()
       val sizes = ss.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = ss.as("a").join(ss.as("b"),
@@ -2384,7 +2394,8 @@ object TextPipeline {
         transform(sequence(lit(0), size(arr) - 3),
           i => array_join(slice(arr, i + 1, lit(3)), " ")))
         .otherwise(array().cast(ArrayType(StringType)))
-      documents(s, d).select(col("lang"), explode(tris).as("tri"))
+      spread(documents(s, d).select(col("lang"), col("text")))
+        .select(col("lang"), explode(tris).as("tri"))
         .groupBy("lang", "tri").agg(count(lit(1)).as("freq"))
         .groupBy("lang").agg(
           sum(col("freq")).as("n_instances"),

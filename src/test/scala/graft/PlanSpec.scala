@@ -168,15 +168,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pixel decode ops are map-only up to their output sort") {
     // The round-13 real-codec claim pinned: encode→decode→pixel-math
     // runs entirely inside the per-partition batch (one corpus scan);
-    // the only exchange is the rangepartitioning for the deterministic
-    // emission order. A regression that introduced a keyed shuffle
-    // (e.g. a per-doc groupBy creeping in) would show here.
+    // the only exchanges are the rangepartitioning for the
+    // deterministic emission order and (round 14) the scale-adaptive
+    // Tables.spread round-robin that floors input parallelism for the
+    // CPU-bound codec pass — a no-op once the scan itself has ≥
+    // cluster-width splits. A regression that introduced a KEYED
+    // shuffle (e.g. a per-doc groupBy creeping in) would still show
+    // here: hashpartitioning is neither of the allowed forms.
     for (name <- Seq("mm_resize", "mm_feature_extract", "mm_frame_sample",
         "mm_audio_sample_stats")) {
       val p = plan(name)
       val exchanges = "Exchange \\S+".r.findAllIn(p).toList
-      assert(exchanges.forall(_.contains("rangepartitioning")),
-        s"$name shuffled beyond the output sort: $exchanges\n$p")
+      assert(exchanges.forall(e => e.contains("rangepartitioning") ||
+          e.contains("RoundRobinPartitioning")),
+        s"$name shuffled beyond the output sort + input spread: $exchanges\n$p")
     }
   }
 

@@ -115,7 +115,14 @@ class ShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // only with the VOCABULARY (Heaps-law sub-linear, ≈√n at worst),
     // never with the corpus. 4× is the loose bound for a 10× step —
     // well under linear while leaving Heaps growth room.
+    // The round-14 cross-JVM artifact store would otherwise satisfy
+    // both tiers from an artifact published by an earlier process
+    // (bench/verify in another JVM) — zero shuffle bytes, vacuous
+    // assert. Clear the memo AND the store so the training loop
+    // itself is what gets measured, at both tiers.
+    ArtifactMemo.clearStoreForTest()
     val small = shuffleBytes("bpe_train_loop", sfSmall)
+    ArtifactMemo.clearStoreForTest()
     val big = shuffleBytes("bpe_train_loop", sfBig)
     assert(small > 0, "expected a real shuffle at the small tier")
     assert(big <= small * 4 + (64 << 10),
