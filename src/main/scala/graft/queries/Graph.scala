@@ -155,7 +155,9 @@ object Graph {
           .groupBy("i", "c").agg(max(col("kin")).as("kin"))
         val ktot = deg.join(lab, "i")
           .groupBy("c").agg(sum(col("ki")).as("ktot"))
-        val w = Window.partitionBy("i").orderBy(col("gain").desc, col("c"))
+        // Argmax as an aggregate, not a rank window (round 14, guide
+        // §2.3): max(struct(gain, −c)) IS (gain DESC, c ASC), partial-
+        // combines map-side, and drops the window's per-partition sort.
         cand.join(ktot, "c").join(deg, "i")
           .join(lab.select(col("i"), col("c").as("c0")), "i")
           .withColumn("sigma", col("ktot") -
@@ -164,8 +166,9 @@ object Graph {
             col("kin").cast(DoubleType) / lit(m.toDouble) -
               col("ki").cast(DoubleType) * col("sigma").cast(DoubleType) /
                 (lit(2.0) * lit(m.toDouble) * lit(m.toDouble)), 9))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("i"), col("c"))
+          .groupBy("i")
+          .agg(max(struct(col("gain"), (-col("c")).as("negc"))).as("b"))
+          .select(col("i"), (-col("b.negc")).as("c"))
       }
       // Exact Q of a label table — graph_modularity's arithmetic
       // verbatim (1e-9 terms, decimal capture, round 6). One O(1)
@@ -878,9 +881,12 @@ object Graph {
           struct(col("v").as("node"), (col("u") % 64).as("lbl")))).as("e"))
         .select(col("e.node").as("node"), col("e.lbl").as("lbl"))
         .groupBy("node", "lbl").agg(count(lit(1)).as("votes"))
-      val wv = Window.partitionBy("node").orderBy(col("votes").desc, col("lbl"))
-      val labels = votes.withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1).select(col("node"), col("lbl"))
+      // Plurality vote as an aggregate, not a rank window (round 14,
+      // guide §2.3): max(struct(votes, −lbl)) IS (votes DESC, lbl ASC),
+      // partial-combines map-side, no per-partition sort.
+      val labels = votes.groupBy("node")
+        .agg(max(struct(col("votes"), (-col("lbl")).as("neglbl"))).as("b"))
+        .select(col("node"), (-col("b.neglbl")).as("lbl"))
         .persist() // joined onto both edge endpoints + the degree table
       val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -946,11 +952,19 @@ object Graph {
           col("kin").cast(DoubleType) / col("m") -
             col("ki").cast(DoubleType) * col("sigma").cast(DoubleType) /
               (lit(2.0) * col("m") * col("m")), 9))
-      val w = Window.partitionBy("i").orderBy(col("gain").desc, col("c"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("i").as("node_id"), col("c0").as("cid_old"),
-          col("c").as("cid_new"), (col("c") =!= col("c0")).as("moved"),
-          col("gain"))
+      // Argmax as an aggregate, not a rank window (round 14, guide
+      // §2.3): max(struct(gain, −c)) IS (gain DESC, c ASC) and
+      // partial-combines map-side — the exchange carries one row per
+      // node instead of one per (node, neighbor community), and the
+      // window's per-partition sort disappears. c0 = pmod(i, 64) is
+      // re-derived arithmetically after the aggregate.
+      scored.groupBy("i")
+        .agg(max(struct(col("gain"), (-col("c")).as("negc"))).as("b"))
+        .select(col("i").as("node_id"),
+          pmod(col("i"), lit(64)).as("cid_old"),
+          (-col("b.negc")).as("cid_new"),
+          ((-col("b.negc")) =!= pmod(col("i"), lit(64))).as("moved"),
+          col("b.gain").as("gain"))
         .orderBy("node_id")
     },
 
@@ -1088,7 +1102,6 @@ object Graph {
       val cand = adjw.select(col("i"), col("j").as("c"), col("w").as("kin"))
         .unionByName(deg.select(col("i"), col("i").as("c"),
           lit(0L).as("kin")))
-      val w = Window.partitionBy("i").orderBy(col("gain").desc, col("c"))
       cand
         .join(deg.select(col("i").as("c"), col("ki").as("ktot")), "c")
         .join(deg, "i")
@@ -1099,9 +1112,13 @@ object Graph {
           col("kin").cast(DoubleType) / col("m") -
             col("ki").cast(DoubleType) * col("sigma").cast(DoubleType) /
               (lit(2.0) * col("m") * col("m")), 9))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("i").as("node_id"), col("c").as("cid_new"),
-          (col("c") =!= col("i")).as("moved"), col("gain"))
+        // Argmax as an aggregate, not a rank window (round 14, guide
+        // §2.3 — the graph_louvain_step rationale).
+        .groupBy("i")
+        .agg(max(struct(col("gain"), (-col("c")).as("negc"))).as("b"))
+        .select(col("i").as("node_id"), (-col("b.negc")).as("cid_new"),
+          ((-col("b.negc")) =!= col("i")).as("moved"),
+          col("b.gain").as("gain"))
         .orderBy("node_id")
     },
 
@@ -1298,7 +1315,8 @@ object Graph {
             .groupBy("i", "c").agg(max(col("kin")).as("kin"))
           val ktot = degw.join(lab, "i")
             .groupBy("c").agg(sum(col("ki")).as("ktot"))
-          val w = Window.partitionBy("i").orderBy(col("gain").desc, col("c"))
+          // Argmax as an aggregate (round 14, guide §2.3 — the
+          // graph_louvain_step rationale).
           cand.join(ktot, "c")
             .join(degw.select(col("i"), col("ki")), "i")
             .join(lab.select(col("i"), col("c").as("c0")), "i")
@@ -1308,8 +1326,9 @@ object Graph {
               col("kin").cast(DoubleType) / lit(m.toDouble) -
                 col("ki").cast(DoubleType) * col("sigma").cast(DoubleType) /
                   (lit(2.0) * lit(m.toDouble) * lit(m.toDouble)), 9))
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select(col("i"), col("c"))
+            .groupBy("i")
+            .agg(max(struct(col("gain"), (-col("c")).as("negc"))).as("b"))
+            .select(col("i"), (-col("b.negc")).as("c"))
         }
         val singleton = degw.select(col("i"), col("i").as("c"))
         // Witness (1): the coarsen invariant, loud, per level.
@@ -1433,10 +1452,15 @@ object Graph {
           struct(col("v").as("node"), (col("u") % 64).as("lbl")))).as("e"))
         .select(col("e.node").as("node"), col("e.lbl").as("lbl"))
         .groupBy("node", "lbl").agg(count(lit(1)).as("votes"))
-      val w = Window.partitionBy("node").orderBy(col("votes").desc, col("lbl"))
-      votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl").as("new_label"), col("votes"))
+      // Plurality vote as an aggregate, not a rank window (round 14,
+      // guide §2.3): max(struct(votes, −lbl)) IS (votes DESC, lbl ASC);
+      // the winner's vote count rides the same struct, the hash
+      // aggregate partial-combines map-side, and the window's
+      // per-partition sort disappears.
+      votes.groupBy("node")
+        .agg(max(struct(col("votes"), (-col("lbl")).as("neglbl"))).as("b"))
+        .select(col("node"), (-col("b.neglbl")).as("new_label"),
+          col("b.votes").as("votes"))
         .orderBy("node")
     },
 
@@ -1552,17 +1576,20 @@ object Graph {
       def hop(frontier: DataFrame, cur: String, t: Int, out: String): DataFrame = {
         val h = md5(concat(lit(s"walk:$t:"), col(cur).cast(StringType),
           lit(":"), col("v").cast(StringType)))
-        // Partition by the walk's START node, not the current position:
-        // two walks standing on the same node draw the same (h, v)
-        // candidate rows, and a shared partition would hand rn=1 to
-        // only one of them — each walk must pick independently.
-        val w = Window.partitionBy(col("node_id"))
-          .orderBy(col("h"), col("v"))
+        // Argmin as an aggregate, not a rank window (round 14, guide
+        // §2.3): min(struct(h, v)) IS (h ASC, v ASC) — and it
+        // partial-combines map-side, so the exchange carries one row
+        // per walk instead of one per candidate edge, with no
+        // per-partition sort. Grouping keys are ALL frontier columns
+        // (the start node plus earlier hops — one row per walk), so
+        // each walk still picks independently even when two walks
+        // stand on the same node.
+        val keys = frontier.columns.map(col).toSeq
         frontier.join(both, frontier(cur) === both("u"))
           .withColumn("h", h)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .drop("h", "rn", "u").withColumnRenamed("v", out)
+          .groupBy(keys: _*)
+          .agg(min(struct(col("h"), col("v"))).as("b"))
+          .withColumn(out, col("b.v")).drop("b")
       }
       val starts = both.select(col("u").as("node_id")).distinct()
       val w1 = hop(starts, "node_id", 1, "hop1")
