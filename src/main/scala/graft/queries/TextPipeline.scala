@@ -1151,12 +1151,20 @@ object TextPipeline {
         .filter(col("rk") <= 20)
         .groupBy(col("lang").as("p_lang"))
         .agg(collect_set(col("tri")).as("p_tris"))
+      // Per-doc classification argmax as an aggregate, not a rank
+      // window (round 14, guide §2.3): min(struct(−matches, p_lang))
+      // IS (matches DESC, p_lang ASC) — the string tie-break survives
+      // because min on a struct compares fields lexicographically —
+      // and it partial-combines map-side, so at corpus scale the
+      // exchange carries one row per doc instead of one per
+      // (doc, lang) candidate.
       val scored = docTris.crossJoin(broadcast(profile))
         .withColumn("matches", size(array_intersect(col("tris"), col("p_tris"))))
         .filter(col("matches") > 0)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(desc("matches"), asc("p_lang"))))
-        .filter(col("rk") === 1)
+        .groupBy("doc_id", "lang")
+        .agg(min(struct((-col("matches")).as("negm"), col("p_lang")))
+          .as("b"))
+        .select(col("lang"), col("b.p_lang").as("p_lang"))
       scored
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -1180,11 +1188,18 @@ object TextPipeline {
         .withColumn("clean", trim(regexp_replace(
           regexp_replace(col("text"), "[^a-z0-9 ]", ""), " +", " ")))
         .select(col("doc_id"), col("lang"), col("source"), col("clean"))
+      // Exact-dedup survivor as an aggregate, not a min-over-window
+      // (round 14, guide §2.3): doc_id is unique, so min(struct(doc_id,
+      // rest)) per content hash IS the min-doc_id row — the hash
+      // aggregate partial-combines map-side and drops the window's
+      // per-partition sort; the exchange carries one row per distinct
+      // content hash instead of every row.
       val surv = norm
-        .withColumn("keep_id",
-          min(col("doc_id")).over(Window.partitionBy(md5(col("clean")))))
-        .filter(col("doc_id") === col("keep_id"))
-        .drop("keep_id")
+        .groupBy(md5(col("clean")).as("h"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("source"),
+          col("clean"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.source").as("source"), col("r.clean").as("clean"))
         .persist() // 4 consumers: both pair-join sides, sizes, final anti-join
       val tok = surv.select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(split(col("clean"), " "))).as("w"))

@@ -379,7 +379,10 @@ object Vectors {
       // just a row count.
       GraftFunctions.register(s)
       val emb = embeddings(s, d)
-      val cent = emb
+      // spread: the 64-way posexplode + partial aggregate over the
+      // 1-row-group embeddings file otherwise runs on one task
+      // (round 14, guide §2.6).
+      val cent = spread(emb)
         .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
         .groupBy("label", "idx")
         .agg((sum(col("v").cast(D)).cast(DoubleType) / count(lit(1))).as("c"))
@@ -707,20 +710,36 @@ object Vectors {
         .select(col("embedding").as("q_emb"))
       def dist2(a: String, b: String) =
         s"round(graft_dot($a, $a) - 2 * graft_dot($a, $b) + graft_dot($b, $b), 6)"
-      // Per subspace: one scan of the 16 j-centroids computing BOTH the
-      // vector-to-centroid dist² (the encode argmin key) and the
-      // query-to-centroid dist² (the ADC lookup value); array_min's
+      // Row-invariant work hoisted to the BROADCAST side (round 14,
+      // guide §1.2 step 2): the per-j codebook slice (filter over the
+      // 128-struct array — higher-order functions are interpreted per
+      // row) and the query-to-centroid dist² (the ADC lookup value,
+      // a pure function of q and the centroid) are both computed ONCE
+      // on the 1-row qcb frame instead of once per corpus row; the
+      // per-row pass keeps only the encode argmin's 8×16 slice dots.
+      // Values are bit-identical: the same dist2 composition over the
+      // same operands, evaluated on the other side of the broadcast.
+      val qcb = cb.crossJoin(q).select(
+        (0 until M).map(j => expr(
+          s"""transform(filter(cb, c -> c.j = $j), c -> named_struct(
+             |  'cid', c.cid, 'cemb', c.cemb,
+             |  'qdist', ${dist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")}))
+             |""".stripMargin).as(s"cb$j")): _*)
+      // Per subspace: one scan of the 16 j-centroids computing the
+      // vector-to-centroid dist² (the encode argmin key); array_min's
       // struct ordering (dist2, cid, qdist) does the argmin and the
-      // trailing qdist field rides along as the chosen lookup.
+      // precomputed qdist field rides along as the chosen lookup.
       def bestJ(j: Int) = expr(
-        s"""array_min(transform(filter(cb, c -> c.j = $j), c -> named_struct(
+        s"""array_min(transform(cb$j, c -> named_struct(
            |  'dist2', ${dist2(s"slice(embedding, ${j * SUB + 1}, $SUB)", "c.cemb")},
            |  'cid', c.cid,
-           |  'qdist', ${dist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")})))
+           |  'qdist', c.qdist)))
            |""".stripMargin)
       val D6 = DecimalType(28, 6)
-      val scored = emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
+      // spread: the 1-row-group embeddings file scans as one task, and
+      // the ADC encode pass is the query's dominant CPU (guide §2.6).
+      val scored = spread(emb.filter(col("vec_id") =!= 0))
+        .crossJoin(broadcast(qcb)).crossJoin(broadcast(q))
         .withColumn("adc_dist2",
           (0 until M).map(j => bestJ(j).getField("qdist").cast(D6))
             .reduce(_ + _).cast(DoubleType))
@@ -762,7 +781,10 @@ object Vectors {
       GraftFunctions.register(s)
       val M = 8; val K = 16; val SUB = 8
       val emb = embeddings(s, d)
-      val cent = emb
+      // spread: the 64-way posexplode + partial aggregate over the
+      // 1-row-group embeddings file otherwise runs on one task
+      // (round 14, guide §2.6).
+      val cent = spread(emb)
         .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
         .groupBy("label", "idx")
         .agg((sum(col("v").cast(D)).cast(DoubleType) / count(lit(1))).as("c"))
@@ -783,24 +805,33 @@ object Vectors {
       val cb = trainedCbDf(s, d)
       def dist2(a: String, b: String) =
         s"round(graft_dot($a, $a) - 2 * graft_dot($a, $b) + graft_dot($b, $b), 6)"
+      // Row-invariant work hoisted to the broadcast side + spread on
+      // the 1-row-group embeddings scan — the sim_pq_adc round-14
+      // rationale, applied to the composed query.
+      val qcb = cb.crossJoin(q).select(
+        (0 until M).map(j => expr(
+          s"""transform(filter(cb, c -> c.j = $j), c -> named_struct(
+             |  'cid', c.cid, 'cemb', c.cemb,
+             |  'qdist', ${dist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")}))
+             |""".stripMargin).as(s"cb$j")): _*)
       def bestJ(j: Int) = expr(
-        s"""array_min(transform(filter(cb, c -> c.j = $j), c -> named_struct(
+        s"""array_min(transform(cb$j, c -> named_struct(
            |  'dist2', ${dist2(s"slice(embedding, ${j * SUB + 1}, $SUB)", "c.cemb")},
            |  'cid', c.cid,
-           |  'qdist', ${dist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")})))
+           |  'qdist', c.qdist)))
            |""".stripMargin)
       val D6 = DecimalType(28, 6)
-      val cands = emb.filter(col("vec_id") =!= 0)
+      val cands = spread(emb.filter(col("vec_id") =!= 0))
         .join(broadcast(probes), col("label") === col("probe_label"))
       val nC = cands.agg(count(lit(1)).as("n_cand"))
       val scored = cands
-        .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
+        .crossJoin(broadcast(qcb)).crossJoin(broadcast(q))
         .withColumn("adc_dist2",
           (0 until M).map(j => bestJ(j).getField("qdist").cast(D6))
             .reduce(_ + _).cast(DoubleType))
         .withColumn("exact_dist2", expr(dist2("embedding", "q_emb")))
         .select(col("vec_id"), col("adc_dist2"), col("exact_dist2"))
-      val topExact = emb.filter(col("vec_id") =!= 0)
+      val topExact = spread(emb.filter(col("vec_id") =!= 0))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), expr(dist2("embedding", "q_emb")).as("ed"))
         .orderBy(col("ed"), col("vec_id")).limit(20)
