@@ -693,7 +693,10 @@ object TextPipeline {
       // alphabet² — map-side combine reduces every task to ≤~700
       // partial rows no matter how many petabytes of text flow in;
       // top-20 is a TakeOrdered, never a global sort.
-      documents(s, d)
+      // spread: the per-character transform+explode over the one-split
+      // documents scan is the query's CPU; without the parallelism
+      // floor it runs as a single task (round 14, guide §2.6).
+      spread(documents(s, d))
         .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
         .filter(length(col("w")) >= 2)
         .select(explode(expr(
@@ -880,7 +883,9 @@ object TextPipeline {
       val encoded = merges.foldLeft(col("w")) { case (c, (pair, ph)) =>
         call_function("replace", c, lit(pair), lit(ph))
       }
-      documents(s, d)
+      // spread: the tokenize explode + per-(doc, word) partial combine
+      // otherwise run on the one-split scan's single task (round 14).
+      spread(documents(s, d))
         .select(col("doc_id"),
           explode(split(lower(col("text")), "[^a-z]+")).as("w"))
         .filter(length(col("w")) >= 1)
@@ -911,7 +916,11 @@ object TextPipeline {
       // as bpe_pair_counts); merge + recount are map-side codegen'd
       // string ops; the second pair shuffle is again vocabulary-bounded
       // (≤ alphabet² · 3 distinct symbols-pairs), data-size-invariant.
-      val words = documents(s, d)
+      // spread: both consumers (pair count + merge recount) run a
+      // CPU-heavy per-character transform+explode over the one-split
+      // documents scan — without the parallelism floor each pass is a
+      // single task (round 14, guide §2.6).
+      val words = spread(documents(s, d))
         .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
         .filter(length(col("w")) >= 2)
       val top = words
@@ -2016,6 +2025,10 @@ object TextPipeline {
       // statistics, counts are longs.
       graft.functions.GraftFunctions.register(s)
       val K = 20; val W = 8
+      // spread was MEASURED here and reverted (round 14): repartitioning
+      // the full text rows costs more than the kernel pass it would
+      // parallelize — the posting-list self-join below, not the kernel,
+      // dominates this query.
       val fps = documents(s, d)
         .filter(length(col("text")) >= K + W - 1)
         .select(col("doc_id"),
