@@ -31,6 +31,26 @@ object Prof {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROF_STAGES=1: print per-stage wall/task-count/CPU for
+    // stages over 200 ms — the empirical loop's "which stage is slow"
+    // readout (optimization guide §1.1) without the UI.
+    if (sys.env.contains("SPARK_GRAFT_PROF_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          import org.apache.spark.scheduler._
+          private val cpu = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              cpu.merge(e.stageId, e.taskMetrics.executorCpuTime, Long.box(_) + _)
+          override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val dur = (for { s0 <- si.submissionTime; c <- si.completionTime }
+              yield c - s0).getOrElse(-1L)
+            if (dur > 200)
+              println(f"  [stage ${si.stageId}] ${dur / 1e3}%.2fs " +
+                f"tasks=${si.numTasks} cpu=${cpu.getOrDefault(si.stageId, 0L) / 1e9}%.2fs")
+          }
+        })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warm-up
     for (name <- names; fn = SparkEntry.queries(name); r <- 1 to reps) {
       val t0 = System.nanoTime()

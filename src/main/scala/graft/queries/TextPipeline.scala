@@ -20,7 +20,7 @@ object TextPipeline {
   type Q = (SparkSession, String) => DataFrame
 
   private def tokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+    spread(documents(s, d)).select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
 
   /** Distinct 5-word shingles per doc via the codegen'd WordShingles
@@ -503,8 +503,9 @@ object TextPipeline {
       // prefix filter lost nothing.
       graft.functions.GraftFunctions.register(s)
       val t = 0.6
-      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
-        call_function("graft_trigrams", col("text")).as("tris"))
+      val docs = spread(documents(s, d))
+        .select(col("doc_id"), col("lang"), col("source"),
+          call_function("graft_trigrams", col("text")).as("tris"))
         .persist() // 4 consumers (tris, sizes, sideA, sideB) — uncached,
                    // each re-runs the full-corpus trigram scan
       val tris = docs.select(col("doc_id"), col("lang"), col("source"),

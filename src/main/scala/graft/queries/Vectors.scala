@@ -736,9 +736,12 @@ object Vectors {
            |  'qdist', c.qdist)))
            |""".stripMargin)
       val D6 = DecimalType(28, 6)
-      // spread: the 1-row-group embeddings file scans as one task, and
-      // the ADC encode pass is the query's dominant CPU (guide §2.6).
-      val scored = spread(emb.filter(col("vec_id") =!= 0))
+      // NO spread here (measured, then reverted): the op's pinned claim
+      // — ShuffleSpec's "shuffle bytes must not track input size" gate —
+      // is that encode+score is MAP-ONLY, and a parallelism-floor
+      // repartition is a corpus-sized exchange at the single-split gate
+      // tiers. The broadcast-side hoist above is where the win lives.
+      val scored = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qcb)).crossJoin(broadcast(q))
         .withColumn("adc_dist2",
           (0 until M).map(j => bestJ(j).getField("qdist").cast(D6))
@@ -821,7 +824,9 @@ object Vectors {
            |  'qdist', c.qdist)))
            |""".stripMargin)
       val D6 = DecimalType(28, 6)
-      val cands = spread(emb.filter(col("vec_id") =!= 0))
+      // No spread on the candidate/truth scans — the map-only claim
+      // (the sim_pq_adc rationale); the qcb hoist carries the win.
+      val cands = emb.filter(col("vec_id") =!= 0)
         .join(broadcast(probes), col("label") === col("probe_label"))
       val nC = cands.agg(count(lit(1)).as("n_cand"))
       val scored = cands
@@ -831,7 +836,7 @@ object Vectors {
             .reduce(_ + _).cast(DoubleType))
         .withColumn("exact_dist2", expr(dist2("embedding", "q_emb")))
         .select(col("vec_id"), col("adc_dist2"), col("exact_dist2"))
-      val topExact = spread(emb.filter(col("vec_id") =!= 0))
+      val topExact = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), expr(dist2("embedding", "q_emb")).as("ed"))
         .orderBy(col("ed"), col("vec_id")).limit(20)
