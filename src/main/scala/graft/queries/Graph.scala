@@ -713,8 +713,16 @@ object Graph {
       val und = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
-      val adj = und.select(col("u").as("node"), col("v").as("nbr"))
-        .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      // wide-by-nbr (round 15, VERDICT r14 item 1): the wedge self-join
+      // is the query's CPU (measured: 2.2 s of pair-generation CPU on
+      // the 2 tasks byte-based AQE coalescing left it). Pinning the
+      // persisted adj to cluster-width hash(nbr) IS the join's required
+      // distribution, so the self-join reads the cache with NO exchange
+      // at any scale and the pair CPU runs cluster-wide. nbr is
+      // skew-bounded here (co-order graph, order-size-bounded degrees).
+      val adj = wide(und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr"))),
+          col("nbr"))
         .persist() // 3 consumers: degree + both wedge sides
       val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
       // Same join-strategy crossover as graph_triangles' wedge join
@@ -767,8 +775,11 @@ object Graph {
       val und = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
-      val adj = und.select(col("u").as("node"), col("v").as("nbr"))
-        .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      // wide-by-nbr: the jaccard_neighbors rationale verbatim (same
+      // wedge self-join, same 2-task CPU squeeze measured there).
+      val adj = wide(und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr"))),
+          col("nbr"))
         .persist() // 3 consumers: degree + both wedge sides
       val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
       val pairs = adj.as("a").join(adj.as("b"),
@@ -844,8 +855,15 @@ object Graph {
       // Shape: edge derivation + one degree shuffle; the histogram
       // rollup reduces |V| rows to ≤64 — map-side combine makes the
       // second shuffle bytes trivial at any graph size.
-      val op = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // wide-by-o (round 15, VERDICT r14 item 4): the per-order pair
+      // expansion + partial edge-distinct is the query's CPU (measured:
+      // 1.6 s on the 3 tasks AQE left the self-join stage). hash(o) at
+      // cluster width IS the self-join's required distribution — one
+      // exchange, reused by both sides, pair CPU cluster-wide; order
+      // sizes bound the per-key skew.
+      val op = wide(lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct(),
+        col("o"))
       val und = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
@@ -1571,30 +1589,35 @@ object Graph {
       // %3 subgraph bounds the gate the same way graph_triangles
       // documents.
       val und = undirectedEdges(s, d, 3)
-      val both = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      // wide round-robin (round 15): the per-candidate md5 is the
+      // query's CPU and ran on the 1-2 tasks AQE left the edge table's
+      // materialization (measured 0.4-0.8 s single-task stages); the
+      // repartition ships two longs per row once and the hash CPU runs
+      // cluster-wide.
+      val both = wide(und.unionByName(und.select(col("v").as("u"), col("u").as("v"))))
         .persist() // two hops probe the same edge table
-      def hop(frontier: DataFrame, cur: String, t: Int, out: String): DataFrame = {
-        val h = md5(concat(lit(s"walk:$t:"), col(cur).cast(StringType),
-          lit(":"), col("v").cast(StringType)))
-        // Argmin as an aggregate, not a rank window (round 14, guide
-        // §2.3): min(struct(h, v)) IS (h ASC, v ASC) — and it
-        // partial-combines map-side, so the exchange carries one row
-        // per walk instead of one per candidate edge, with no
-        // per-partition sort. Grouping keys are ALL frontier columns
-        // (the start node plus earlier hops — one row per walk), so
-        // each walk still picks independently even when two walks
-        // stand on the same node.
-        val keys = frontier.columns.map(col).toSeq
-        frontier.join(both, frontier(cur) === both("u"))
-          .withColumn("h", h)
-          .groupBy(keys: _*)
-          .agg(min(struct(col("h"), col("v"))).as("b"))
-          .withColumn(out, col("b.v")).drop("b")
-      }
-      val starts = both.select(col("u").as("node_id")).distinct()
-      val w1 = hop(starts, "node_id", 1, "hop1")
-      val w2 = hop(w1, "hop1", 2, "hop2")
-      w2.select("node_id", "hop1", "hop2").orderBy("node_id")
+      // Next-hop per NODE, not per walk (round 15, guide §1.2 "remove
+      // passes"): h = md5("walk:t:u:v") depends only on (t, u, v) — the
+      // walk's identity is NOT in the hash — so every walk standing on
+      // node u at hop t draws the SAME next node, and the old
+      // frontier⋈edges join + per-walk argmin recomputed one identical
+      // argmin per standing walk. Computing argmin_v md5(t:u:v) ONCE
+      // per node per hop is an O(edges) aggregate with map-side partial
+      // combine producing a NODE-sized (u → next) table; walks then
+      // attach by equi-join (auto-broadcast at gate scale, plain
+      // shuffle join above it). min(struct(h, v)) IS (h ASC, v ASC) —
+      // the round-14 argmin-as-aggregate pattern, per-node keys.
+      def nexthop(t: Int): DataFrame =
+        both.groupBy(col("u"))
+          .agg(min(struct(md5(concat(lit(s"walk:$t:"), col("u").cast(StringType),
+            lit(":"), col("v").cast(StringType))), col("v"))).as("b"))
+          .select(col("u"), col("b.v").as("nx"))
+      // nexthop(1)'s key set IS the distinct start set (every node with
+      // ≥1 edge), so the old separate starts-distinct pass is free here.
+      val w1 = nexthop(1).select(col("u").as("node_id"), col("nx").as("hop1"))
+      val w2 = w1.join(nexthop(2), col("hop1") === col("u"))
+        .select(col("node_id"), col("hop1"), col("nx").as("hop2"))
+      w2.orderBy("node_id")
     },
 
     "graph_connected_components" -> { (s, d) =>

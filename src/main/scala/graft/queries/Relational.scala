@@ -1115,6 +1115,18 @@ object Relational {
       val pairs = for {
         i <- measures.indices; j <- measures.indices if i < j
       } yield (measures(i), measures(j))
+      // spread (round 15): the partial aggregate — 4 double→decimal
+      // casts + 14 decimal products per row — is the query's entire
+      // cost and ran on the 3 splits of the one-file gate-tier scan
+      // (measured: one 3-task stage, 1.3-2.1 s CPU, nothing else over
+      // 200 ms). Narrow to the four measure columns FIRST (the spread
+      // shuffle ships 4 doubles per row), round-robin to cluster width
+      // (no-op once the scan arrives in ≥ cluster-width splits — guide
+      // §2.6 idle capacity), and only THEN cast — so the per-row
+      // BigDecimal work runs cluster-wide, not on the scan's 3 tasks.
+      // Sums are unchanged: decimal addition is order-free, same casts,
+      // same products.
+      val base = spread(lineitem(s, d).select(measures.map(col): _*))
       val sums =
         Seq(count(lit(1)).cast(DoubleType).as("n")) ++
           measures.map(c => sum(d6(c)).cast(DoubleType).as(s"s_$c")) ++
@@ -1129,7 +1141,7 @@ object Relational {
               sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))),
             6).as("corr"))
       }
-      lineitem(s, d)
+      base
         .agg(sums.head, sums.tail: _*)
         .select(explode(array(corrRows: _*)).as("r"))
         .select(col("r.x_col"), col("r.y_col"), col("r.corr"))

