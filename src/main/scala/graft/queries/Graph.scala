@@ -1658,26 +1658,40 @@ object Graph {
       var lab = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("lbl"))
         .localCheckpoint(eager = false).persist()
-      var converged = false
+      // Edge-violation fixpoint probe (round 15 — the Cc.minLabel
+      // construction and proof): labels converged IFF no edge joins two
+      // labels, checkable on the CURRENT table — the old changed-count
+      // needed one more full (provably identical) propagation round
+      // just to observe stability. count() first materializes the
+      // cache so the probe's label joins see real stats and
+      // auto-broadcast; limit(1) short-circuits on the first violation.
+      def violations(l: DataFrame): Long = {
+        l.count()
+        l.select(col("id").as("ia"), col("lbl").as("la"))
+          .join(edges, col("ia") === col("u"))
+          .join(l.select(col("id").as("ib"), col("lbl").as("lb")),
+            col("v") === col("ib"))
+          .filter(col("la") =!= col("lb"))
+          .limit(1).count()
+      }
+      var viol = violations(lab)
       var rounds = 0
-      while (!converged && rounds < 20) {
+      while (viol != 0L && rounds < 20) {
         val prop = edges.join(lab.withColumnRenamed("id", "v2"),
             edges("v") === col("v2"))
           .groupBy(col("u").as("id")).agg(min(col("lbl")).as("nbl"))
-        val next = lab.withColumnRenamed("lbl", "old")
+        val next = lab
           .join(prop.withColumnRenamed("id", "id2"),
             col("id") === col("id2"), "left")
           .select(col("id"),
-            least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"),
-            col("old"))
+            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
           .localCheckpoint(eager = false).persist()
-        val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
-        converged = changed == 0L
+        viol = violations(next)
         lab.unpersist()
-        lab = next.select("id", "lbl")
+        lab = next
         rounds += 1
       }
-      require(converged,
+      require(viol == 0L,
         s"graph_connected_components: no fixpoint in $rounds rounds — " +
           "emission would carry stale labels, not components")
       lab.groupBy(col("lbl").as("component_id"))
