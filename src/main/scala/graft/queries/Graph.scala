@@ -627,21 +627,31 @@ object Graph {
       // Shape: two groupBys over the edge list (O(edges) shuffle
       // bytes), max as a 1-row broadcast. Emission: both node sides,
       // scores in [0,1] rounded at 1e-9.
+      // Persisted rollups (round 15, VERDICT r14 item 4): the old plan
+      // referenced auth from THREE branches (hub build, its own max,
+      // emission) and hub from two — every reference re-ran the full
+      // O(edges) groupBy over the persisted edge list (measured: a
+      // ~10-wave cascade of 3-task stages, 1.7 s warm with ≤0.6 s of
+      // real CPU). Persist auth and the unioned raw-score table, attach
+      // the per-side max by a 2-row broadcast ntype join instead of two
+      // scalar crossJoins: each rollup now runs ONCE and the plan is
+      // three jobs, not ten. Same exact-integer arithmetic, same final
+      // division and rounding.
       val edges = lineitem(s, d)
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct().persist()
-      val auth = edges.groupBy("dst").agg(count(lit(1)).as("a"))
-      val hub = edges.join(auth, "dst")
-        .groupBy("src").agg(sum(col("a")).as("h"))
-      val maxes = auth.agg(max(col("a")).as("ma"))
-        .crossJoin(broadcast(hub.agg(max(col("h")).as("mh"))))
-      val aOut = auth.crossJoin(broadcast(maxes))
-        .select(lit("p").as("ntype"), col("dst").as("node_id"),
-          round(col("a").cast(DoubleType) / col("ma"), 9).as("score"))
-      val hOut = hub.crossJoin(broadcast(maxes))
-        .select(lit("s").as("ntype"), col("src").as("node_id"),
-          round(col("h").cast(DoubleType) / col("mh"), 9).as("score"))
-      aOut.unionByName(hOut).orderBy("ntype", "node_id")
+      val auth = edges.groupBy("dst").agg(count(lit(1)).as("a")).persist()
+      val scores = auth
+        .select(lit("p").as("ntype"), col("dst").as("node_id"), col("a").as("raw"))
+        .unionByName(edges.join(auth, "dst")
+          .groupBy("src").agg(sum(col("a")).as("raw"))
+          .select(lit("s").as("ntype"), col("src").as("node_id"), col("raw")))
+        .persist()
+      val maxes = scores.groupBy("ntype").agg(max(col("raw")).as("mx"))
+      scores.join(broadcast(maxes), "ntype")
+        .select(col("ntype"), col("node_id"),
+          round(col("raw").cast(DoubleType) / col("mx"), 9).as("score"))
+        .orderBy("ntype", "node_id")
     },
 
     "graph_clustering_coefficient" -> { (s, d) =>

@@ -2206,13 +2206,16 @@ object Relational {
       // rationale (measured here: 5.3 s -> 0.35 s warm, 15x; the stack
       // Generate above the BNLJ-joined 1-row aggregates made every
       // AQE broadcast-future stage re-run seconds of single-task CPU).
-      // Emitted rows are IDENTICAL: same per-field expressions
-      // (abs(ap-nd) <= 0.02*nd is Catalyst-typed the same way the
-      // parsed stack branch was), same emission sort.
+      // The 0.02 literal is SQL-parsed (expr), not lit(0.02): the SQL
+      // parser types it DECIMAL(2,2) exactly as the old stack-string
+      // branch did, so the flag comparison stays DECIMAL-typed — a
+      // double comparison is exact only below 2^53 distincts, and the
+      // r14 cutover silently narrowed it (VERDICT r14 item 7; the old
+      // comment claimed "typed the same", which was wrong).
       val arr = array(cols.map(c => struct(
         lit(c).as("column_name"), col("n_rows"),
         col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
-        (abs(col(s"ap_$c") - col(s"nd_$c")) <= lit(0.02) * col(s"nd_$c"))
+        expr(s"abs(ap_$c - nd_$c) <= 0.02 * nd_$c")
           .as("approx_within_2pct"))): _*)
       approx1.crossJoin(broadcast(exact1))
         .select(explode(arr).as("r")).select(col("r.*"))

@@ -2110,10 +2110,19 @@ object TextPipeline {
       val cnt = documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
+      // Top-k via orderBy().limit(k) — TakeOrderedAndProject: per-
+      // partition top-500 + driver merge — then re-rank the 500
+      // survivors (round 15, VERDICT r14 item 3). The old global
+      // row_number window pushed the ENTIRE term table through ONE
+      // partition to keep 500 rows — the classic top-k anti-pattern at
+      // a web-scale vocabulary (10⁷-10⁸ distinct terms). (freq DESC,
+      // term ASC) is a total order (term unique), so the limit is
+      // deterministic and the post-limit window ranks the identical
+      // rows 1..500 over a 500-row input (the sim_pq_adc precedent).
       val ranked = cnt
+        .orderBy(col("freq").desc, col("term").asc).limit(500)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("freq").desc, col("term").asc)))
-        .filter(col("rank") <= 500)
         .select(round(log(col("rank")), 9).as("x"),
           round(log(col("freq")), 9).as("y"))
       val d9 = DecimalType(28, 9)
@@ -2216,18 +2225,22 @@ object TextPipeline {
       // corpus tokens by frequency (freq desc, token asc — the
       // deterministic tie-break every tokenizer trainer uses). Shape:
       // the data-sized work is ONE explode+groupBy corpus pass with
-      // map-side combine; the global rank then runs over the
-      // vocab-sized count table — Zipf-bounded (~10⁷ rows even at
-      // web scale), so the single-partition row_number window ranks a
-      // table that fits on one executor regardless of corpus size, and
-      // the top-500 limit keeps the emitted vocab O(1).
+      // map-side combine; selection over the vocab-sized count table is
+      // distributed top-k (below), and the top-500 limit keeps the
+      // emitted vocab O(1).
       val cnt = documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
+      // Top-k via orderBy().limit(k) + post-limit re-rank — the
+      // text_zipf_fit rationale (round 15): TakeOrderedAndProject keeps
+      // per-partition top-500s and merges on the driver; the global
+      // row_number then runs over 500 rows, never the vocabulary. The
+      // (cnt DESC, term ASC) total order makes both steps deterministic
+      // and the emitted ids identical to the old single-partition rank.
       cnt
+        .orderBy(col("cnt").desc, col("term").asc).limit(500)
         .withColumn("token_id", row_number().over(
           Window.orderBy(col("cnt").desc, col("term").asc)))
-        .filter(col("token_id") <= 500)
         // row_number is INT in Spark but BIGINT in DuckDB — emit long.
         .select(col("token_id").cast(LongType).as("token_id"),
           col("term"), col("cnt"))
@@ -2240,7 +2253,7 @@ object TextPipeline {
       // for the 200 most frequent bigrams. Shape: bigram construction is
       // a map-side transform over the already-split token array (no
       // per-token explode of unigrams — w1 totals are recomposed from
-      // the bigram counts themselves via a window over the REDUCED
+      // the bigram counts themselves via a groupBy over the REDUCED
       // table), so the only data-sized shuffle is the bigram groupBy
       // with map-side combine. logp divides exact integer counts on
       // identical IEEE doubles, rounded at 1e-6.
@@ -2254,11 +2267,20 @@ object TextPipeline {
           "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
         .select(col("b.w1"), col("b.w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      bg
-        .withColumn("w1_cnt", sum(col("cnt")).over(Window.partitionBy("w1")))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)))
-        .filter(col("rk") <= 200)
+        .persist() // 2 consumers (top-k + w1 totals) — uncached, each
+                   // re-runs the full bigram corpus pass
+      // Top-k via orderBy().limit(k) + w1 totals as a groupBy aggregate
+      // (round 15, VERDICT r14 item 3): the old form pushed the ENTIRE
+      // bigram-type table through ONE partition (global row_number) and
+      // windowed per-w1 sums over it; TakeOrderedAndProject + a
+      // map-side-combined groupBy compute the identical 200 rows and
+      // totals with no single-partition stage. (cnt DESC, w1, w2) is a
+      // total order — the limit is deterministic; the rank itself was
+      // never emitted, only used to cut at 200.
+      val top = bg.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+        .limit(200)
+      val w1tot = bg.groupBy("w1").agg(sum(col("cnt")).as("w1_cnt"))
+      top.join(w1tot, "w1")
         .select(col("w1"), col("w2"), col("cnt"), col("w1_cnt"),
           round(log(col("cnt").cast(DoubleType) / col("w1_cnt")), 6).as("logp"))
         .orderBy("w1", "w2")

@@ -472,5 +472,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scale-killer join shapes in: ${offenders.mkString(", ")}")
   }
 
+  test("no unpartitioned window runs over a data-sized input anywhere in the map") {
+    // Round 15 (VERDICT r14 item 3): a Window with an EMPTY partition
+    // spec moves its whole input through one partition — the classic
+    // top-k anti-pattern when the input is data-sized (a global
+    // row_number over a 10⁷-term vocabulary ranks everything to keep
+    // 500). Legitimate instances are windows over PROVABLY BOUNDED
+    // inputs: below a GlobalLimit (the orderBy().limit(k) + re-rank
+    // pattern — sim_pq_adc, text_vocab_build) or above a zero-grouping
+    // (1-row) aggregate. Anything else fails the suite.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: GlobalLimit => ()
+      case a: Aggregate if a.groupingExpressions.isEmpty => ()
+    }.isDefined
+    // Audited instances (round 15): every window here runs over a table
+    // ALREADY REDUCED by a grouped aggregate whose key domain is
+    // structurally bounded — value grids (spearman: quantity 1..50 /
+    // 11 discount points), digit/bucket/hour domains (benford ≤9,
+    // ks-style 256-bucket bands in js_divergence/mixture_resample,
+    // cusum/ltob/stl/seasonal hourly-bucket series, shuffle_global's
+    // bucket prefix), or #source-row tables (epoch_plan, interleave,
+    // mixture_weights, chi_square/cramers_v/MI status×priority
+    // contingency). Their scaladocs carry the boundedness argument;
+    // the gate exists to stop NEW data-sized instances (the
+    // text_vocab_build / zipf / bigram_lm class this round removed).
+    val boundedByDomain = Set("agg_benford_test", "agg_chi_square",
+      "agg_cramers_v", "agg_mutual_information", "agg_spearman_corr",
+      "pipeline_epoch_plan", "pipeline_interleave_sources",
+      "pipeline_mixture_weights", "sample_mixture_resample",
+      "shuffle_global", "text_js_divergence", "ts_cusum_changepoint",
+      "ts_downsample_ltob", "ts_seasonal_profile", "ts_stl_decompose")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if boundedByDomain(name) => None
+      case (name, q) =>
+        val lp = q(spark, sf).queryExecution.optimizedPlan
+        val bad = lp.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded input in: ${offenders.mkString(", ")}")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
