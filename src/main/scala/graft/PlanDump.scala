@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <k1,k2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, keysCsv) = args.take(4)
     val keys = keysCsv.split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

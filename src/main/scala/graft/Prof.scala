@@ -40,7 +40,9 @@ object Prof {
           import org.apache.spark.scheduler._
           private val cpu = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
           override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-            if (e.taskMetrics != null)
+            // Successful attempts only: failed/speculative duplicates
+            // would double-count CPU into the stage total (ADVICE r14).
+            if (e.taskMetrics != null && e.reason == org.apache.spark.Success)
               cpu.merge(e.stageId, e.taskMetrics.executorCpuTime, Long.box(_) + _)
           override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
             val si = e.stageInfo
@@ -49,6 +51,10 @@ object Prof {
             if (dur > 200)
               println(f"  [stage ${si.stageId}] ${dur / 1e3}%.2fs " +
                 f"tasks=${si.numTasks} cpu=${cpu.getOrDefault(si.stageId, 0L) / 1e9}%.2fs")
+            // Evict: the map otherwise grows for the whole profiling run
+            // (ADVICE r14). Retried stage attempts re-accumulate from
+            // their own task-end events.
+            cpu.remove(si.stageId): Unit
           }
         })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warm-up

@@ -65,6 +65,41 @@ object Vectors {
     * the measurement (tie-break, hit join, rounding) can never
     * desynchronize the variants the docs compare.
     */
+  /** Grid-snapped squared euclidean distance between two float-array SQL
+    * expressions — the PQ/ADC determinism recipe (sim_pq_adc scaladoc).
+    */
+  private def pqDist2(a: String, b: String): String =
+    s"round(graft_dot($a, $a) - 2 * graft_dot($a, $b) + graft_dot($b, $b), 6)"
+
+  /** Shared PQ/ADC broadcast-side hoist (round 14; factored per ADVICE
+    * r14): `qcb` is the 1-row frame carrying, per subspace j, the
+    * codebook slice with the query-to-centroid dist² precomputed —
+    * row-invariant work evaluated ONCE on the broadcast side instead of
+    * per corpus row (the per-j `filter` over the 128-struct array is an
+    * interpreted higher-order function). `bestJ(j)` is the per-row
+    * encode argmin over that slice: array_min's struct ordering
+    * (dist2, cid, qdist) picks the nearest centroid and the precomputed
+    * qdist rides along as the chosen ADC lookup. Shared verbatim by
+    * sim_pq_adc and sim_ivf_pq so codebook-shape changes stay in one
+    * place.
+    */
+  private def qcbAndBestJ(cb: DataFrame, q: DataFrame, M: Int, SUB: Int)
+      : (DataFrame, Int => Column) = {
+    val qcb = cb.crossJoin(q).select(
+      (0 until M).map(j => expr(
+        s"""transform(filter(cb, c -> c.j = $j), c -> named_struct(
+           |  'cid', c.cid, 'cemb', c.cemb,
+           |  'qdist', ${pqDist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")}))
+           |""".stripMargin).as(s"cb$j")): _*)
+    val bestJ = (j: Int) => expr(
+      s"""array_min(transform(cb$j, c -> named_struct(
+         |  'dist2', ${pqDist2(s"slice(embedding, ${j * SUB + 1}, $SUB)", "c.cemb")},
+         |  'cid', c.cid,
+         |  'qdist', c.qdist)))
+         |""".stripMargin)
+    (qcb, bestJ)
+  }
+
   private def annTruth(emb: DataFrame, qs: DataFrame): DataFrame =
     emb.crossJoin(broadcast(qs.select("q_id", "q_emb")))
       .filter(col("vec_id") =!= col("q_id"))
@@ -708,8 +743,6 @@ object Vectors {
       val cb = trainedCbDf(s, d)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
-      def dist2(a: String, b: String) =
-        s"round(graft_dot($a, $a) - 2 * graft_dot($a, $b) + graft_dot($b, $b), 6)"
       // Row-invariant work hoisted to the BROADCAST side (round 14,
       // guide §1.2 step 2): the per-j codebook slice (filter over the
       // 128-struct array — higher-order functions are interpreted per
@@ -719,22 +752,8 @@ object Vectors {
       // per-row pass keeps only the encode argmin's 8×16 slice dots.
       // Values are bit-identical: the same dist2 composition over the
       // same operands, evaluated on the other side of the broadcast.
-      val qcb = cb.crossJoin(q).select(
-        (0 until M).map(j => expr(
-          s"""transform(filter(cb, c -> c.j = $j), c -> named_struct(
-             |  'cid', c.cid, 'cemb', c.cemb,
-             |  'qdist', ${dist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")}))
-             |""".stripMargin).as(s"cb$j")): _*)
-      // Per subspace: one scan of the 16 j-centroids computing the
-      // vector-to-centroid dist² (the encode argmin key); array_min's
-      // struct ordering (dist2, cid, qdist) does the argmin and the
-      // precomputed qdist field rides along as the chosen lookup.
-      def bestJ(j: Int) = expr(
-        s"""array_min(transform(cb$j, c -> named_struct(
-           |  'dist2', ${dist2(s"slice(embedding, ${j * SUB + 1}, $SUB)", "c.cemb")},
-           |  'cid', c.cid,
-           |  'qdist', c.qdist)))
-           |""".stripMargin)
+      // (qcb/bestJ construction shared with sim_ivf_pq — qcbAndBestJ.)
+      val (qcb, bestJ) = qcbAndBestJ(cb, q, M, SUB)
       val D6 = DecimalType(28, 6)
       // NO spread here (measured, then reverted): the op's pinned claim
       // — ShuffleSpec's "shuffle bytes must not track input size" gate —
@@ -747,7 +766,7 @@ object Vectors {
           (0 until M).map(j => bestJ(j).getField("qdist").cast(D6))
             .reduce(_ + _).cast(DoubleType))
         .withColumn("exact_dist2",
-          expr(dist2("embedding", "q_emb")))
+          expr(pqDist2("embedding", "q_emb")))
         .select(col("vec_id"), col("adc_dist2"), col("exact_dist2"))
         .persist() // two TakeOrdered consumers (ADC ranking + exact truth)
       val topExact = scored
@@ -806,23 +825,10 @@ object Vectors {
       // so the ADC price sheet below is measured on a production
       // codebook, not the vec_id<16 seed pick.
       val cb = trainedCbDf(s, d)
-      def dist2(a: String, b: String) =
-        s"round(graft_dot($a, $a) - 2 * graft_dot($a, $b) + graft_dot($b, $b), 6)"
       // Row-invariant work hoisted to the broadcast side + spread on
       // the 1-row-group embeddings scan — the sim_pq_adc round-14
-      // rationale, applied to the composed query.
-      val qcb = cb.crossJoin(q).select(
-        (0 until M).map(j => expr(
-          s"""transform(filter(cb, c -> c.j = $j), c -> named_struct(
-             |  'cid', c.cid, 'cemb', c.cemb,
-             |  'qdist', ${dist2(s"slice(q_emb, ${j * SUB + 1}, $SUB)", "c.cemb")}))
-             |""".stripMargin).as(s"cb$j")): _*)
-      def bestJ(j: Int) = expr(
-        s"""array_min(transform(cb$j, c -> named_struct(
-           |  'dist2', ${dist2(s"slice(embedding, ${j * SUB + 1}, $SUB)", "c.cemb")},
-           |  'cid', c.cid,
-           |  'qdist', c.qdist)))
-           |""".stripMargin)
+      // rationale, applied to the composed query (shared qcbAndBestJ).
+      val (qcb, bestJ) = qcbAndBestJ(cb, q, M, SUB)
       val D6 = DecimalType(28, 6)
       // No spread on the candidate/truth scans — the map-only claim
       // (the sim_pq_adc rationale); the qcb hoist carries the win.
@@ -834,11 +840,11 @@ object Vectors {
         .withColumn("adc_dist2",
           (0 until M).map(j => bestJ(j).getField("qdist").cast(D6))
             .reduce(_ + _).cast(DoubleType))
-        .withColumn("exact_dist2", expr(dist2("embedding", "q_emb")))
+        .withColumn("exact_dist2", expr(pqDist2("embedding", "q_emb")))
         .select(col("vec_id"), col("adc_dist2"), col("exact_dist2"))
       val topExact = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), expr(dist2("embedding", "q_emb")).as("ed"))
+        .select(col("vec_id"), expr(pqDist2("embedding", "q_emb")).as("ed"))
         .orderBy(col("ed"), col("vec_id")).limit(20)
         .select(col("vec_id").as("x_id"))
       scored.orderBy(col("adc_dist2"), col("vec_id")).limit(20)
