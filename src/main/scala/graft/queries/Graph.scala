@@ -1674,7 +1674,9 @@ object Graph {
       // needed one more full (provably identical) propagation round
       // just to observe stability. count() first materializes the
       // cache so the probe's label joins see real stats and
-      // auto-broadcast; limit(1) short-circuits on the first violation.
+      // auto-broadcast; plain 1-row aggregate, not limit(1).count()
+      // (the Cc.minLabel note: CollectLimit's incremental waves pay
+      // several sequential jobs exactly when the probe finds nothing).
       def violations(l: DataFrame): Long = {
         l.count()
         l.select(col("id").as("ia"), col("lbl").as("la"))
@@ -1682,7 +1684,7 @@ object Graph {
           .join(l.select(col("id").as("ib"), col("lbl").as("lb")),
             col("v") === col("ib"))
           .filter(col("la") =!= col("lb"))
-          .limit(1).count()
+          .agg(count(lit(1))).head().getLong(0)
       }
       var viol = violations(lab)
       var rounds = 0
