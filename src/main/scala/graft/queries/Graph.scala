@@ -785,11 +785,14 @@ object Graph {
       val und = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
-      // wide-by-nbr: the jaccard_neighbors rationale verbatim (same
-      // wedge self-join, same 2-task CPU squeeze measured there).
-      val adj = wide(und.select(col("u").as("node"), col("v").as("nbr"))
-        .unionAll(und.select(col("v").as("node"), col("u").as("nbr"))),
-          col("nbr"))
+      // NO wide-by-nbr here, unlike jaccard_neighbors (measured, round
+      // 15): this wedge feeds a groupBy(node,cand) aggregate directly
+      // (no per-pair set arithmetic), so the pair stage is byte-bound,
+      // not CPU-dense — the extra pinned exchange read +0.2-0.3 s in
+      // every bench/Prof reading (1.11 base vs 1.33-1.41 widened) and
+      // was reverted per the A/B protocol.
+      val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
         .persist() // 3 consumers: degree + both wedge sides
       val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
       val pairs = adj.as("a").join(adj.as("b"),
