@@ -529,7 +529,12 @@ object TextPipeline {
       // cluster-wide. Prefix tokens are the RARE third of each doc's
       // trigrams (df-ascending prefix), so the block key is
       // skew-bounded by construction.
-      val prefix = wide(tris.join(dfreq, "tri")
+      // wide-by-doc_id on the window input too: the df-rank window's
+      // required hash(doc_id) exchange is byte-small but carries the
+      // per-doc sort + rank CPU, and AQE ran it on 4 tasks (~1 s CPU
+      // measured warm); repartition(width, doc_id) IS the window's
+      // required distribution — same exchange, pinned wide.
+      val prefix = wide(wide(tris.join(dfreq, "tri"), col("doc_id"))
         .withColumn("rn", row_number().over(w))
         .join(broadcast(sizes), col("doc_id") === col("sz_id"))
         .filter(col("rn") <= floor(col("n") * (1 - t) + 1e-7) + 1)
